@@ -1,0 +1,68 @@
+"""Benchmark harness — runs every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "total_query_time", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized with a count() of the full result (forces the
+complete plan without driver-side collect of payload data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_streams_tcp_reconciliation_spark.plans import all_queries  # noqa: E402
+from kafka_streams_tcp_reconciliation_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="kafka-streams-tcp-reconciliation-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footer caches once with the cheapest query
+    try:
+        queries["q1_pricing_summary"](spark, sf_dir).count()
+    except Exception:
+        pass
+
+    total = 0.0
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # keep benching even if one query breaks
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

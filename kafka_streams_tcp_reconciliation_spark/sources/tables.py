@@ -1,0 +1,176 @@
+"""Parquet table catalog for the driver's test data (TESTDATA.md).
+
+Explicit schemas serve two purposes:
+
+1. **Timestamp semantics.** All timestamps in the test data are wall-clock
+   values with no timezone. Reading them as ``TIMESTAMP_NTZ`` makes every
+   downstream date function (``date_trunc``, ``year`` …) timezone-independent
+   — identical results regardless of the driver session's timezone, and
+   identical to the DuckDB oracle, which treats parquet timestamps as naive
+   TIMESTAMP. (``events.ts`` is ns-precision in parquet; Spark and DuckDB both
+   evaluate at µs after casting — the oracle casts explicitly.)
+2. **Column pruning is still fully effective** — schemas list the physical
+   columns; Catalyst prunes to whatever each query selects (check
+   ``ReadSchema`` in ``.explain``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough that joins against them should always be
+# broadcast hash joins, at any scale factor (they grow sub-linearly or not
+# at all in TPC-H-style scaling).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+        ]
+    ),
+    # events.ts is physically INT64 TIMESTAMP(NANOS) — Spark's parquet reader
+    # rejects nanos unless spark.sql.legacy.parquet.nanosAsLong=true, so we
+    # read the raw nanos as LongType and convert to TIMESTAMP_NTZ at µs
+    # precision in load_table (truncating div 1000 — identical to DuckDB's
+    # ns→µs truncation when it reads the same file as TIMESTAMP).
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+
+def schema_for(name: str) -> T.StructType:
+    return _SCHEMAS[name]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table as a DataFrame with its canonical schema.
+
+    All timestamp columns surface as ``TIMESTAMP_NTZ`` (wall-clock, timezone
+    independent) so every query result is identical under any session
+    timezone and matches the DuckDB oracle's naive TIMESTAMP semantics.
+    """
+    if name not in _SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(_SCHEMAS[name]).parquet(path)
+        return raw.select(
+            "event_id",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    return spark.read.schema(_SCHEMAS[name]).parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all test tables. DataFrames are lazy — no I/O happens here."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
