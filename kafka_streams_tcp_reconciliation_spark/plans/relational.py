@@ -305,16 +305,24 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT c_custkey, c_name, c_acctbal
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS — the unmatched-record detection at the heart of
-    reconciliation workloads (J7; the batch analogue of J2's null branch)."""
+    reconciliation workloads (J7; the batch analogue of J2's null branch).
+
+    Predicated on high-value orders so the result is non-empty at every
+    scale factor (every customer has *some* order in the test data)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
 
 

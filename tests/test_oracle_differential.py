@@ -62,6 +62,14 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert sorted(spark_df.columns) == sorted(duck_df.columns), (
         f"{name}: columns {sorted(spark_df.columns)} != {sorted(duck_df.columns)}"
     )
+    # dtype parity — catches BIGINT-vs-INT style schema mismatches that the
+    # driver's schema compare would flag even when values agree
+    dtype_diffs = {
+        c: (str(spark_df[c].dtype), str(duck_df[c].dtype))
+        for c in spark_df.columns
+        if str(spark_df[c].dtype) != str(duck_df[c].dtype)
+    }
+    assert not dtype_diffs, f"{name}: dtype mismatches {dtype_diffs}"
 
     s = canonicalize(spark_df)
     d = canonicalize(duck_df)
