@@ -1,1 +1,326 @@
-"""Placeholder — populated in later milestones."""
+"""Event-time queries — the batch analogues of the reference's streaming
+core (SURVEY.md §2.5 W1–W3, §2.3 J1/J2/J9, §2.9).
+
+Every operator here is defined once over DataFrames; the incremental
+(Structured Streaming) forms in ``streaming/`` reuse the same composition
+with watermarks. Batch forms get the strong DuckDB check (SURVEY.md §5.2).
+
+The reconciliation pair (``reconcile_purchase_click`` /
+``reconcile_unmatched_purchases``) is the engine's flagship semantics: match
+records of two streams on key within an event-time window; surface the
+unmatched remainder. In the reference's TCP domain, that is sent-segment ⋈
+received-segment on flow+seq with loss detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.operators.joins import asof_join, windowed_anti_join, windowed_join
+from kafka_streams_tcp_reconciliation_spark.operators.ktable import latest_by_key
+from kafka_streams_tcp_reconciliation_spark.plans import register
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# --- W1: tumbling window --------------------------------------------------
+
+
+@register(
+    "tumbling_window_hourly",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 1-hour event-time buckets (W1, TimeWindows.ofSize).
+
+    Uses Spark's window() — the same operator the streaming form uses with
+    a watermark; epoch-aligned, so identical to date_trunc('hour').
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- W2: hopping (sliding) window -----------------------------------------
+
+
+@register(
+    "hopping_window_counts",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                    - INTERVAL '15 minutes' * k, '{_TS_FMT_DUCK}') AS window_start,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows advancing every 15 min (W2, TimeWindows#advanceBy):
+    each event lands in 4 overlapping windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- W3: session window (gap-based) ---------------------------------------
+
+
+@register(
+    "session_window_stats",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           count(*)                            AS n_events,
+           round(sum(value), 2)                AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session reconstruction per user (W3,
+    SessionWindows.ofInactivityGap 30min) — flow/session reconstruction in
+    the reference's domain.
+
+    Spark's session_window() merges events whose gap is STRICTLY less than
+    30min (window end = last_ts + gap, end-exclusive); the oracle's
+    gaps-and-islands formulation uses >= accordingly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- J1: stream-stream windowed join (THE reconciliation op) --------------
+
+
+@register(
+    "reconcile_purchase_click",
+    oracle="""
+    SELECT a.event_id AS purchase_id,
+           b.event_id AS click_id,
+           a.user_id,
+           date_diff('microseconds', b.ts, a.ts) AS lag_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase'
+     AND b.event_type = 'click'
+     AND b.ts BETWEEN a.ts - INTERVAL '10 minutes'
+                  AND a.ts + INTERVAL '10 minutes'
+    """,
+)
+def reconcile_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed stream-stream inner join (J1): match each purchase to click
+    events by the same user within ±10 minutes.
+
+    This is the reference's core reconciliation shape (sent ⋈ received on
+    flow-key within JoinWindows.ofTimeDifference): equi-key shuffle join
+    with the time bound as a post-join filter.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = windowed_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        "ts",
+        "ts",
+        "10 minutes",
+        "10 minutes",
+        left_alias="a",
+        right_alias="b",
+    )
+    return joined.select(
+        F.col("a.event_id").alias("purchase_id"),
+        F.col("b.event_id").alias("click_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.expr("timestampdiff(MICROSECOND, b.ts, a.ts)").alias("lag_us"),
+    )
+
+
+@register(
+    "reconcile_unmatched_purchases",
+    oracle="""
+    SELECT a.event_id AS purchase_id, a.user_id, a.value
+    FROM events a
+    WHERE a.event_type = 'purchase'
+      AND NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = a.user_id
+            AND b.event_type = 'click'
+            AND b.ts BETWEEN a.ts - INTERVAL '10 minutes'
+                         AND a.ts + INTERVAL '10 minutes'
+      )
+    """,
+)
+def reconcile_unmatched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unmatched-side detection (J2's null branch): purchases with no click
+    within the window — "lost segments" in the reference's domain."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return windowed_anti_join(
+        purchases, clicks, ["user_id"], "ts", "ts", "10 minutes", "10 minutes"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "value",
+    )
+
+
+# --- J9: as-of join -------------------------------------------------------
+
+
+@register(
+    "asof_last_click_before_purchase",
+    oracle="""
+    SELECT purchase_id, user_id, last_click_id
+    FROM (
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               c.event_id AS last_click_id,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC
+               ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    WHERE rn = 1
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J9): each purchase picks up the latest click at or
+    before its event time, per user.
+
+    Implemented union-and-carry (one shuffle, linear state per key) — see
+    operators/joins.asof_join. The oracle uses the quadratic join+rank
+    formulation, correct at oracle scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        "ts",
+        "ts",
+        right_value_cols=["event_id"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("asof_event_id").alias("last_click_id"),
+    )
+
+
+# --- percentile aggregation (per-flow latency stats in the reference) -----
+
+
+@register(
+    "percentile_value_by_user",
+    oracle="""
+    SELECT user_id,
+           round(quantile_cont(value, 0.5), 6)  AS p50_value,
+           round(quantile_cont(value, 0.95), 6) AS p95_value,
+           count(*)                             AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def percentile_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (A4-shaped custom aggregate;
+    per-flow latency percentiles in the reference's domain)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- O5 streaming-dedup semantics (keep-first per key) --------------------
+
+
+@register(
+    "dedup_first_event_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id
+        ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per key — the batch semantics of streaming
+    dropDuplicatesWithinWatermark (O5/T1)."""
+    ev = load_table(spark, sf_dir, "events")
+    return latest_by_key(
+        ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
+    ).select("user_id", "event_type", F.col("event_id").alias("first_event_id"))

@@ -1,0 +1,71 @@
+"""Streaming windowed aggregations (SURVEY.md §2.5 W1–W5, §2.9 T1/T6).
+
+Kafka Streams ↔ Spark semantics mapping:
+
+- grace period  ≡ ``withWatermark(ts, delay)`` (W4/T1): records later than
+  watermark are dropped; state below watermark is evicted.
+- ``suppress(untilWindowCloses)`` ≡ output mode ``append`` — one final
+  result per window when the watermark passes its end (W5).
+- KS default eager emission per update ≡ output mode ``update`` (T6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window_stream(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """W1 incremental: same composition as plans/events.tumbling_window_hourly
+    plus a watermark. Run in 'update' mode for eager (KS-default) emission or
+    'append' for final-only (KS suppress)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_stats_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """W3 incremental: gap-based session windows per user — dynamic,
+    merging windows maintained in the state store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """O5 incremental: keep-first per (user_id, event_type) with bounded
+    state — dropDuplicatesWithinWatermark evicts keys older than the
+    watermark, the streaming twin of plans/events.dedup_first_event_per_user_type."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

@@ -1,0 +1,117 @@
+"""Streaming semantics tests (SURVEY.md §5.3).
+
+Replays the events table through a chunked file source (one chunk per
+micro-batch, time-ordered) and asserts each streaming pipeline converges to
+its batch twin's result. This exercises real watermark advancement across
+micro-batches — including outer-join null emission, which a single-batch
+replay can never trigger.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from kafka_streams_tcp_reconciliation_spark.plans import all_queries
+from kafka_streams_tcp_reconciliation_spark.streaming.reconcile import (
+    reconcile_join_stream,
+    reconcile_unmatched_stream,
+)
+from kafka_streams_tcp_reconciliation_spark.streaming.source import chunked_event_stream
+from kafka_streams_tcp_reconciliation_spark.streaming.windows import (
+    dedup_stream,
+    tumbling_window_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, sf_dir, tmp_path_factory):
+    chunk_dir = str(tmp_path_factory.mktemp("event_chunks"))
+    return chunked_event_stream(spark, sf_dir, chunk_dir, n_chunks=4)
+
+
+def run_stream(spark, stream_df, mode: str, name: str) -> pd.DataFrame:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.sql(f"SELECT * FROM {name}").toPandas()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(
+        drop=True
+    )
+
+
+def test_tumbling_window_stream_matches_batch(spark, sf_dir, event_stream):
+    """W1: complete-mode windowed agg over the replay == batch groupBy."""
+    got = run_stream(
+        spark, tumbling_window_stream(event_stream), "complete", "t_tumbling"
+    )
+    want = all_queries()["tumbling_window_hourly"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_reconcile_join_stream_matches_batch(spark, sf_dir, event_stream):
+    """J1: streaming windowed inner join emits exactly the batch matches."""
+    got = run_stream(
+        spark, reconcile_join_stream(event_stream), "append", "t_recjoin"
+    )
+    want = all_queries()["reconcile_purchase_click"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_reconcile_unmatched_stream_subset_of_batch(spark, sf_dir, event_stream):
+    """J2: outer-join nulls emitted as the watermark closes windows.
+
+    Only windows fully below the final watermark can emit their nulls
+    (rows near the end of the replay stay pending forever — stream never
+    "ends" in watermark terms), so the streaming result must be a subset
+    of the batch anti-join, and nonempty if any early window is unmatched.
+    """
+    got = run_stream(
+        spark, reconcile_unmatched_stream(event_stream), "append", "t_recunmatched"
+    )
+    want = all_queries()["reconcile_unmatched_purchases"](spark, sf_dir).toPandas()
+    got_ids = set(got["purchase_id"])
+    want_ids = set(want["purchase_id"])
+    assert got_ids <= want_ids, f"false unmatched: {got_ids - want_ids}"
+    # watermark advanced across 4 chunks → early unmatched must have fired
+    assert len(got_ids) > 0, "no unmatched emitted — watermark never advanced"
+
+
+def test_dedup_stream_matches_batch(spark, sf_dir, event_stream):
+    """O5: dropDuplicatesWithinWatermark keeps one row per key; replayed
+    in event-time order it keeps the first (== batch keep-first dedup).
+
+    Watermark wider than the data's time span → no state eviction → exact
+    equality with the batch twin. (With a narrow watermark, keys re-emit
+    after eviction — correct bounded-state behavior, not a bug.)"""
+    got = run_stream(
+        spark, dedup_stream(event_stream, watermark="720 hours"), "append", "t_dedup"
+    )
+    want = all_queries()["dedup_first_event_per_user_type"](spark, sf_dir).toPandas()
+    assert len(got) == len(want)
+    got_keys = set(zip(got["user_id"], got["event_type"]))
+    want_keys = set(zip(want["user_id"], want["event_type"]))
+    assert got_keys == want_keys
+
+
+def test_stateful_fsm_matcher(spark, sf_dir, event_stream):
+    """T2/T3: per-key FSM via applyInPandasWithState — clicks match pending
+    purchases FIFO; matched output is consistent and keyed correctly."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.stateful import pending_match_stream
+
+    got = run_stream(spark, pending_match_stream(event_stream), "append", "t_fsm")
+    matched = got[got["kind"] == "matched"]
+    assert len(matched) > 0, "no matches produced"
+    # each purchase consumed at most once, each click used at most once
+    assert matched["probe_id"].is_unique
+    assert matched["match_id"].is_unique
+    assert matched["lag_us"].notna().all()
