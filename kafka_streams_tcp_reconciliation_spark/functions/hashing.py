@@ -1,0 +1,80 @@
+"""Deterministic cross-engine hashing primitives.
+
+The driver's correctness gate compares every query against a DuckDB oracle
+by value-hash (SURVEY.md §5.2), so any operator built on hashing (MinHash,
+SimHash, fingerprinting) needs a hash function that evaluates to the SAME
+integers in Spark SQL and in DuckDB SQL. Built-in hashes disagree across
+engines (Spark ``hash``=Murmur3, ``xxhash64``=xxHash64; DuckDB ``hash`` is
+its own), so we define a polynomial rolling hash over character codes:
+
+    h(s) = fold(acc, c in s: (acc * BASE + ascii(c)) mod P),  P = 1e9+7
+
+evaluated with each engine's higher-order list functions — pure int64
+arithmetic, no overflow (acc < P ≈ 2^30, acc*BASE + 255 < 2^38), verified
+byte-identical across engines. Everything here returns SQL *strings*: one
+Spark-dialect, one DuckDB-dialect, generated from the same constants so the
+pair cannot drift.
+
+All expressions stay JVM-side in Spark (whole-stage codegen covers
+``aggregate``/``transform`` lambdas) — no Python UDFs in any hash path.
+"""
+
+from __future__ import annotations
+
+MOD = 1_000_000_007
+BASE_A = 31
+BASE_B = 131
+
+# Universal-hash family h_k(x) = (a_k * x + b_k) mod MOD with fixed,
+# deterministically generated odd multipliers (Knuth multiplicative
+# constants) — embedded as literals into both dialects.
+_KNUTH = 2_654_435_761
+
+
+def hash_params(n: int) -> list[tuple[int, int]]:
+    """n (a, b) pairs for the universal family, deterministic."""
+    out = []
+    for k in range(n):
+        a = ((2 * k + 1) * _KNUTH + 1_013_904_223) % MOD
+        b = ((k + 1) * 2_246_822_519 + 374_761_393) % MOD
+        out.append((a if a != 0 else 1, b))
+    return out
+
+
+def spark_poly_hash(col: str, base: int = BASE_A, mod: int = MOD) -> str:
+    """Spark SQL: polynomial hash of string expression ``col``.
+
+    Lambda variables are deliberately obscure (``ph_i``/``ph_a``/``ph_x``)
+    so callers can nest these builders inside their own lambdas without
+    variable capture (``col`` may reference an outer lambda's variable).
+    """
+    return (
+        f"aggregate(transform(sequence(1, length({col})),"
+        f" ph_i -> ascii(substring({col}, ph_i, 1))),"
+        f" CAST(0 AS BIGINT), (ph_a, ph_x) -> (ph_a * {base} + ph_x) % {mod})"
+    )
+
+
+def duck_poly_hash(col: str, base: int = BASE_A, mod: int = MOD) -> str:
+    """DuckDB SQL: same polynomial hash (verified identical to Spark's)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(1, length({col})+1),"
+        f" ph_i -> ascii(substring({col}, ph_i, 1)))),"
+        f" (ph_a, ph_x) -> (ph_a * {base} + ph_x) % {mod})"
+    )
+
+
+def spark_hash64(col: str) -> str:
+    """Spark SQL: ~60-bit hash by combining two independent polynomial
+    hashes (bases 31 and 131): h1 + h2 * 2^30. Used where single-mod-P
+    bits are too few (SimHash bit sampling)."""
+    h1 = spark_poly_hash(col, BASE_A)
+    h2 = spark_poly_hash(col, BASE_B)
+    return f"(({h1}) + ({h2}) * CAST(1073741824 AS BIGINT))"
+
+
+def duck_hash64(col: str) -> str:
+    h1 = duck_poly_hash(col, BASE_A)
+    h2 = duck_poly_hash(col, BASE_B)
+    return f"(({h1}) + ({h2}) * CAST(1073741824 AS BIGINT))"
