@@ -1,0 +1,211 @@
+"""Deduplication operators (SURVEY.md §2.11 X1/X2): exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB contract):
+
+- Nothing here materializes O(n²): fuzzy dedup candidates come from an
+  inverted-index join (shared shingle), LSH band buckets, or SimHash chunk
+  blocks — all shuffle-on-key joins whose cost is O(candidates), not
+  O(pairs). Exact verification runs only on candidates.
+- All per-document compute (shingling, hashing, signatures) is expressed
+  with Spark higher-order functions — JVM whole-stage codegen, no Python
+  UDFs, no explode of per-token rows in the signature path.
+- Every builder has a ``duck_*`` twin producing the equivalent DuckDB SQL
+  from the SAME constants, so the driver's oracle check mirrors the full
+  pipeline (including banding) and matches exactly — approximate dedup
+  still gets the strong value-hash tier.
+
+Each Spark/DuckDB pair computes identical int64s (see functions/hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
+    MOD,
+    duck_hash64,
+    duck_poly_hash,
+    hash_params,
+    spark_hash64,
+    spark_poly_hash,
+)
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingle_expr(text_col: str, n: int) -> Column:
+    """Distinct word-``n``-gram shingle strings of a text column (Spark)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+        f" sh_i -> concat_ws(' ', slice(split({text_col}, ' '), sh_i, {n}))))"
+    )
+
+
+def duck_shingle_expr(text_col: str, n: int) -> str:
+    return (
+        f"list_distinct([array_to_string(string_split({text_col}, ' ')[sh_i:sh_i+{n - 1}], ' ')"
+        f" FOR sh_i IN range(1, len(string_split({text_col}, ' ')) - {n - 2})])"
+    )
+
+
+def shingle_hashes_expr(shingles_col: str) -> Column:
+    """Distinct polynomial hashes of a shingle-array column (Spark)."""
+    return F.expr(
+        f"array_distinct(transform({shingles_col}, sh_s -> {spark_poly_hash('sh_s')}))"
+    )
+
+
+def duck_shingle_hashes_expr(shingles_col: str) -> str:
+    return (
+        f"list_distinct(list_transform({shingles_col}, sh_s -> {duck_poly_hash('sh_s')}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_sig_expr(hashes_col: str, num_hashes: int) -> Column:
+    """MinHash signature: sig[k] = min over shingle hashes of
+    (a_k*x + b_k) mod P. One array expression, fully codegen'd."""
+    mins = ", ".join(
+        f"array_min(transform({hashes_col}, mh_x -> ({a} * mh_x + {b}) % {MOD}))"
+        for a, b in hash_params(num_hashes)
+    )
+    return F.expr(f"array({mins})")
+
+
+def duck_minhash_sig_expr(hashes_col: str, num_hashes: int) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({hashes_col}, mh_x -> ({a} * mh_x + {b}) % {MOD}))"
+        for a, b in hash_params(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+def band_structs_expr(sig_col: str, bands: int, rows: int) -> Column:
+    """Explodable array of (band, band_key) — LSH bucketing of a signature."""
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" lb_b -> struct(lb_b AS band,"
+        f" concat_ws(',', slice({sig_col}, lb_b * {rows} + 1, {rows})) AS bkey))"
+    )
+
+
+def duck_band_select(sig_col: str, bands: int, rows: int) -> str:
+    """DuckDB fragment: per-row list of {band, bkey} structs to unnest."""
+    return (
+        f"[{{'band': lb_b, 'bkey': array_to_string("
+        f"{sig_col}[lb_b * {rows} + 1 : lb_b * {rows} + {rows}], ',')}}"
+        f" FOR lb_b IN range(0, {bands})]"
+    )
+
+
+def lsh_candidate_pairs(
+    with_sig: DataFrame, id_col: str, sig_col: str, bands: int, rows: int
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
+
+    Shuffle key is (band, bkey): at scale this is an inverted-index
+    self-join over buckets — cost proportional to bucket collisions, never
+    all-pairs. Skew guard: genuinely hot buckets mean near-identical docs,
+    which ARE the output; cap bucket width upstream if adversarial.
+    """
+    bucketed = with_sig.select(
+        F.col(id_col), F.explode(band_structs_expr(sig_col, bands, rows)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bkey")
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bkey") == F.col(f"b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 2x30-bit polynomial hashes combined (functions/hashing)
+
+
+def word_hashes_expr(text_col: str) -> Column:
+    """Per-word 60-bit hashes (multiset — repeated words weight the
+    SimHash). Materialize this once; the SimHash fold reuses it 60×."""
+    return F.expr(f"transform(split({text_col}, ' '), sh_w -> {spark_hash64('sh_w')})")
+
+
+def duck_word_hashes_expr(text_col: str) -> str:
+    return f"list_transform(string_split({text_col}, ' '), sh_w -> {duck_hash64('sh_w')})"
+
+
+def simhash_expr(hashes_col: str) -> Column:
+    """60-bit SimHash from a word-hash array column: bit j set iff the sum
+    over words of ±1 (sign of hash bit j) is positive.
+
+    Single fold over the hash array carrying a 60-wide count vector — the
+    hash array expression appears exactly ONCE, so Catalyst's project
+    collapse cannot duplicate the (expensive) per-word hashing into a
+    per-bit loop. Per-doc compute, no shuffle, no UDF.
+    """
+    counts = (
+        f"aggregate({hashes_col},"
+        f" array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),"
+        f" (sb_acc, sb_h) -> zip_with(sb_acc, sequence(0, {SIMHASH_BITS - 1}),"
+        f" (sb_c, sb_j) -> sb_c + 2 * (shiftright(sb_h, sb_j) & 1) - 1))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({counts}, sequence(0, {SIMHASH_BITS - 1}),"
+        f" (sb_c, sb_j) -> IF(sb_c > 0, shiftleft(CAST(1 AS BIGINT), sb_j),"
+        f" CAST(0 AS BIGINT))),"
+        f" CAST(0 AS BIGINT), (sb_a, sb_x) -> sb_a + sb_x)"
+    )
+
+
+def duck_simhash_expr(hashes_col: str) -> str:
+    """DuckDB mirror of :func:`simhash_expr`. Uses the simple per-bit
+    recompute formulation (DuckDB's list_reduce lacks a typed initial
+    accumulator for the count-vector fold) — identical bits, and the
+    oracle only ever runs at correctness scale where cost is irrelevant."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" [CASE WHEN list_sum(list_transform({hashes_col},"
+        f" sb_h -> 2 * ((sb_h >> sb_j) & 1) - 1)) > 0"
+        f" THEN (CAST(1 AS BIGINT) << sb_j) ELSE CAST(0 AS BIGINT) END"
+        f" FOR sb_j IN range(0, {SIMHASH_BITS})]),"
+        f" (sb_a, sb_x) -> sb_a + sb_x)"
+    )
+
+
+SIMHASH_CHUNKS = 4
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
+
+
+def simhash_chunks_expr(sim_col: str) -> Column:
+    """Explodable (chunk_idx, chunk_val) blocks: two signatures within
+    hamming distance < SIMHASH_CHUNKS must share at least one chunk."""
+    return F.expr(
+        f"transform(sequence(0, {SIMHASH_CHUNKS - 1}),"
+        f" sc_c -> struct(sc_c AS chunk,"
+        f" shiftright({sim_col}, sc_c * {_CHUNK_BITS}) & {2**_CHUNK_BITS - 1} AS cval))"
+    )
+
+
+def duck_simhash_chunks(sim_col: str) -> str:
+    return (
+        f"[{{'chunk': sc_c, 'cval': ({sim_col} >> (sc_c * {_CHUNK_BITS}))"
+        f" & {2**_CHUNK_BITS - 1}}} FOR sc_c IN range(0, {SIMHASH_CHUNKS})]"
+    )

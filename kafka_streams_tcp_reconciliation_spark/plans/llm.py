@@ -23,6 +23,7 @@ from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
     spark_hash64,
     spark_poly_hash,
 )
+from kafka_streams_tcp_reconciliation_spark.operators import dedup as dd
 from kafka_streams_tcp_reconciliation_spark.plans import register
 from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
 
@@ -216,4 +217,246 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"array_min(transform(sequence(1, length(text) - 7),"
             f" i -> {spark_poly_hash('substring(text, i, 8)')}))"
         ).alias("fp_min8"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1/X2 — deduplication: exact → n-gram Jaccard → MinHash-LSH → SimHash
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text)     AS text_hash,
+           min(doc_id)   AS keeper_doc_id,
+           count(*)      AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (X1): hash-groupBy on document content. The keeper is
+    the minimum doc_id per content hash. One shuffle on the hash — the
+    canonical 100 TB exact-dedup plan (partial agg combines map-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+_JACC_N = 3  # word n-gram size for fuzzy dedup
+_JACC_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {dd.duck_shingle_expr("text", _JACC_N)} AS shingles
+        FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter / CAST(len(x.shingles) + len(y.shingles) - n_inter
+                                AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sh x ON x.doc_id = doc_a
+    JOIN sh y ON y.doc_id = doc_b
+    WHERE n_inter / CAST(len(x.shingles) + len(y.shingles) - n_inter AS DOUBLE)
+          >= {_JACC_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup (X2, exact variant): candidate pairs from an
+    inverted-index self-join on shared shingles (shuffle key = shingle, cost
+    O(collisions) not O(n²)), then exact Jaccard >= 0.8.
+
+    Scale knob: drop shingles with document frequency above a cutoff before
+    the join to bound hot-key fanout (stop-shingle removal); unnecessary at
+    test scale so semantics stay exact here.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", dd.shingle_expr("text", _JACC_N).alias("shingles")
+    ).cache()
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    jacc = F.col("n_inter") / (
+        F.col("x.n_sh") + F.col("y.n_sh") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sizes.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
+        .filter(jacc >= _JACC_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+_MH_NUM = 32  # MinHash signature length
+_MH_BANDS = 16
+_MH_ROWS = 2  # bands x rows == signature length
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {dd.duck_shingle_expr("text", _JACC_N)} AS shingles
+        FROM documents
+    ),
+    hs AS (
+        SELECT doc_id, {dd.duck_shingle_hashes_expr("shingles")} AS hs FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, {dd.duck_minhash_sig_expr("hs", _MH_NUM)} AS sig FROM hs
+    ),
+    bands AS (
+        SELECT doc_id, unnest({dd.duck_band_select("sig", _MH_BANDS, _MH_ROWS)},
+                              recursive := true)
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(x.hs, y.hs))
+                 / CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))
+                        AS DOUBLE), 6) AS jaccard
+    FROM cand
+    JOIN hs x ON x.doc_id = doc_a
+    JOIN hs y ON y.doc_id = doc_b
+    WHERE len(list_intersect(x.hs, y.hs))
+          / CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))
+                 AS DOUBLE) >= {_JACC_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (X2, scale path): shingle → 32-hash MinHash
+    signature → 16 bands x 2 rows → bucket self-join for candidates →
+    exact Jaccard (on hash sets) >= 0.8 to verify.
+
+    This is the 100 TB fuzzy-dedup plan: per-doc signature compute is
+    embarrassingly parallel codegen; the only shuffles are the bucket join
+    (key = band bucket) and the two verify joins (key = doc_id). The DuckDB
+    oracle mirrors the full pipeline with identical hash constants, so the
+    check is the strong value-hash tier despite LSH's approximate recall
+    (a pair missed by banding is missed identically on both sides).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hs = docs.select(
+        "doc_id",
+        dd.shingle_hashes_expr(
+            f"array_distinct(transform(sequence(1, size(split(text, ' ')) - {_JACC_N - 1}),"
+            f" sh_i -> concat_ws(' ', slice(split(text, ' '), sh_i, {_JACC_N}))))"
+        ).alias("hs"),
+    ).cache()
+    sig = hs.select("doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig"))
+    cand = dd.lsh_candidate_pairs(sig, "doc_id", "sig", _MH_BANDS, _MH_ROWS)
+    n_inter = F.size(F.array_intersect(F.col("x.hs"), F.col("y.hs")))
+    jacc = n_inter / (
+        F.size(F.col("x.hs")) + F.size(F.col("y.hs")) - n_inter
+    ).cast("double")
+    return (
+        cand.withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .join(hs.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+        .join(hs.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
+        .filter(jacc >= _JACC_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+_SIMHASH_MAX_HAMMING = 12
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH wh AS (
+        SELECT doc_id, {dd.duck_word_hashes_expr("text")} AS wh FROM documents
+    ),
+    sim AS (
+        SELECT doc_id, {dd.duck_simhash_expr("wh")} AS sim FROM wh
+    ),
+    chunks AS (
+        SELECT doc_id, sim, unnest({dd.duck_simhash_chunks("sim")},
+                                   recursive := true)
+        FROM sim
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sim AS sim_a, b.sim AS sim_b
+        FROM chunks a
+        JOIN chunks b ON a.chunk = b.chunk AND a.cval = b.cval
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (X2, bit-sketch path): 60-bit tf-weighted SimHash
+    per doc; candidates from 4x15-bit chunk blocking (pigeonhole: any pair
+    with hamming < 4 is guaranteed caught; farther pairs probabilistically);
+    keep pairs with hamming <= 12.
+
+    One int64 per doc makes this the cheapest fuzzy sketch at 100 TB: the
+    blocking join shuffles 4 rows per doc. Oracle mirrors the pipeline
+    bit-for-bit (pure integer arithmetic both sides).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Cache the one-int64-per-doc sketch: both sides of the blocking
+    # self-join read it, and caching stops Catalyst from recomputing the
+    # hash fold per side. (At scale: sketch table is 8 bytes/doc.)
+    sim = docs.select(
+        "doc_id",
+        dd.simhash_expr(
+            f"transform(split(text, ' '), sh_w -> {spark_hash64('sh_w')})"
+        ).alias("sim"),
+    ).cache()
+    chunks = sim.select(
+        "doc_id", "sim", F.explode(dd.simhash_chunks_expr("sim")).alias("cc")
+    ).select("doc_id", "sim", "cc.chunk", "cc.cval")
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sim_a ^ sim_b)").cast("long")
+    return cand.filter(hamming <= _SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
     )
