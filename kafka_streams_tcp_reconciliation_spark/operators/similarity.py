@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 X3).
+
+Three tiers, mirroring how a 100 TB vector corpus is actually served:
+
+- **Brute-force top-k** — broadcast the (small) query set against the
+  corpus scan; exact, the correctness baseline.
+- **IVF** — partition the corpus into coarse cells (here: the `label`
+  column as the cell id, centroids = per-cell means); a query probes only
+  its nearest cell. Scan cost drops by ~n_cells; centroids broadcast.
+- **Sign-LSH near-dup** — random-hyperplane sign buckets with 2 OR-ed
+  tables; candidate pairs only within a bucket. The hyperplanes are
+  deterministic rationals computed from integer arithmetic, so Spark and
+  DuckDB build byte-identical buckets and the oracle mirrors the full
+  approximate pipeline.
+
+Numeric determinism: every dot product is a sequential left fold over
+explicitly double-cast elements (Spark ``aggregate(zip_with(...))`` /
+DuckDB ordered ``list_reduce``) — identical IEEE results in both engines;
+scores are additionally rounded before ranking so rank tiebreaks agree.
+No Python UDFs anywhere: folds are JVM codegen in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.functions.hashing import MOD
+
+_KNUTH = 2_654_435_761
+
+
+# ---------------------------------------------------------------------------
+# cosine similarity (deterministic fold)
+# ---------------------------------------------------------------------------
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Spark SQL: ordered-fold dot product of two float-array columns."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        f" (cs_x, cs_y) -> CAST(cs_x AS DOUBLE) * CAST(cs_y AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE), (cs_a, cs_v) -> cs_a + cs_v)"
+    )
+
+
+def duck_dot_expr(a: str, b: str) -> str:
+    """DuckDB SQL: same ordered fold (1-based element indexing)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform(range(1, len({a}) + 1),"
+        f" cs_i -> CAST({a}[cs_i] AS DOUBLE) * CAST({b}[cs_i] AS DOUBLE))),"
+        f" (cs_a, cs_v) -> cs_a + cs_v)"
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return F.expr(
+        f"({dot_expr(a, b)}) / sqrt(({dot_expr(a, a)}) * ({dot_expr(b, b)}))"
+    )
+
+
+def duck_cosine_expr(a: str, b: str) -> str:
+    return (
+        f"({duck_dot_expr(a, b)})"
+        f" / sqrt(({duck_dot_expr(a, a)}) * ({duck_dot_expr(b, b)}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-plane LSH buckets
+# ---------------------------------------------------------------------------
+#
+# Hyperplane component (k, d) is the deterministic rational
+#   ((k*DIM + d) * KNUTH mod P) / P - 0.5
+# — reproducible in any engine with int64 + double arithmetic.
+
+LSH_TABLES = 2
+LSH_PLANES = 4  # bits per table -> 16 buckets/table
+DIM = 64
+
+
+def _plane_component(k: str, d: str) -> str:
+    return f"((({k} * {DIM} + {d}) * {_KNUTH}) % {MOD}) / {MOD}.0 - 0.5"
+
+
+def _sign_bit_spark(vec: str, k: str) -> str:
+    proj = (
+        f"aggregate(zip_with({vec}, sequence(0, {DIM - 1}),"
+        f" (sp_x, sp_d) -> CAST(sp_x AS DOUBLE)"
+        f" * ({_plane_component(k, 'sp_d')})),"
+        f" CAST(0 AS DOUBLE), (sp_a, sp_v) -> sp_a + sp_v)"
+    )
+    return f"IF(({proj}) > 0, 1, 0)"
+
+
+def lsh_bucket_structs_expr(vec_col: str) -> Column:
+    """Explodable array of (tbl, bucket): one sign-bucket per LSH table."""
+    bits = " + ".join(
+        f"({_sign_bit_spark(vec_col, f'(lt_t * {LSH_PLANES} + {j})')}) * {1 << j}"
+        for j in range(LSH_PLANES)
+    )
+    return F.expr(
+        f"transform(sequence(0, {LSH_TABLES - 1}),"
+        f" lt_t -> struct(lt_t AS tbl, {bits} AS bucket))"
+    )
+
+
+def _sign_bit_duck(vec: str, k: str) -> str:
+    proj = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform(range(1, {DIM} + 1),"
+        f" sp_i -> CAST({vec}[sp_i] AS DOUBLE)"
+        f" * ({_plane_component(k, '(sp_i - 1)')}))),"
+        f" (sp_a, sp_v) -> sp_a + sp_v)"
+    )
+    return f"CASE WHEN ({proj}) > 0 THEN 1 ELSE 0 END"
+
+
+def duck_lsh_bucket_select(vec_col: str) -> str:
+    """DuckDB fragment: list of {tbl, bucket} structs to unnest."""
+    bits = " + ".join(
+        f"({_sign_bit_duck(vec_col, f'(lt_t * {LSH_PLANES} + {j})')}) * {1 << j}"
+        for j in range(LSH_PLANES)
+    )
+    return (
+        f"[{{'tbl': lt_t, 'bucket': {bits}}}"
+        f" FOR lt_t IN range(0, {LSH_TABLES})]"
+    )

@@ -24,6 +24,7 @@ from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
     spark_poly_hash,
 )
 from kafka_streams_tcp_reconciliation_spark.operators import dedup as dd
+from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
 from kafka_streams_tcp_reconciliation_spark.plans import register
 from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
 
@@ -459,4 +460,236 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.expr("bit_count(sim_a ^ sim_b)").cast("long")
     return cand.filter(hamming <= _SIMHASH_MAX_HAMMING).select(
         "doc_a", "doc_b", hamming.alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_TOPK = 5
+_NUM_QUERIES = 10  # query set: vec_id < 10
+_NEARDUP_COS = 0.3
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {_NUM_QUERIES}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round({sim.duck_cosine_expr("qv", "cv")}, 6) AS cosine
+        FROM q, c
+        WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_TOPK}
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline (X3): broadcast the query set, scan the corpus
+    once, rank per query. The plan is BroadcastNestedLoopJoin + one shuffle
+    on query_id for the windowed top-k (WindowGroupLimit keeps only k rows
+    per query per partition before the shuffle). Cosine is a deterministic
+    ordered fold — identical doubles in both engines, rounded before
+    ranking so tiebreaks agree too."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sim.cosine_expr("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOPK)
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, array_agg(cval ORDER BY pos) AS centroid
+        FROM (
+            SELECT label, pos,
+                   round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS cval
+            FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {_NUM_QUERIES}
+    ),
+    assign AS (
+        SELECT query_id, qv, label FROM (
+            SELECT q.query_id, q.qv, cent.label,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({sim.duck_cosine_expr("q.qv", "cent.centroid")}, 6) DESC,
+                                cent.label
+                   ) AS rn
+            FROM q, cent
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.query_id, e.vec_id AS neighbor_id, e.label,
+               round({sim.duck_cosine_expr("a.qv", "e.embedding")}, 6) AS cosine
+        FROM assign a
+        JOIN embeddings e ON e.label = a.label AND e.vec_id != a.query_id
+    )
+    SELECT query_id, neighbor_id, label, cosine, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_TOPK}
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN (X3 scale path): coarse cells = `label`, centroids =
+    per-cell means (rounded so both engines agree bit-for-bit); each query
+    probes only its best cell, so the corpus scan drops to ~1/n_cells.
+
+    100 TB shape: centroid table is tiny -> broadcast to assign queries;
+    the corpus join is an equi-join on the cell id (bucket/partition the
+    corpus by cell to make it shuffle-free); per-query top-k via
+    WindowGroupLimit. No UDFs, everything codegen.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cval))),"
+                " cs_s -> cs_s.cval)"
+            ).alias("centroid")
+        )
+    )
+    q = emb.filter(F.col("vec_id") < _NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy("query_id").orderBy(
+        F.round(sim.cosine_expr("qv", "centroid"), 6).desc(), F.col("label").asc()
+    )
+    assign = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qv", "label")
+    )
+    scored = (
+        F.broadcast(assign)
+        .join(
+            emb.alias("e"),
+            (F.col("e.label") == assign["label"])
+            & (F.col("e.vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("e.vec_id").alias("neighbor_id"),
+            F.col("e.label").alias("label"),
+            F.round(sim.cosine_expr("qv", "e.embedding"), 6).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= _TOPK)
+    )
+
+
+@register(
+    "dedup_embedding_neardup",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, unnest({sim.duck_lsh_bucket_select("embedding")},
+                              recursive := true)
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+        FROM b a
+        JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+                 AND a.vec_id < b2.vec_id
+    )
+    SELECT vec_a, vec_b,
+           round({sim.duck_cosine_expr("x.embedding", "y.embedding")}, 6)
+               AS cosine
+    FROM cand
+    JOIN embeddings x ON x.vec_id = vec_a
+    JOIN embeddings y ON y.vec_id = vec_b
+    WHERE round({sim.duck_cosine_expr("x.embedding", "y.embedding")}, 6)
+          >= {_NEARDUP_COS}
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (X2/X3): random-hyperplane sign-LSH with
+    2 OR-ed tables of 4 planes buckets the corpus; only within-bucket
+    pairs are scored; keep cosine >= 0.3.
+
+    The hyperplanes are deterministic rationals from integer arithmetic,
+    so the DuckDB oracle rebuilds the exact same buckets — the approximate
+    pipeline gets the strong check (pairs missed by LSH are missed
+    identically on both sides). 100 TB shape: 2 rows per vector shuffle
+    on (table, bucket); no all-pairs stage; scoring rejoins by vec_id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    b = emb.select(
+        "vec_id", F.explode(sim.lsh_bucket_structs_expr("embedding")).alias("bb")
+    ).select("vec_id", "bb.tbl", "bb.bucket")
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b2"),
+            (F.col("a.tbl") == F.col("b2.tbl"))
+            & (F.col("a.bucket") == F.col("b2.bucket"))
+            & (F.col("a.vec_id") < F.col("b2.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b2.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    cos = F.round(sim.cosine_expr("x.embedding", "y.embedding"), 6)
+    return (
+        cand.join(emb.alias("x"), F.col("x.vec_id") == F.col("vec_a"))
+        .join(emb.alias("y"), F.col("y.vec_id") == F.col("vec_b"))
+        .filter(cos >= _NEARDUP_COS)
+        .select("vec_a", "vec_b", cos.alias("cosine"))
     )
