@@ -693,3 +693,58 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _NEARDUP_COS)
         .select("vec_a", "vec_b", cos.alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X5 — multimodal columns (binary payload + mapInPandas kernels)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, 17),
+                mm_i -> ascii(substring(text, mm_i, 1)))) AS BIGINT)
+               AS checksum16,
+           CAST(64 + list_sum(list_transform(range(1, 17),
+                mm_i -> ascii(substring(text, mm_i, 1)))) % 960 AS BIGINT)
+               AS fake_width,
+           CAST(64 + length(text) % 960 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (X5): binary payload column + metadata
+    struct, features extracted by an Arrow-batched mapInPandas kernel
+    (the deterministic stand-in for an image decoder — see
+    functions/multimodal.py). The oracle recomputes the byte features in
+    SQL (payload is the UTF-8 text, pure ASCII, so char ops == byte ops)
+    — proving the pandas path end-to-end, not just running it."""
+    from kafka_streams_tcp_reconciliation_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.extract_features(mm.attach_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           j AS frame_idx,
+           CAST(list_sum(list_transform(range(1, 17),
+                mm_i -> ascii(substring(text, j * 64 + mm_i, 1)))) AS BIGINT)
+               AS frame_checksum
+    FROM documents, (SELECT unnest(range(0, 100)) AS j)
+    WHERE j < length(text) // 64
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (X5): 1→N row fan-out per payload inside
+    mapInPandas — the video-frame shape (sample every 64 bytes, checksum
+    the 16-byte head of each frame)."""
+    from kafka_streams_tcp_reconciliation_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.sample_frames(mm.attach_payload(docs))
