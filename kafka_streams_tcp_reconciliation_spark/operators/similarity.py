@@ -76,7 +76,11 @@ def duck_cosine_expr(a: str, b: str) -> str:
 # — reproducible in any engine with int64 + double arithmetic.
 
 LSH_TABLES = 2
-LSH_PLANES = 4  # bits per table -> 16 buckets/table
+# 8 sign bits -> 256 buckets/table: bucket population (n/256) keeps the
+# within-bucket pair count ~n²/256 per table — the knob that holds
+# candidate volume sub-quadratic as the corpus grows. Raise with corpus
+# size (buckets ≈ n/50 keeps ~50-vector buckets).
+LSH_PLANES = 8
 DIM = 64
 
 

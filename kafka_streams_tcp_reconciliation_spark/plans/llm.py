@@ -26,7 +26,7 @@ from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
 from kafka_streams_tcp_reconciliation_spark.operators import dedup as dd
 from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
 from kafka_streams_tcp_reconciliation_spark.plans import register
-from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table, scale_out
 
 # ---------------------------------------------------------------------------
 # X4 — text analysis
@@ -210,7 +210,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (X4): whole-document rolling hash plus the
     minimum char-8-gram hash (winnowing-style representative). Pure int64
     arithmetic — identical in both engines, strong oracle check."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.expr(spark_hash64("text")).alias("fp64"),
@@ -283,7 +283,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join to bound hot-key fanout (stop-shingle removal); unnecessary at
     test scale so semantics stay exact here.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", dd.shingle_expr("text", _JACC_N).alias("shingles")
     ).cache()
@@ -364,7 +364,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     check is the strong value-hash tier despite LSH's approximate recall
     (a pair missed by banding is missed identically on both sides).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
     hs = docs.select(
         "doc_id",
         dd.shingle_hashes_expr(
@@ -388,14 +388,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_MAX_HAMMING = 12
+_SIMHASH_MAX_HAMMING = 8
 
 
 @register(
     "dedup_simhash",
     oracle=f"""
     WITH wh AS (
-        SELECT doc_id, {dd.duck_word_hashes_expr("text")} AS wh FROM documents
+        SELECT doc_id,
+               list_distinct(list_transform({dd.duck_shingle_expr("text", _JACC_N)},
+                    sh_s -> {duck_hash64("sh_s")})) AS wh
+        FROM documents
     ),
     sim AS (
         SELECT doc_id, {dd.duck_simhash_expr("wh")} AS sim FROM wh
@@ -419,24 +422,32 @@ _SIMHASH_MAX_HAMMING = 12
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (X2, bit-sketch path): 60-bit tf-weighted SimHash
-    per doc; candidates from 4x15-bit chunk blocking (pigeonhole: any pair
-    with hamming < 4 is guaranteed caught; farther pairs probabilistically);
-    keep pairs with hamming <= 12.
+    """SimHash near-dup (X2, bit-sketch path): 60-bit SimHash over the
+    document's 3-gram shingle hashes; candidates from 4x15-bit chunk
+    blocking (pigeonhole: any pair with hamming < 4 is guaranteed caught;
+    farther pairs probabilistically); keep pairs with hamming <= 8.
+
+    Shingles, not unigrams: on a small-vocabulary corpus every document
+    has nearly the same word distribution, so unigram SimHash collapses
+    (measured: 1.6M "near-dup" pairs at sf0.1); the 3-gram feature space
+    separates random docs from true near-dups.
 
     One int64 per doc makes this the cheapest fuzzy sketch at 100 TB: the
     blocking join shuffles 4 rows per doc. Oracle mirrors the pipeline
     bit-for-bit (pure integer arithmetic both sides).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
     # Cache the one-int64-per-doc sketch: both sides of the blocking
     # self-join read it, and caching stops Catalyst from recomputing the
     # hash fold per side. (At scale: sketch table is 8 bytes/doc.)
+    shingle_hash64_sql = (
+        f"array_distinct(transform("
+        f"array_distinct(transform(sequence(1, size(split(text, ' ')) - {_JACC_N - 1}),"
+        f" sh_i -> concat_ws(' ', slice(split(text, ' '), sh_i, {_JACC_N})))),"
+        f" sh_s -> {spark_hash64('sh_s')}))"
+    )
     sim = docs.select(
-        "doc_id",
-        dd.simhash_expr(
-            f"transform(split(text, ' '), sh_w -> {spark_hash64('sh_w')})"
-        ).alias("sim"),
+        "doc_id", dd.simhash_expr(shingle_hash64_sql).alias("sim")
     ).cache()
     chunks = sim.select(
         "doc_id", "sim", F.explode(dd.simhash_chunks_expr("sim")).alias("cc")
@@ -503,7 +514,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query per partition before the shuffle). Cosine is a deterministic
     ordered fold — identical doubles in both engines, rounded before
     ranking so tiebreaks agree too."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < _NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -584,7 +595,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus by cell to make it shuffle-free); per-query top-k via
     WindowGroupLimit. No UDFs, everything codegen.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
@@ -637,7 +648,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_neardup",
     oracle=f"""
-    WITH b AS (
+    WITH e AS (
+        SELECT vec_id, embedding,
+               {sim.duck_dot_expr("embedding", "embedding")} AS sqn
+        FROM embeddings
+    ),
+    b AS (
         SELECT vec_id, unnest({sim.duck_lsh_bucket_select("embedding")},
                               recursive := true)
         FROM embeddings
@@ -649,27 +665,37 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AND a.vec_id < b2.vec_id
     )
     SELECT vec_a, vec_b,
-           round({sim.duck_cosine_expr("x.embedding", "y.embedding")}, 6)
-               AS cosine
+           round(({sim.duck_dot_expr("x.embedding", "y.embedding")})
+                 / sqrt(x.sqn * y.sqn), 6) AS cosine
     FROM cand
-    JOIN embeddings x ON x.vec_id = vec_a
-    JOIN embeddings y ON y.vec_id = vec_b
-    WHERE round({sim.duck_cosine_expr("x.embedding", "y.embedding")}, 6)
-          >= {_NEARDUP_COS}
+    JOIN e x ON x.vec_id = vec_a
+    JOIN e y ON y.vec_id = vec_b
+    WHERE round(({sim.duck_dot_expr("x.embedding", "y.embedding")})
+                / sqrt(x.sqn * y.sqn), 6) >= {_NEARDUP_COS}
     """,
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (X2/X3): random-hyperplane sign-LSH with
-    2 OR-ed tables of 4 planes buckets the corpus; only within-bucket
+    2 OR-ed tables of 8 planes (256 buckets each); only within-bucket
     pairs are scored; keep cosine >= 0.3.
 
     The hyperplanes are deterministic rationals from integer arithmetic,
     so the DuckDB oracle rebuilds the exact same buckets — the approximate
     pipeline gets the strong check (pairs missed by LSH are missed
     identically on both sides). 100 TB shape: 2 rows per vector shuffle
-    on (table, bucket); no all-pairs stage; scoring rejoins by vec_id.
+    on (table, bucket); candidate volume ~n²/buckets per table, tuned by
+    LSH_PLANES; squared norms are precomputed per vector so each
+    candidate pair costs one dot product; scoring rejoins by vec_id.
     """
-    emb = load_table(spark, sf_dir, "embeddings").cache()
+    emb = (
+        scale_out(load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(sim.dot_expr("embedding", "embedding")).alias("sqn"),
+        )
+        .cache()
+    )
     b = emb.select(
         "vec_id", F.explode(sim.lsh_bucket_structs_expr("embedding")).alias("bb")
     ).select("vec_id", "bb.tbl", "bb.bucket")
@@ -686,7 +712,11 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    cos = F.round(sim.cosine_expr("x.embedding", "y.embedding"), 6)
+    cos = F.round(
+        F.expr(sim.dot_expr("x.embedding", "y.embedding"))
+        / F.sqrt(F.col("x.sqn") * F.col("y.sqn")),
+        6,
+    )
     return (
         cand.join(emb.alias("x"), F.col("x.vec_id") == F.col("vec_a"))
         .join(emb.alias("y"), F.col("y.vec_id") == F.col("vec_b"))
@@ -724,7 +754,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     — proving the pandas path end-to-end, not just running it."""
     from kafka_streams_tcp_reconciliation_spark.functions import multimodal as mm
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
     return mm.extract_features(mm.attach_payload(docs))
 
 
@@ -746,5 +776,5 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 16-byte head of each frame)."""
     from kafka_streams_tcp_reconciliation_spark.functions import multimodal as mm
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
     return mm.sample_frames(mm.attach_payload(docs))

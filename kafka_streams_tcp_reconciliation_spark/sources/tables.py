@@ -174,3 +174,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all test tables. DataFrames are lazy — no I/O happens here."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def scale_out(df: DataFrame) -> DataFrame:
+    """Spread a scan across the session's full parallelism when the file
+    layout under-partitions it.
+
+    Small local parquet files arrive as one input split, which serializes
+    every CPU-heavy per-row operator (signature folds, pandas kernels) on
+    a single core. On a real cluster a 100 TB table has thousands of
+    splits and this is a no-op; locally the round-robin repartition costs
+    one tiny shuffle and buys full-width compute. Only widens — never
+    collapses existing parallelism.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
