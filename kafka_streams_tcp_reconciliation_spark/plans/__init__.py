@@ -34,6 +34,7 @@ _PLAN_MODULES = (
     "analytics",
     "events",
     "llm",
+    "extended",
 )
 
 

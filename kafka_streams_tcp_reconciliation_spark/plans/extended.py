@@ -1,0 +1,268 @@
+"""Extended operator coverage: aggregation completeness (SURVEY.md §2.4
+A5–A7) and the UDF/UDAF/UDTF surface (§2.10).
+
+The UDF queries are deliberately the *slow path* demos — each docstring
+says what the built-in equivalent is. They exist because the reference's
+API (ValueMapper lambdas, Initializer+Aggregator folds, flatMap) lets
+users drop to arbitrary code, so the engine must expose the same escape
+hatches — Arrow-vectorized, never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.plans import register
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# A5 — cogroup: multi-stream aggregate into one state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cogroup_order_lineitem",
+    oracle="""
+    SELECT k AS o_orderkey,
+           round(sum(CASE WHEN src = 'o' THEN v END), 2)  AS order_total,
+           count(CASE WHEN src = 'l' THEN 1 END)          AS n_lines,
+           round(sum(CASE WHEN src = 'l' THEN v END), 2)  AS line_total
+    FROM (
+        SELECT o_orderkey AS k, 'o' AS src, o_totalprice AS v FROM orders
+        UNION ALL
+        SELECT l_orderkey AS k, 'l' AS src, l_extendedprice AS v FROM lineitem
+    )
+    GROUP BY k
+    """,
+)
+def cogroup_order_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogroup (A5, KGroupedStream#cogroup): aggregate two keyed inputs
+    into ONE grouped state via a tagged union — a single shuffle on the
+    shared key instead of aggregate-then-join (two shuffles + a join).
+    This is exactly how Kafka Streams cogroup folds multiple streams into
+    one store, and the cheaper plan at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    tagged = orders.select(
+        F.col("o_orderkey").alias("k"), F.lit("o").alias("src"),
+        F.col("o_totalprice").alias("v"),
+    ).unionByName(
+        lineitem.select(
+            F.col("l_orderkey").alias("k"), F.lit("l").alias("src"),
+            F.col("l_extendedprice").alias("v"),
+        )
+    )
+    o = F.when(F.col("src") == "o", F.col("v"))
+    l = F.when(F.col("src") == "l", F.col("v"))
+    return tagged.groupBy(F.col("k").alias("o_orderkey")).agg(
+        F.round(F.sum(o), 2).alias("order_total"),
+        F.count(l).alias("n_lines"),
+        F.round(F.sum(l), 2).alias("line_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — grouping sets (+ grouping_id)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                   AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+                + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END
+                AS BIGINT)            AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id (A7): per-status totals, per-priority
+    totals, and the grand total in one pass (Catalyst plans a single
+    Expand + HashAggregate — one shuffle for all three rollup levels).
+    gid mirrors Spark's grouping_id() bit order (first grouping column =
+    MSB); the oracle reconstructs it from NULL-ness, valid because neither
+    column is nullable in the data."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*)                    AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                                           AS gid
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot (wide aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_orders_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_partial
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): order counts by priority, one column per
+    status. Explicit pivot values keep the plan a single pass (no extra
+    distinct-values job) — required practice at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — approximate distinct (HLL); no oracle by design (sketch values are
+# engine-specific) — accuracy asserted against exact counts in
+# tests/test_extended.py
+# ---------------------------------------------------------------------------
+
+
+@register("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (A6): HyperLogLog++ per-key cardinality — the
+    constant-memory path for 100 TB flow-cardinality counting (exact
+    countDistinct needs a full distinct shuffle; HLL merges 1.5 KB
+    sketches map-side). Sketch estimates are engine-specific, so this is
+    a rows-only driver check; tests assert <5% relative error vs exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 — UDF / UDAF / UDTF surface
+# ---------------------------------------------------------------------------
+
+
+def _make_rms_udf():
+    # built lazily: pandas_udf parses its return type against the active
+    # session, which doesn't exist at plan-module import time
+    @F.pandas_udf("double")
+    def rms(v: pd.Series) -> float:  # GROUPED_AGG
+        return float(np.sqrt(np.mean(np.square(v.to_numpy(dtype="float64")))))
+
+    return rms
+
+
+@register(
+    "udaf_rms_value_by_type",
+    oracle="""
+    SELECT event_type,
+           round(sqrt(avg(value * value)), 6) AS rms_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udaf_rms_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via Arrow GROUPED_AGG pandas_udf (2.10; the
+    Initializer+Aggregator escape hatch). Built-in equivalent:
+    sqrt(avg(value*value)) — always prefer it; this query exists to pin
+    the vectorized-UDAF path. Rounded to 6 so numpy's pairwise summation
+    agrees with the oracle's sequential sum."""
+    ev = load_table(spark, sf_dir, "events")
+    rms = _make_rms_udf()
+    return ev.groupBy("event_type").agg(
+        F.round(rms("value"), 6).alias("rms_value")
+    )
+
+
+def _make_normalize_udf():
+    @F.pandas_udf("string")
+    def normalize(s: pd.Series) -> pd.Series:  # SCALAR
+        return s.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+
+    return normalize
+
+
+@register(
+    "udf_normalize_part_names",
+    oracle="""
+    SELECT p_partkey,
+           lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g')))
+               AS norm_name
+    FROM part
+    """,
+)
+def udf_normalize_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow pandas_udf (2.10; the ValueMapper escape hatch):
+    whitespace-normalize + lowercase part names. Built-in equivalent:
+    lower(trim(regexp_replace(...))) — this query pins the vectorized
+    scalar-UDF path (one Arrow batch per ~10k rows, never per-row)."""
+    part = load_table(spark, sf_dir, "part")
+    normalize = _make_normalize_udf()
+    return part.select(
+        "p_partkey", normalize("p_name").alias("norm_name")
+    )
+
+
+_CHUNK_TOKENS = 10
+
+
+@register(
+    "udtf_chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           ch_i AS chunk_idx,
+           array_to_string(
+               string_split(text, ' ')[ch_i * {_CHUNK_TOKENS} + 1
+                                       : ch_i * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}],
+               ' ') AS chunk_text
+    FROM documents,
+         (SELECT unnest(range(0, 200)) AS ch_i)
+    WHERE ch_i * {_CHUNK_TOKENS} < len(string_split(text, ' '))
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (2.10; the flatMap 1→N escape hatch): split each
+    document into fixed-size token chunks — the context-window chunking
+    step of an LLM data pipeline. Built-in equivalent: posexplode over a
+    transform(sequence(...)) — this query pins the UDTF path (lateral
+    table function over every row)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, chunk_idx: long, chunk_text: string")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            words = text.split(" ")
+            for i in range(0, len(words), _CHUNK_TOKENS):
+                yield doc_id, i // _CHUNK_TOKENS, " ".join(
+                    words[i : i + _CHUNK_TOKENS]
+                )
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.chunk_text "
+        "FROM udtf_docs d, LATERAL chunk_doc(d.doc_id, d.text) c"
+    )

@@ -1,0 +1,20 @@
+"""Accuracy checks for operators whose values are engine-specific
+(excluded from the DuckDB differential by design)."""
+
+from __future__ import annotations
+
+from kafka_streams_tcp_reconciliation_spark.plans import all_queries
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ estimate must sit within the configured rsd (2%, assert 5%
+    for slack) of the exact distinct count for every key."""
+    rows = all_queries()["approx_distinct_users"](spark, sf_dir).collect()
+    assert rows, "no groups produced"
+    for r in rows:
+        assert r.exact_users > 0
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err < 0.05, (
+            f"{r.event_type}: approx {r.approx_users} vs exact "
+            f"{r.exact_users} (rel err {rel_err:.3f})"
+        )
