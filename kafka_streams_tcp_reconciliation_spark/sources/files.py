@@ -1,0 +1,71 @@
+"""File-format sources/sinks beyond parquet (SURVEY.md §2.1 S-family).
+
+The engine's canonical storage is parquet (columnar, predicate-pushdown,
+splittable). CSV and JSON-lines exist for interchange: both readers take
+the SAME explicit schema as the parquet catalog — schema-on-read like the
+reference's serdes, but declared once so every downstream operator sees
+identical types regardless of the wire format.
+
+Scale notes: CSV/JSON are row-oriented and non-pushdown — fine for ingest
+edges, wrong for the 100 TB hot path; ``to_parquet`` is the normalization
+step. All writers partition by the caller's choice and never coalesce to
+one file except for tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from kafka_streams_tcp_reconciliation_spark.sources.tables import schema_for
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("timestampNTZFormat", _TS_FMT)
+        .csv(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("timestampNTZFormat", _TS_FMT)
+        .csv(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("timestampNTZFormat", _TS_FMT).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("timestampNTZFormat", _TS_FMT)
+        .json(path)
+    )
+
+
+def to_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Normalize any ingested frame to the engine's canonical format."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_table_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Read a CSV export of a catalog table with its canonical schema."""
+    return read_csv(spark, path, schema_for(table))
+
+
+def read_table_jsonl(spark: SparkSession, path: str, table: str) -> DataFrame:
+    return read_jsonl(spark, path, schema_for(table))
