@@ -1,0 +1,88 @@
+"""Scale-machinery tests: bucketed joins must be exchange-free; salted
+aggregation must match plain aggregation; property-based join identities."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.operators.skew import salted_agg
+from kafka_streams_tcp_reconciliation_spark.sources.bucketing import (
+    read_bucketed,
+    write_bucketed,
+)
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Two tables bucketed by the join key into equal bucket counts must
+    SortMergeJoin with no Exchange on either side."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    try:
+        joined = read_bucketed(spark, "b_orders").join(
+            read_bucketed(spark, "b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        # disable broadcast so the join strategy is the bucketed SMJ/SHJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _physical_plan(
+                joined.select("o_orderkey", "l_extendedprice")
+            )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        n = joined.count()
+        assert n == lineitem.count()  # every lineitem has its order
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.user_id,): (r.n, round(r.total, 6), r.mx)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.user_id,): (r.n, round(r.total, 6), r.mx)
+        for r in salted_agg(
+            ev,
+            ["user_id"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "total": (F.sum("value"), F.sum("total")),
+                "mx": (F.max("value"), F.max("mx")),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_join_containment_identities(spark, sf_dir):
+    """inner ⊆ left ⊆ full row-count identities on the orders/customer
+    key, plus left-count == inner + anti (SURVEY.md §5.3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").sample(0.5, seed=7)
+    on = orders["o_custkey"] == customer["c_custkey"]
+    inner = orders.join(customer, on, "inner").count()
+    left = orders.join(customer, on, "left").count()
+    full = orders.join(customer, on, "full").count()
+    anti = orders.join(customer, on, "left_anti").count()
+    assert inner <= left <= full
+    assert left == inner + anti  # orders.o_custkey is unique-per-row match
