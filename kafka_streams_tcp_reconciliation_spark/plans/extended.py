@@ -266,3 +266,94 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.doc_id, c.chunk_idx, c.chunk_text "
         "FROM udtf_docs d, LATERAL chunk_doc(d.doc_id, d.text) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# correlated subquery (Catalyst decorrelation) + map/struct + approx quantile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery. Catalyst decorrelates
+    it into an aggregate-then-join (one extra shuffle on l_partkey), so the
+    SQL stays declarative and the plan is the one you would hand-write.
+    Written in SQL deliberately to pin the decorrelation path."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lines
+        FROM q17_lineitem l
+        JOIN q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM q17_lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
+@register(
+    "map_struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(status := o_orderstatus,
+                               priority := o_orderpriority)) AS meta_json,
+           map_keys(map {'status': o_orderstatus,
+                         'priority': o_orderpriority})[1]    AS first_key,
+           (map {'status': o_orderstatus,
+                 'priority': o_orderpriority}['status'])[1]  AS status_val
+    FROM orders
+    """,
+)
+def map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/struct scalar family (§2.8): struct pack → JSON, map literal,
+    map_keys, map element access — the pass-through completeness row of
+    the survey, exercised rather than assumed."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ).alias("meta_json"),
+        F.map_keys(m).getItem(0).alias("first_key"),
+        m.getItem("status").alias("status_val"),
+    )
+
+
+@register("approx_percentile_value")
+def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (A4/A6 companion): KLL/GK-sketch quantiles — the
+    constant-memory path for latency percentiles over 100 TB (exact
+    percentile sorts each group). Sketch outputs are engine-specific →
+    rows-only driver check; tests bound the rank error vs exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95), 1000)").alias("approx_p"),
+        F.expr("percentile(value, array(0.5, 0.95))").alias("exact_p"),
+    )

@@ -18,3 +18,16 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
             f"{r.event_type}: approx {r.approx_users} vs exact "
             f"{r.exact_users} (rel err {rel_err:.3f})"
         )
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """GK-sketch percentiles must land within 5% relative error of exact
+    interpolated percentiles (accuracy=1000 → rank error ~0.1%)."""
+    rows = all_queries()["approx_percentile_value"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in zip(r.approx_p, r.exact_p):
+            denom = max(abs(exact), 1e-9)
+            assert abs(approx - exact) / denom < 0.05, (
+                f"{r.event_type}: approx {approx} vs exact {exact}"
+            )
