@@ -778,3 +778,114 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = scale_out(load_table(spark, sf_dir, "documents"))
     return mm.sample_frames(mm.attach_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation (X1–X4 composed)
+# ---------------------------------------------------------------------------
+
+_CURATE_MIN_QUALITY = 0.55
+
+
+@register(
+    "curate_corpus",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               string_split(text, ' ') AS words,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_tokens,
+               round(0.4 * (len(list_distinct(words)) / CAST(n_tokens AS DOUBLE))
+                     + 0.3 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * (1.0 - len(list_filter(words, w -> w IN ({_SW_LIST})))
+                              / CAST(n_tokens AS DOUBLE)), 6) AS quality
+        FROM feat
+    ),
+    sh AS (
+        SELECT doc_id, {dd.duck_shingle_expr("text", _JACC_N)} AS shingles
+        FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_losers AS (
+        SELECT DISTINCT doc_b
+        FROM inter
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE n_inter / CAST(len(x.shingles) + len(y.shingles) - n_inter
+                             AS DOUBLE) >= {_JACC_THRESHOLD}
+    )
+    SELECT doc_id, lang, n_tokens, quality
+    FROM scored
+    WHERE quality >= {_CURATE_MIN_QUALITY}
+      AND doc_id NOT IN (SELECT doc_b FROM dup_losers)
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (the LLM-pipeline flagship): quality-gate
+    every document, then drop near-duplicates keeping the lower doc_id of
+    each pair — quality scoring (X4) composed with fuzzy dedup (X2) in one
+    declarative plan.
+
+    The dedup stage here is the exact inverted-index Jaccard (auditable
+    oracle); at 100 TB swap in the MinHash-LSH candidate generator
+    (dedup_minhash_lsh) — same keep-lowest-id anti-join shape. Everything
+    is one Catalyst plan: the quality filter prunes before the dedup join,
+    and the anti join broadcasts the (tiny) loser set.
+    """
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    nt = F.size(words).cast("long")
+    ntd = nt.cast("double")
+    sw = F.expr(f"size(filter(split(text, ' '), w -> w IN ({_SW_LIST})))")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        nt.alias("n_tokens"),
+        F.round(
+            0.4 * (F.size(F.array_distinct(words)) / ntd)
+            + 0.3 * F.least(nt / 100.0, F.lit(1.0))
+            + 0.3 * (1.0 - sw / ntd),
+            6,
+        ).alias("quality"),
+    )
+    sh = docs.select(
+        "doc_id", dd.shingle_expr("text", _JACC_N).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    jacc = F.col("n_inter") / (
+        F.col("x.n_sh") + F.col("y.n_sh") - F.col("n_inter")
+    ).cast("double")
+    dup_losers = (
+        inter.join(sizes.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
+        .filter(jacc >= _JACC_THRESHOLD)
+        .select(F.col("doc_b").alias("loser_id"))
+        .distinct()
+    )
+    return (
+        scored.filter(F.col("quality") >= _CURATE_MIN_QUALITY)
+        .join(
+            F.broadcast(dup_losers),
+            scored["doc_id"] == dup_losers["loser_id"],
+            "left_anti",
+        )
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
