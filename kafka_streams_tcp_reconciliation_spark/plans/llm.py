@@ -856,9 +856,11 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quality"),
     )
+    # cache: the shingle arrays feed both self-join sides and the size
+    # lookup — without it the (HOF-interpreted) shingling reruns 4x
     sh = docs.select(
         "doc_id", dd.shingle_expr("text", _JACC_N).alias("shingles")
-    )
+    ).cache()
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     inter = (
         ex.alias("a")
