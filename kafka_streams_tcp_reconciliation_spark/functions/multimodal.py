@@ -105,57 +105,65 @@ def resize_image(payload: bytes, w: int, h: int):  # pragma: no cover - stub
     return decode_image(payload).resize((w, h))
 
 
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic byte-level 'decode': per Arrow batch, vectorized
-    length + head-checksum + fake dimensions derived from the checksum."""
-    for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
-        checksum = payloads.map(lambda b: sum(b[:FRAME_HEAD]))
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes.astype("int64"),
-                "checksum16": checksum.astype("int64"),
-                "fake_width": (64 + checksum % 960).astype("int64"),
-                "fake_height": (64 + n_bytes % 960).astype("int64"),
-            }
-        )
-
-
 def extract_features(mm: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     This is the real multimodal plumbing: binary column in, typed feature
-    frame out, pandas applied per batch. Swap ``_feature_batches`` for a
-    PIL/ffmpeg kernel when codecs exist; schema and batching are already
-    the production shape.
+    frame out, pandas applied per batch. Swap the kernel for a PIL/ffmpeg
+    one when codecs exist; schema and batching are already the production
+    shape.
+
+    The kernel is a CLOSURE, not a module-level function: cloudpickle then
+    ships it by value, so executors never need this package importable on
+    their own sys.path (the external driver's workers don't have it).
     """
-    return mm.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+    head = FRAME_HEAD
 
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
 
-def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """1→N fan-out: sample a 'frame' every FRAME_STRIDE bytes, checksum its
-    first FRAME_HEAD bytes — the video-frame-sampling stand-in."""
-    for pdf in batches:
-        ids: list[int] = []
-        idxs: list[int] = []
-        sums: list[int] = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n_frames = len(payload) // FRAME_STRIDE
-            for j in range(n_frames):
-                ids.append(doc_id)
-                idxs.append(j)
-                sums.append(sum(payload[j * FRAME_STRIDE : j * FRAME_STRIDE + FRAME_HEAD]))
-        yield pd.DataFrame(
-            {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "frame_idx": pd.Series(idxs, dtype="int64"),
-                "frame_checksum": pd.Series(sums, dtype="int64"),
-            }
-        )
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            checksum = payloads.map(lambda b: sum(b[:head]))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "checksum16": checksum.astype("int64"),
+                    "fake_width": (64 + checksum % 960).astype("int64"),
+                    "fake_height": (64 + n_bytes % 960).astype("int64"),
+                }
+            )
+
+    return mm.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
 
 
 def sample_frames(mm: DataFrame) -> DataFrame:
-    """Fixed-stride frame sampling (1→N rows per payload) via mapInPandas."""
-    return mm.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+    """Fixed-stride frame sampling (1→N rows per payload) via mapInPandas
+    — checksum the first FRAME_HEAD bytes of each FRAME_STRIDE-byte
+    'frame'. Kernel is a by-value closure (see extract_features)."""
+    stride, head = FRAME_STRIDE, FRAME_HEAD
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sums: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // stride
+                for j in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    sums.append(sum(payload[j * stride : j * stride + head]))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "frame_idx": _pd.Series(idxs, dtype="int64"),
+                    "frame_checksum": _pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return mm.mapInPandas(frame_batches, schema=FRAME_SCHEMA)

@@ -37,47 +37,52 @@ GAP_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-class SeqGapTracker(StatefulProcessor):
-    """Per-key FSM: events carry a monotone-intended sequence (event_id);
-    an arrival below the running max is a reordering/retransmit 'gap'."""
-
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._state = handle.getValueState(
-            "seq", "max_seq LONG, n_events LONG, n_gaps LONG"
-        )
-
-    def handleInputRows(
-        self, key: Any, rows: Iterator[pd.DataFrame], timerValues
-    ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        if self._state.exists():
-            max_seq, n_events, n_gaps = self._state.get()
-        else:
-            max_seq, n_events, n_gaps = -1, 0, 0
-        for pdf in rows:
-            for seq in pdf["event_id"].astype("int64").sort_index():
-                n_events += 1
-                if seq < max_seq:
-                    n_gaps += 1
-                else:
-                    max_seq = int(seq)
-        self._state.update((max_seq, n_events, n_gaps))
-        yield pd.DataFrame(
-            {
-                "user_id": pd.Series([user_id], dtype="int64"),
-                "max_seq": pd.Series([max_seq], dtype="int64"),
-                "n_events": pd.Series([n_events], dtype="int64"),
-                "n_gaps": pd.Series([n_gaps], dtype="int64"),
-            }
-        )
-
-    def close(self) -> None:
-        pass
-
-
 def seq_gap_stream(events: DataFrame) -> DataFrame:
     """T2 on the v2 API: per-key running (max_seq, n_events, n_gaps);
-    update-mode emission each micro-batch (KTable-style changelog)."""
+    update-mode emission each micro-batch (KTable-style changelog).
+
+    The processor class is defined INSIDE this function so cloudpickle
+    serializes it by value — the external driver's workers don't have
+    this package importable."""
+
+    class SeqGapTracker(StatefulProcessor):
+        """Per-key FSM: events carry a monotone-intended sequence
+        (event_id); an arrival below the running max is a
+        reordering/retransmit 'gap'."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "seq", "max_seq LONG, n_events LONG, n_gaps LONG"
+            )
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            if self._state.exists():
+                max_seq, n_events, n_gaps = self._state.get()
+            else:
+                max_seq, n_events, n_gaps = -1, 0, 0
+            for pdf in rows:
+                for seq in pdf["event_id"].astype("int64").sort_index():
+                    n_events += 1
+                    if seq < max_seq:
+                        n_gaps += 1
+                    else:
+                        max_seq = int(seq)
+            self._state.update((max_seq, n_events, n_gaps))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id], dtype="int64"),
+                    "max_seq": pd.Series([max_seq], dtype="int64"),
+                    "n_events": pd.Series([n_events], dtype="int64"),
+                    "n_gaps": pd.Series([n_gaps], dtype="int64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
     return (
         events.select("user_id", "event_id")
         .groupBy("user_id")

@@ -45,58 +45,58 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _join_keeper(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Latest-per-side keeper: consume tagged changelog rows in event-time
-    order, update the side's slot, emit the joined row per update when
-    both slots are filled (KTable inner-join emission rule)."""
-    (user_id,) = key
-    l_val, l_ts, r_val, r_ts = (
-        state.get if state.exists else (None, None, None, None)
-    )
-    out: list[dict[str, Any]] = []
-    for pdf in batches:
-        pdf = pdf.sort_values("ts")
-        for r in pdf.itertuples(index=False):
-            ts_us = int(pd.Timestamp(r.ts).value // 1000)
-            if r.side == "l":
-                if l_ts is None or ts_us >= l_ts:
-                    l_val, l_ts = float(r.value), ts_us
-            else:
-                if r_ts is None or ts_us >= r_ts:
-                    r_val, r_ts = float(r.value), ts_us
-            if l_ts is not None and r_ts is not None:
-                out.append(
-                    {
-                        "user_id": user_id,
-                        "left_value": l_val,
-                        "right_value": r_val,
-                        "left_ts_us": l_ts,
-                        "right_ts_us": r_ts,
-                    }
-                )
-    state.update((l_val, l_ts, r_val, r_ts))
-    yield pd.DataFrame(
-        out, columns=["user_id", "left_value", "right_value", "left_ts_us", "right_ts_us"]
-    )
-
-
 def ktable_join_stream(
     left: DataFrame, right: DataFrame, key: str = "user_id"
 ) -> DataFrame:
     """J5: dual-changelog inner join. ``left``/``right`` are streams of
     (key, ts, value) upserts; output is the joined changelog (update
-    semantics — downstream keeps the last row per key)."""
+    semantics — downstream keeps the last row per key). The keeper is a
+    by-value closure (executors need no access to this package)."""
+    def join_keeper(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Latest-per-side keeper: consume tagged changelog rows in event-time
+        order, update the side's slot, emit the joined row per update when
+        both slots are filled (KTable inner-join emission rule)."""
+        (user_id,) = key
+        l_val, l_ts, r_val, r_ts = (
+            state.get if state.exists else (None, None, None, None)
+        )
+        out: list[dict[str, Any]] = []
+        for pdf in batches:
+            pdf = pdf.sort_values("ts")
+            for r in pdf.itertuples(index=False):
+                ts_us = int(pd.Timestamp(r.ts).value // 1000)
+                if r.side == "l":
+                    if l_ts is None or ts_us >= l_ts:
+                        l_val, l_ts = float(r.value), ts_us
+                else:
+                    if r_ts is None or ts_us >= r_ts:
+                        r_val, r_ts = float(r.value), ts_us
+                if l_ts is not None and r_ts is not None:
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "left_value": l_val,
+                            "right_value": r_val,
+                            "left_ts_us": l_ts,
+                            "right_ts_us": r_ts,
+                        }
+                    )
+        state.update((l_val, l_ts, r_val, r_ts))
+        yield pd.DataFrame(
+            out, columns=["user_id", "left_value", "right_value", "left_ts_us", "right_ts_us"]
+        )
+
     tagged = left.select(
         F.col(key), F.col("ts"), F.col("value"), F.lit("l").alias("side")
     ).unionByName(
         right.select(F.col(key), F.col("ts"), F.col("value"), F.lit("r").alias("side"))
     )
     return tagged.groupBy(key).applyInPandasWithState(
-        _join_keeper,
+        join_keeper,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
