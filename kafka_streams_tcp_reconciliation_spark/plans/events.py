@@ -324,3 +324,145 @@ def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFra
     return latest_by_key(
         ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
     ).select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+
+
+# --- event-analytics suite: time rollup, funnel, retention ----------------
+
+
+@register(
+    "time_rollup_events",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '{_TS_FMT_DUCK}')  AS day,
+           strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS hour,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value,
+           CAST(CASE WHEN strftime(date_trunc('day', ts), '{_TS_FMT_DUCK}')
+                     IS NULL THEN 2 ELSE 0 END
+                + CASE WHEN strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}')
+                       IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid
+    FROM events
+    GROUP BY GROUPING SETS ((day, hour), (day), ())
+    """,
+)
+def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (hour → day → total) in ONE pass via
+    GROUPING SETS — the continuous-aggregate/hypertable-rollup analogue:
+    a single Expand + HashAggregate computes every level, instead of one
+    shuffle per granularity."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.date_format(F.date_trunc("day", "ts"), _TS_FMT).alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), _TS_FMT).alias("hour"),
+        "value",
+    ).createOrReplaceTempView("tr_events")
+    return spark.sql(
+        """
+        SELECT day, hour,
+               count(*)             AS n_events,
+               round(sum(value), 2) AS total_value,
+               CAST(grouping_id(day, hour) AS BIGINT) AS gid
+        FROM tr_events
+        GROUP BY GROUPING SETS ((day, hour), (day), ())
+        """
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        WHERE e.event_type = 'click'
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_buy
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each stage requires an
+    event strictly after the user's previous stage. Three per-key
+    min-aggregations chained by key joins — shuffle count stays at the
+    number of stages regardless of data size."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .alias("e")
+        .join(v.alias("v"), "user_id")
+        .filter(F.col("e.ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("e.ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(c.alias("c"), "user_id")
+        .filter(F.col("e.ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("e.ts").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "cohort_hourly_retention",
+    oracle=f"""
+    WITH ua AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    )
+    SELECT strftime(a.h, '{_TS_FMT_DUCK}') AS hour,
+           count(*)          AS n_active,
+           count(b.user_id)  AS n_retained
+    FROM ua a
+    LEFT JOIN ua b ON b.user_id = a.user_id
+                  AND b.h = a.h + INTERVAL '1 hour'
+    GROUP BY a.h
+    """,
+)
+def cohort_hourly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour retention: of the users active in hour H, how many
+    are also active in H+1. Distinct (hour, user) pairs self-joined on
+    (user, next hour) — the cohort-retention shape; at scale the distinct
+    pre-aggregation is what keeps the join input small."""
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.select(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    return (
+        ua.alias("a")
+        .join(
+            ua.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.h") == F.col("a.h") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy(F.col("a.h").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count(F.col("b.user_id")).alias("n_retained"),
+        )
+        .select(
+            F.date_format("h", _TS_FMT).alias("hour"), "n_active", "n_retained"
+        )
+    )
