@@ -86,3 +86,41 @@ def test_join_containment_identities(spark, sf_dir):
     anti = orders.join(customer, on, "left_anti").count()
     assert inner <= left <= full
     assert left == inner + anti  # orders.o_custkey is unique-per-row match
+
+
+def test_salted_agg_on_skewed_data(spark):
+    """Power-law stress: one key owns half the rows; salted phase 1 must
+    spread it (>1 distinct salt on the hot key) and still match plain."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    got = {
+        r.k: (r.n, round(r.total, 6))
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": (F.count(F.lit(1)), F.sum("n")), "total": (F.sum("v"), F.sum("total"))},
+            n_salts=16,
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, round(r.total, 6))
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == want
+    # the hot key really fans out in phase 1
+    hot_salts = (
+        df.filter(F.col("k") == 7)
+        .select((F.abs(F.hash(F.struct("k", "v"))) % 16).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert hot_salts > 1
