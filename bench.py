@@ -54,6 +54,11 @@ def main() -> None:
         except Exception as e:  # keep benching even if one query breaks
             timings[name] = -1.0
             print(f"# {name}: FAILED {e}", file=sys.stderr)
+        finally:
+            # per-query caches never help a later query (each builds fresh
+            # lineage); dropping them keeps timings independent and avoids
+            # slow GC buildup over the run
+            spark.catalog.clearCache()
 
     print(
         json.dumps(
