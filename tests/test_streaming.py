@@ -126,3 +126,51 @@ def test_hopping_window_stream_matches_batch(spark, sf_dir, event_stream):
     )
     want = all_queries()["hopping_window_counts"](spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_stream_static_enrichment(spark, sf_dir, event_stream):
+    """J3/J4 streaming: every replayed event is enriched with the
+    broadcast customer-geo dimension; result equals the batch join."""
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+    from kafka_streams_tcp_reconciliation_spark.streaming.enrich import (
+        customer_geo_dim,
+        enrich_stream,
+    )
+
+    dim = customer_geo_dim(spark, sf_dir)
+    got = run_stream(
+        spark, enrich_stream(event_stream, dim), "append", "t_enrich"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want_rows = ev.count()
+    assert len(got) == want_rows
+    # every user_id in events maps to a customer in the test data
+    assert got["nation"].notna().all()
+    assert set(got.columns) >= {"event_id", "customer_name", "nation", "region"}
+
+
+def test_reconcile_full_outer_stream(spark, sf_dir, event_stream):
+    """J2 full-outer: both unmatched sides emit null-padded rows at
+    watermark close; matched rows equal the inner join."""
+    from pyspark.sql import functions as F
+    from kafka_streams_tcp_reconciliation_spark.streaming.reconcile import _sides
+
+    left, right = _sides(event_stream, "purchase", "click", "30 minutes")
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 minutes"))
+    )
+    out = left.join(right, cond, "fullOuter").select(
+        "l_id", "r_id", "user_id", "r_user_id"
+    )
+    got = run_stream(spark, out, "append", "t_full")
+    matched = got[got["l_id"].notna() & got["r_id"].notna()]
+    left_nulls = got[got["r_id"].isna()]
+    right_nulls = got[got["l_id"].isna()]
+    want_matched = all_queries()["reconcile_purchase_click"](spark, sf_dir).count()
+    assert len(matched) == want_matched
+    # the replay advances the watermark, so early unmatched rows from BOTH
+    # sides must have emitted
+    assert len(left_nulls) > 0
+    assert len(right_nulls) > 0
