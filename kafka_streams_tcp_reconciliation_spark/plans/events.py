@@ -466,3 +466,49 @@ def cohort_hourly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("h", _TS_FMT).alias("hour"), "n_active", "n_retained"
         )
     )
+
+
+@register(
+    "windowed_topk_users",
+    oracle=f"""
+    WITH agg AS (
+        SELECT date_trunc('hour', ts) AS w, user_id,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT strftime(w, '{_TS_FMT_DUCK}') AS window_start,
+           user_id, total_value, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY w ORDER BY total_value DESC, user_id
+        ) AS rank
+        FROM agg
+    )
+    WHERE rank <= 3
+    """,
+)
+def windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by spend per hour window — the batch twin of the
+    incremental windowed top-k (streaming/topk.py): windowed aggregation
+    then per-window rank, planned as WindowGroupLimit so only k rows per
+    window survive the partition-local sorts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    rank_w = Window.partitionBy("w").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "user_id",
+            "total_value",
+            "rank",
+        )
+    )

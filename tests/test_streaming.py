@@ -174,3 +174,23 @@ def test_reconcile_full_outer_stream(spark, sf_dir, event_stream):
     # sides must have emitted
     assert len(left_nulls) > 0
     assert len(right_nulls) > 0
+
+
+def test_windowed_topk_stream_converges(spark, sf_dir, event_stream, tmp_path_factory):
+    """Incremental top-k: update-mode windowed agg + foreachBatch re-rank
+    converges to the batch windowed_topk_users result."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.topk import TopKSink, windowed_topk_stream
+
+    out = str(tmp_path_factory.mktemp("topk"))
+    sink = TopKSink(out, k=3)
+    q = (
+        windowed_topk_stream(event_stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = spark.read.parquet(f"{out}/topk").toPandas()
+    want = all_queries()["windowed_topk_users"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(got), canon(want))
