@@ -35,6 +35,7 @@ _PLAN_MODULES = (
     "events",
     "llm",
     "extended",
+    "tpch_deep",
 )
 
 
