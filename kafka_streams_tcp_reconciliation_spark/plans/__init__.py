@@ -36,6 +36,7 @@ _PLAN_MODULES = (
     "llm",
     "extended",
     "tpch_deep",
+    "pipeline",
 )
 
 
