@@ -144,12 +144,17 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: top-3 terms per document.
 
-    Classic two-aggregation shape: term frequency per (doc, term), then
-    document frequency per term (a count over the already-deduplicated tf
-    relation — no second scan of the corpus), smoothed idf, window top-k.
-    Scores are rounded BEFORE ranking so ties resolve identically on both
-    engines (then by term for a total order). The doc-count scalar is a
-    broadcast 1-row aggregate, never collected.
+    Shape chosen for corpus scale: document frequency is an AGGREGATE per
+    term (map-side partial counts — skew-proof for zipfian vocabularies,
+    where a window ``count(*) OVER (PARTITION BY term)`` would pile every
+    occurrence of a stopword onto one reducer) and the resulting
+    vocabulary-sized df table is BROADCAST back onto tf — vocab size is
+    independent of corpus size, so the tf relation never shuffles for the
+    join; its only exchanges are the tf aggregation and the final top-k
+    window by doc_id. Cost: Spark re-expands the corpus for the df branch
+    (no cross-branch subplan reuse); a multi-op pipeline would persist tf
+    once instead. Scores are rounded BEFORE ranking so ties resolve
+    identically on both engines (then by term for a total order).
     """
     docs = load_table(spark, sf_dir, "documents")
     tf = (
@@ -167,7 +172,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
-        tf.join(df_, "term")
+        tf.join(F.broadcast(df_), "term")
         .join(F.broadcast(n))
         .select("doc_id", "term", tfidf.alias("tfidf"))
         .withColumn("rn", F.row_number().over(w))
@@ -227,19 +232,26 @@ def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (one column per query term) — a plain SUM over the term
     group would re-associate float addition differently per engine.
     Corpus stats (N, average length) are a broadcast 1-row aggregate.
+    The tf pass carries the document length along through the explode
+    (instead of a third scan joined back by doc_id); document frequency
+    is a skew-proof aggregate whose ≤|query| rows broadcast back, so the
+    tf relation never shuffles after its own aggregation. The stats
+    scalar needs its own scan because it averages over ALL documents,
+    matched or not.
     """
     docs = load_table(spark, sf_dir, "documents")
-    doclens = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("doclen")
-    )
+    doclen = F.size(F.split("text", " ")).cast("long")
     tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        docs.select(
+            "doc_id",
+            doclen.alias("doclen"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
         .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("doclen").alias("doclen"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = doclens.agg(
+    stats = docs.select(doclen.alias("doclen")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("doclen"), 6).alias("avg_len")
     )
     s = F.round(
@@ -248,9 +260,9 @@ def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("tf") + _K1 * ((1 - _B) + _B * F.col("doclen") / F.col("avg_len"))),
         6,
     )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(df_, "term")
-        .join(doclens, "doc_id")
+        tf.join(F.broadcast(df_), "term")
         .join(F.broadcast(stats))
         .select("doc_id", "term", s.alias("s"))
     )

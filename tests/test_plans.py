@@ -47,6 +47,53 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q2_single_window_exchange(spark, sf_dir):
+    """q2's decorrelated min: ONE window over p_partkey (no second scan of
+    the supply bridge for the subquery) and a top-k sort, never a global
+    sort of the candidate set."""
+    plan = plan_of(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q11_threshold_is_broadcast_not_collected(spark, sf_dir):
+    """The global-scalar threshold must reach the per-part values via a
+    broadcast join — a nested-loop broadcast of a 1-row relation — not a
+    driver-side collect or a single-partition window."""
+    plan = plan_of(QUERIES["q11_important_parts"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q21_semi_anti_join_chain(spark, sf_dir):
+    """EXISTS/NOT EXISTS become semi/anti joins (never a row-exploding
+    inner join + dedup)."""
+    plan = plan_of(QUERIES["q21_waiting_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_tfidf_vocab_broadcast(spark, sf_dir):
+    """df (vocabulary-sized) joins back onto tf via broadcast — the tf
+    relation must not shuffle by term (zipfian skew at corpus scale)."""
+    plan = plan_of(QUERIES["tfidf_top_terms"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # exactly one sort-based window: the final top-k by doc_id
+    assert "WindowGroupLimit" in plan
+
+
+def test_pack_bins_no_global_sort(spark, sf_dir):
+    """Sequence packing must sort only within hash shards (window over
+    shard), never globally."""
+    plan = plan_of(QUERIES["pack_token_budget_bins"](spark, sf_dir))
+    assert "Window" in plan
+    # the only Sort permitted is the window's local per-shard sort
+    import re
+
+    sorts = [l for l in plan.splitlines() if re.search(r"\bSort\b", l)]
+    assert all("global=false" in s.lower() or "false" in s for s in sorts), sorts
+
+
 def test_observe_metrics(spark, sf_dir):
     """P7 peek: observe() accumulates pass-through metrics without
     changing the plan's results."""
