@@ -194,3 +194,24 @@ def test_windowed_topk_stream_converges(spark, sf_dir, event_stream, tmp_path_fa
     got = spark.read.parquet(f"{out}/topk").toPandas()
     want = all_queries()["windowed_topk_users"](spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_packed_doc_stream_converges(spark, sf_dir, tmp_path_factory):
+    """Incremental sequence packing: per-shard stateful offset over an
+    ordered replay produces exactly the batch pack_token_budget_bins
+    result (same shards, same bins, same doc/token totals)."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.packing import (
+        chunked_doc_stream,
+        packed_doc_stream,
+    )
+
+    chunks = str(tmp_path_factory.mktemp("docchunks"))
+    feed = chunked_doc_stream(spark, sf_dir, chunks, n_chunks=4)
+    got_docs = run_stream(spark, packed_doc_stream(feed), "append", "t_pack")
+    got = (
+        got_docs.groupby(["shard", "bin"])
+        .agg(n_docs=("doc_id", "count"), bin_tokens=("n_tokens", "sum"))
+        .reset_index()
+    )
+    want = all_queries()["pack_token_budget_bins"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
