@@ -30,6 +30,12 @@ from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
     duck_poly_hash,
     spark_poly_hash,
 )
+from kafka_streams_tcp_reconciliation_spark.operators.dedup import (
+    duck_shingle_expr,
+    duck_shingle_hashes_expr,
+    shingle_expr,
+    shingle_hashes_expr,
+)
 from kafka_streams_tcp_reconciliation_spark.plans import register
 from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
 
@@ -332,5 +338,184 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+
+
+_DECON_N = 8
+
+
+@register(
+    "decontaminate_train_eval",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             {_DUCK_DOC_HASH} % 100 AS b,
+             {duck_shingle_hashes_expr(duck_shingle_expr('text', _DECON_N))} AS gs
+      FROM documents
+    ),
+    train AS (
+      SELECT doc_id, unnest(gs) AS g FROM hashed WHERE b < 80
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(gs) AS g FROM hashed WHERE b >= 90
+    )
+    SELECT train.doc_id, count(*) AS n_shared_grams
+    FROM train JOIN ev ON train.g = ev.g
+    GROUP BY train.doc_id
+    """,
+)
+def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: train docs sharing any 8-gram with the
+    held-out test split (benchmark-leakage detection).
+
+    The eval side is the deterministic hash split's own test bucket, so
+    the whole check is reproducible with no side input. Both sides shingle
+    to DISTINCT hashed 8-grams (int64 polynomial hash, JVM codegen — the
+    shuffle carries 8-byte keys, never gram strings); the overlap is an
+    inverted-index equi-join on the gram hash, O(shared grams), not
+    O(doc pairs). At 100 TB the eval side (a real benchmark suite) is
+    tiny — broadcast it; here it is 10% of the corpus, so it shuffles.
+    Each side is distinct per doc, so count(*) after the join IS the
+    per-doc count of shared distinct grams.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_DOC_HASH) % 100
+    grams = shingle_hashes_expr("gs").alias("ghs")
+    hashed = docs.select(
+        "doc_id", bucket.alias("b"), shingle_expr("text", _DECON_N).alias("gs")
+    ).select("doc_id", "b", grams)
+    train = hashed.filter(F.col("b") < 80).select(
+        "doc_id", F.explode("ghs").alias("g")
+    )
+    ev = hashed.filter(F.col("b") >= 90).select(F.explode("ghs").alias("g")).distinct()
+    return (
+        train.join(ev, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+_REP_N = 5
+
+
+@register(
+    "doc_repetition_score",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang,
+             [array_to_string(string_split(text, ' ')[rp_i:rp_i+{_REP_N - 1}], ' ')
+              FOR rp_i IN range(1, len(string_split(text, ' ')) - {_REP_N - 2})] AS gs
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+             AS dup_gram_frac
+    FROM grams
+    WHERE len(gs) > 0
+    """,
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of duplicated word 5-grams
+    (the Gopher-rules "duplicate n-gram fraction" quality signal).
+
+    Pure higher-order-function algebra — the gram list never explodes to
+    rows, so the op is a narrow map over documents: no shuffle at any
+    scale. 1 − |distinct grams| / |grams|, rounded identically on both
+    engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    gs = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {_REP_N - 1}),"
+        f" rp_i -> concat_ws(' ', slice(split(text, ' '), rp_i, {_REP_N})))"
+    )
+    frac = F.round(
+        1.0 - F.size(F.array_distinct(F.col("gs"))).cast("double") / F.size("gs"), 6
+    )
+    return (
+        docs.select("doc_id", "lang", gs.alias("gs"))
+        .filter(F.size("gs") > 0)
+        .select("doc_id", "lang", frac.alias("dup_gram_frac"))
+    )
+
+
+@register(
+    "mixture_upsample_sources",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0', 'src1') THEN 3
+                  WHEN source IN ('src2', 'src3', 'src4') THEN 2
+                  ELSE 1 END AS w
+      FROM documents
+    )
+    SELECT doc_id, source, unnest(range(1, w + 1)) AS epoch
+    FROM weighted
+    """,
+)
+def mixture_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture upsampling: emit each document ``weight`` times
+    (high-quality domains get extra epochs — the standard pretraining
+    mixture knob).
+
+    The weight is a pure function of the domain, the copies come from
+    exploding a generated sequence — a narrow 1→w flatMap with no
+    shuffle, deterministic across runs and engines. The ``epoch`` column
+    lets a downstream packer treat copies as distinct rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("source").isin("src0", "src1"), 3)
+        .when(F.col("source").isin("src2", "src3", "src4"), 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    return docs.select("doc_id", "source", w.alias("w")).select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("w"))).alias("epoch"),
+    )
+
+
+@register(
+    "filter_length_outliers",
+    oracle="""
+    WITH bounds AS (
+      SELECT round(quantile_cont(n_chars, 0.05), 6) AS lo,
+             round(quantile_cont(n_chars, 0.95), 6) AS hi
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents CROSS JOIN bounds
+    WHERE n_chars >= lo AND n_chars <= hi
+    GROUP BY lang
+    """,
+)
+def filter_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier filter: drop documents outside the exact p5–p95
+    char-length band, then summarize survivors per language.
+
+    The bounds are one scalar aggregate broadcast back onto the scan
+    (no sort, no window — percentile via the exact interpolated
+    ``percentile``/``quantile_cont``, identical linear-interpolation
+    semantics on both engines, rounded before the comparison so an
+    ulp of interpolation drift cannot flip a boundary doc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.round(F.expr("percentile(n_chars, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
         )
     )
