@@ -255,7 +255,9 @@ _JACC_THRESHOLD = 0.8
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS (
-        SELECT doc_id, {dd.duck_shingle_expr("text", _JACC_N)} AS shingles
+        SELECT doc_id,
+               {dd.duck_shingle_hashes_expr(dd.duck_shingle_expr("text", _JACC_N))}
+                 AS shingles
         FROM documents
     ),
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -276,17 +278,24 @@ _JACC_THRESHOLD = 0.8
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup (X2, exact variant): candidate pairs from an
-    inverted-index self-join on shared shingles (shuffle key = shingle, cost
-    O(collisions) not O(n²)), then exact Jaccard >= 0.8.
+    inverted-index self-join on shared shingles, then exact Jaccard >= 0.8.
+    Cost is O(collisions), not O(n²), and the shingles are pre-hashed to
+    int64 (shared cross-engine hash, mirrored in the oracle) so the
+    self-join shuffle carries 8-byte keys instead of n-gram strings —
+    at corpus scale the exchange is the whole cost of this op.
 
     Scale knob: drop shingles with document frequency above a cutoff before
     the join to bound hot-key fanout (stop-shingle removal); unnecessary at
     test scale so semantics stay exact here.
     """
     docs = scale_out(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", dd.shingle_expr("text", _JACC_N).alias("shingles")
-    ).cache()
+    sh = (
+        docs.select(
+            "doc_id", dd.shingle_expr("text", _JACC_N).alias("shingles_raw")
+        )
+        .select("doc_id", dd.shingle_hashes_expr("shingles_raw").alias("shingles"))
+        .cache()
+    )
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     inter = (
         ex.alias("a")
@@ -805,7 +814,9 @@ _CURATE_MIN_QUALITY = 0.55
         FROM feat
     ),
     sh AS (
-        SELECT doc_id, {dd.duck_shingle_expr("text", _JACC_N)} AS shingles
+        SELECT doc_id,
+               {dd.duck_shingle_hashes_expr(dd.duck_shingle_expr("text", _JACC_N))}
+                 AS shingles
         FROM documents
     ),
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -857,10 +868,15 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality"),
     )
     # cache: the shingle arrays feed both self-join sides and the size
-    # lookup — without it the (HOF-interpreted) shingling reruns 4x
-    sh = docs.select(
-        "doc_id", dd.shingle_expr("text", _JACC_N).alias("shingles")
-    ).cache()
+    # lookup — without it the (HOF-interpreted) shingling reruns 4x.
+    # Shingles pre-hashed to int64 (oracle mirrors) → 8-byte shuffle keys.
+    sh = (
+        docs.select(
+            "doc_id", dd.shingle_expr("text", _JACC_N).alias("shingles_raw")
+        )
+        .select("doc_id", dd.shingle_hashes_expr("shingles_raw").alias("shingles"))
+        .cache()
+    )
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     inter = (
         ex.alias("a")
