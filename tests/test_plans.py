@@ -108,3 +108,49 @@ def test_observe_metrics(spark, sf_dir):
     from pyspark.sql import Observation  # noqa: F401  (API presence)
 
     assert n == ev.count()
+
+
+def test_repetition_score_is_shuffle_free(spark, sf_dir):
+    """doc_repetition_score is a narrow map — the gram list never explodes
+    to rows, so the executed plan must contain no Exchange at all."""
+    plan = plan_of(QUERIES["doc_repetition_score"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_mixture_upsample_is_narrow(spark, sf_dir):
+    """mixture_upsample_sources is a 1->w flatMap (Generate over a
+    sequence) with no shuffle."""
+    plan = plan_of(QUERIES["mixture_upsample_sources"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_length_outlier_bounds_broadcast_not_collected(spark, sf_dir):
+    """The p5/p95 bounds are a 1-row aggregate reaching the scan via a
+    broadcast nested-loop join — never a collect()ed literal."""
+    plan = plan_of(QUERIES["filter_length_outliers"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_decontaminate_joins_on_int_gram_hashes(spark, sf_dir):
+    """The train<->eval overlap joins on int64 gram hashes (8-byte shuffle
+    keys), and the join is a hash/merge equi-join, not a nested loop."""
+    df = QUERIES["decontaminate_train_eval"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # the join key g is bigint in the analyzed schema of the join input
+    assert df.schema["n_shared_grams"].dataType.typeName() == "long"
+
+
+def test_jaccard_inverted_index_joins_on_hashes(spark, sf_dir):
+    """dedup_ngram_jaccard's self-join shuffles 8-byte shingle hashes,
+    never n-gram strings: the exploded join column is bigint."""
+    from kafka_streams_tcp_reconciliation_spark.operators import dedup as dd
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", dd.shingle_expr("text", 3).alias("raw")
+    ).select("doc_id", dd.shingle_hashes_expr("raw").alias("shingles"))
+    ex = sh.select(F.explode("shingles").alias("s"))
+    assert ex.schema["s"].dataType.typeName() == "long"
