@@ -38,6 +38,16 @@ def main() -> None:
     print("split sizes:")
     splits.show()
 
+    contaminated = q["decontaminate_train_eval"](spark, sf_dir)
+    print(f"train docs sharing an 8-gram with the eval split: {contaminated.count()}")
+
+    rep = q["doc_repetition_score"](spark, sf_dir)
+    print("most-repetitive documents (duplicate 5-gram fraction):")
+    rep.orderBy(rep.dup_gram_frac.desc(), "doc_id").show(5)
+
+    mix = q["mixture_upsample_sources"](spark, sf_dir)
+    print(f"mixture-upsampled corpus: {mix.count()} rows (with epoch copies)")
+
     print("sample TF-IDF keywords:")
     q["tfidf_top_terms"](spark, sf_dir).show(9)
 
