@@ -15,6 +15,7 @@ one file except for tests.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kafka_streams_tcp_reconciliation_spark.sources.tables import schema_for
@@ -69,3 +70,30 @@ def read_table_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
 
 def read_table_jsonl(spark: SparkSession, path: str, table: str) -> DataFrame:
     return read_jsonl(spark, path, schema_for(table))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 0,
+) -> None:
+    """Write a corpus as deterministic training shards.
+
+    The layout a trainer consumes: ``repartition(n_shards, hash-of-key)``
+    fixes both the shard COUNT and the shard MEMBERSHIP (a pure function
+    of the key — re-running the write yields byte-stable shard contents,
+    so a training job can resume against re-generated data), optional
+    hive-style ``partition_by`` directories (e.g. split=train/valid/test)
+    for partition-pruned reads, and ``maxRecordsPerFile`` to cap file
+    size so no shard exceeds executor/loader memory. One shuffle total;
+    at 100 TB pick n_shards ≈ corpus_bytes / 512 MB.
+    """
+    w = df.repartition(n_shards, F.col(key_col)).write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

