@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
+    BASE_A,
+    BASE_B,
     MOD,
     duck_hash64,
     duck_poly_hash,
@@ -49,6 +51,65 @@ def duck_shingle_expr(text_col: str, n: int) -> str:
     return (
         f"list_distinct([array_to_string(string_split({text_col}, ' ')[sh_i:sh_i+{n - 1}], ' ')"
         f" FOR sh_i IN range(1, len(string_split({text_col}, ' ')) - {n - 2})])"
+    )
+
+
+def word_polyhashes_expr(text_col: str, base: int = BASE_A) -> Column:
+    """Per-word polynomial hashes of a text column (one char fold per
+    word). Stage 1 of the two-level gram hash — project this to a column
+    and put an optimizer barrier (``.cache()``) before consuming it, or
+    CollapseProject inlines the whole array into the per-gram lambda and
+    the cost goes O(words²) per doc."""
+    return F.expr(
+        f"transform(split({text_col}, ' '),"
+        f" wg_w -> {spark_poly_hash('wg_w', base)})"
+    )
+
+
+def gram_fold64_expr(wh1_col: str, wh2_col: str, n: int) -> Column:
+    """Stage 2: distinct ~60-bit word-``n``-gram hashes from two word-hash
+    ARRAY COLUMNS (bases 31 and 131): per gram, two ``n``-element integer
+    folds (crossed bases) combined as g1 + g2·2^30. O(words·n) per doc —
+    far cheaper than char-folding each gram string, and wide enough that
+    gram collisions are negligible at corpus scale (a single mod-1e9+7
+    hash produces measurable false-positive overlap already at sf0.1).
+    Values must be mirrored with ``duck_gram_fold64_expr`` on a DuckDB
+    CTE carrying the same two word-hash lists."""
+    f1 = (
+        f"aggregate(slice({wh1_col}, wg_i, {n}), CAST(0 AS BIGINT),"
+        f" (wg_a, wg_x) -> (wg_a * {BASE_B} + wg_x) % {MOD})"
+    )
+    f2 = (
+        f"aggregate(slice({wh2_col}, wg_i, {n}), CAST(0 AS BIGINT),"
+        f" (wg_b, wg_y) -> (wg_b * {BASE_A} + wg_y) % {MOD})"
+    )
+    return F.expr(
+        f"array_distinct(transform(sequence(1, size({wh1_col}) - {n - 1}),"
+        f" wg_i -> {f1} + {f2} * CAST(1073741824 AS BIGINT)))"
+    )
+
+
+def duck_word_polyhashes_expr(text_col: str, base: int = BASE_A) -> str:
+    return (
+        f"list_transform(string_split({text_col}, ' '),"
+        f" wg_w -> {duck_poly_hash('wg_w', base)})"
+    )
+
+
+def duck_gram_fold64_expr(wh1_col: str, wh2_col: str, n: int) -> str:
+    f1 = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" {wh1_col}[wg_i:wg_i+{n - 1}]),"
+        f" (wg_a, wg_x) -> (wg_a * {BASE_B} + wg_x) % {MOD})"
+    )
+    f2 = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" {wh2_col}[wg_i:wg_i+{n - 1}]),"
+        f" (wg_b, wg_y) -> (wg_b * {BASE_A} + wg_y) % {MOD})"
+    )
+    return (
+        f"list_distinct([{f1} + {f2} * CAST(1073741824 AS BIGINT)"
+        f" FOR wg_i IN range(1, len({wh1_col}) - {n - 2})])"
     )
 
 

@@ -31,10 +31,10 @@ from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
     spark_poly_hash,
 )
 from kafka_streams_tcp_reconciliation_spark.operators.dedup import (
-    duck_shingle_expr,
-    duck_shingle_hashes_expr,
-    shingle_expr,
-    shingle_hashes_expr,
+    duck_gram_fold64_expr,
+    duck_word_polyhashes_expr,
+    gram_fold64_expr,
+    word_polyhashes_expr,
 )
 from kafka_streams_tcp_reconciliation_spark.plans import register
 from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
@@ -348,11 +348,16 @@ _DECON_N = 8
 @register(
     "decontaminate_train_eval",
     oracle=f"""
-    WITH hashed AS (
+    WITH wh AS (
       SELECT doc_id,
              {_DUCK_DOC_HASH} % 100 AS b,
-             {duck_shingle_hashes_expr(duck_shingle_expr('text', _DECON_N))} AS gs
+             {duck_word_polyhashes_expr('text', 31)} AS wh1,
+             {duck_word_polyhashes_expr('text', 131)} AS wh2
       FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, b, {duck_gram_fold64_expr('wh1', 'wh2', _DECON_N)} AS gs
+      FROM wh
     ),
     train AS (
       SELECT doc_id, unnest(gs) AS g FROM hashed WHERE b < 80
@@ -371,20 +376,31 @@ def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The eval side is the deterministic hash split's own test bucket, so
     the whole check is reproducible with no side input. Both sides shingle
-    to DISTINCT hashed 8-grams (int64 polynomial hash, JVM codegen — the
-    shuffle carries 8-byte keys, never gram strings); the overlap is an
+    to DISTINCT ~60-bit hashed 8-grams (two-level word-hash construction:
+    each word char-folds once, each gram is two crossed n-element integer
+    folds — per-doc cost O(words), not O(gram chars), and wide enough
+    that hash-collision false positives are negligible; the shuffle
+    carries 8-byte keys, never gram strings). The overlap is an
     inverted-index equi-join on the gram hash, O(shared grams), not
-    O(doc pairs). At 100 TB the eval side (a real benchmark suite) is
-    tiny — broadcast it; here it is 10% of the corpus, so it shuffles.
-    Each side is distinct per doc, so count(*) after the join IS the
-    per-doc count of shared distinct grams.
+    O(doc pairs). The word-hash relation is cached as an optimizer
+    barrier (CollapseProject would inline the array into the gram lambda
+    → O(words²)/doc) and the gram relation is cached because both split
+    branches consume it. At 100 TB the eval side (a real benchmark
+    suite) is tiny — broadcast it; here it is 10% of the corpus, so it
+    shuffles. Each side is distinct per doc, so count(*) after the join
+    IS the per-doc count of shared distinct grams.
     """
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.expr(_SPARK_DOC_HASH) % 100
-    grams = shingle_hashes_expr("gs").alias("ghs")
-    hashed = docs.select(
-        "doc_id", bucket.alias("b"), shingle_expr("text", _DECON_N).alias("gs")
-    ).select("doc_id", "b", grams)
+    wh = docs.select(
+        "doc_id",
+        bucket.alias("b"),
+        word_polyhashes_expr("text", 31).alias("wh1"),
+        word_polyhashes_expr("text", 131).alias("wh2"),
+    ).cache()  # barrier: keep the word-hash arrays out of the gram lambda
+    hashed = wh.select(
+        "doc_id", "b", gram_fold64_expr("wh1", "wh2", _DECON_N).alias("ghs")
+    ).cache()
     train = hashed.filter(F.col("b") < 80).select(
         "doc_id", F.explode("ghs").alias("g")
     )
