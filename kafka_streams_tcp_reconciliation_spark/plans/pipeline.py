@@ -382,10 +382,12 @@ def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     that hash-collision false positives are negligible; the shuffle
     carries 8-byte keys, never gram strings). The overlap is an
     inverted-index equi-join on the gram hash, O(shared grams), not
-    O(doc pairs). The word-hash relation is cached as an optimizer
-    barrier (CollapseProject would inline the array into the gram lambda
-    → O(words²)/doc) and the gram relation is cached because both split
-    branches consume it. At 100 TB the eval side (a real benchmark
+    O(doc pairs). The word-hash arrays are projected in their own select
+    and the gram fold references them as COLUMNS — a single textual
+    expression would re-evaluate the whole array per gram (O(words²)/doc;
+    measured 15s vs 1.4s at sf0.1) — and both relations are cached
+    because the train and eval branches each consume them. At 100 TB the
+    eval side (a real benchmark
     suite) is tiny — broadcast it; here it is 10% of the corpus, so it
     shuffles. Each side is distinct per doc, so count(*) after the join
     IS the per-doc count of shared distinct grams.

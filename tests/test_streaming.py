@@ -215,3 +215,26 @@ def test_packed_doc_stream_converges(spark, sf_dir, tmp_path_factory):
     )
     want = all_queries()["pack_token_budget_bins"](spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_decontaminate_stream_converges(spark, sf_dir, tmp_path_factory):
+    """Streaming decontamination (stateless stream-static broadcast join
+    on 64-bit gram hashes) over an ordered replay produces exactly the
+    batch decontaminate_train_eval result when hits are aggregated."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.decontam import (
+        chunked_text_stream,
+        decontaminate_stream,
+        eval_gram_set,
+    )
+
+    chunks = str(tmp_path_factory.mktemp("textchunks"))
+    feed = chunked_text_stream(spark, sf_dir, chunks, n_chunks=4)
+    hits = run_stream(
+        spark, decontaminate_stream(feed, eval_gram_set(spark, sf_dir)),
+        "append", "t_decon",
+    )
+    got = (
+        hits.groupby("doc_id").agg(n_shared_grams=("g", "nunique")).reset_index()
+    )
+    want = all_queries()["decontaminate_train_eval"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
