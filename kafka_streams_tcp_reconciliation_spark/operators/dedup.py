@@ -56,17 +56,21 @@ def duck_shingle_expr(text_col: str, n: int) -> str:
 
 def word_polyhashes_expr(text_col: str, base: int = BASE_A) -> Column:
     """Per-word polynomial hashes of a text column (one char fold per
-    word). Stage 1 of the two-level gram hash — project this to a column
-    and put an optimizer barrier (``.cache()``) before consuming it, or
-    CollapseProject inlines the whole array into the per-gram lambda and
-    the cost goes O(words²) per doc."""
+    word). Stage 1 of the two-level gram hash — project this to a COLUMN
+    in its own select and have the gram fold reference it by name;
+    embedding it textually inside the gram lambda re-evaluates the whole
+    array per gram (O(words²) per doc). Spark keeps the two projections
+    un-collapsed; ``.cache()`` is only needed when several downstream
+    branches consume the arrays."""
     return F.expr(
         f"transform(split({text_col}, ' '),"
         f" wg_w -> {spark_poly_hash('wg_w', base)})"
     )
 
 
-def gram_fold64_expr(wh1_col: str, wh2_col: str, n: int) -> Column:
+def gram_fold64_expr(
+    wh1_col: str, wh2_col: str, n: int, distinct: bool = True
+) -> Column:
     """Stage 2: distinct ~60-bit word-``n``-gram hashes from two word-hash
     ARRAY COLUMNS (bases 31 and 131): per gram, two ``n``-element integer
     folds (crossed bases) combined as g1 + g2·2^30. O(words·n) per doc —
@@ -83,10 +87,11 @@ def gram_fold64_expr(wh1_col: str, wh2_col: str, n: int) -> Column:
         f"aggregate(slice({wh2_col}, wg_i, {n}), CAST(0 AS BIGINT),"
         f" (wg_b, wg_y) -> (wg_b * {BASE_A} + wg_y) % {MOD})"
     )
-    return F.expr(
-        f"array_distinct(transform(sequence(1, size({wh1_col}) - {n - 1}),"
-        f" wg_i -> {f1} + {f2} * CAST(1073741824 AS BIGINT)))"
+    inner = (
+        f"transform(sequence(1, size({wh1_col}) - {n - 1}),"
+        f" wg_i -> {f1} + {f2} * CAST(1073741824 AS BIGINT))"
     )
+    return F.expr(f"array_distinct({inner})" if distinct else inner)
 
 
 def duck_word_polyhashes_expr(text_col: str, base: int = BASE_A) -> str:
@@ -96,7 +101,9 @@ def duck_word_polyhashes_expr(text_col: str, base: int = BASE_A) -> str:
     )
 
 
-def duck_gram_fold64_expr(wh1_col: str, wh2_col: str, n: int) -> str:
+def duck_gram_fold64_expr(
+    wh1_col: str, wh2_col: str, n: int, distinct: bool = True
+) -> str:
     f1 = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
         f" {wh1_col}[wg_i:wg_i+{n - 1}]),"
@@ -107,10 +114,11 @@ def duck_gram_fold64_expr(wh1_col: str, wh2_col: str, n: int) -> str:
         f" {wh2_col}[wg_i:wg_i+{n - 1}]),"
         f" (wg_b, wg_y) -> (wg_b * {BASE_A} + wg_y) % {MOD})"
     )
-    return (
-        f"list_distinct([{f1} + {f2} * CAST(1073741824 AS BIGINT)"
-        f" FOR wg_i IN range(1, len({wh1_col}) - {n - 2})])"
+    inner = (
+        f"[{f1} + {f2} * CAST(1073741824 AS BIGINT)"
+        f" FOR wg_i IN range(1, len({wh1_col}) - {n - 2})]"
     )
+    return f"list_distinct({inner})" if distinct else inner
 
 
 def shingle_hashes_expr(shingles_col: str) -> Column:

@@ -420,39 +420,61 @@ _REP_N = 5
 @register(
     "doc_repetition_score",
     oracle=f"""
-    WITH grams AS (
+    WITH wh AS (
       SELECT doc_id, lang,
-             [array_to_string(string_split(text, ' ')[rp_i:rp_i+{_REP_N - 1}], ' ')
-              FOR rp_i IN range(1, len(string_split(text, ' ')) - {_REP_N - 2})] AS gs
+             {duck_word_polyhashes_expr('text', 31)} AS wh1,
+             {duck_word_polyhashes_expr('text', 131)} AS wh2
       FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             {duck_gram_fold64_expr('wh1', 'wh2', _REP_N, distinct=False)} AS gs
+      FROM wh
+      WHERE len(wh1) >= {_REP_N}
     )
     SELECT doc_id, lang,
            round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
              AS dup_gram_frac
     FROM grams
-    WHERE len(gs) > 0
     """,
 )
 def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition: fraction of duplicated word 5-grams
     (the Gopher-rules "duplicate n-gram fraction" quality signal).
 
-    Pure higher-order-function algebra — the gram list never explodes to
+    Grams are the 64-bit two-level word-hash folds (no per-gram string
+    building; duplicate detection compares int64s, and at 2^60 width a
+    collision-induced undercount is negligible — the oracle mirrors the
+    same folds exactly either way). The gram array never explodes to
     rows, so the op is a narrow map over documents: no shuffle at any
     scale. 1 − |distinct grams| / |grams|, rounded identically on both
     engines.
+
+    The short-doc guard is ``size(split(text)) >= n`` — NOT
+    ``size(gs) > 0``: a predicate on the computed gram array gets
+    pushed below the projections with the whole two-level expression
+    inlined, re-evaluating the word-hash array per gram inside the
+    filter (measured 28s vs 1s at sf0.1). The word-count form is cheap
+    and pushes to the scan harmlessly.
     """
     docs = load_table(spark, sf_dir, "documents")
-    gs = F.expr(
-        f"transform(sequence(1, size(split(text, ' ')) - {_REP_N - 1}),"
-        f" rp_i -> concat_ws(' ', slice(split(text, ' '), rp_i, {_REP_N})))"
+    wh = docs.filter(
+        F.size(F.split("text", " ")) >= _REP_N
+    ).select(
+        "doc_id",
+        "lang",
+        word_polyhashes_expr("text", 31).alias("wh1"),
+        word_polyhashes_expr("text", 131).alias("wh2"),
     )
     frac = F.round(
         1.0 - F.size(F.array_distinct(F.col("gs"))).cast("double") / F.size("gs"), 6
     )
     return (
-        docs.select("doc_id", "lang", gs.alias("gs"))
-        .filter(F.size("gs") > 0)
+        wh.select(
+            "doc_id",
+            "lang",
+            gram_fold64_expr("wh1", "wh2", _REP_N, distinct=False).alias("gs"),
+        )
         .select("doc_id", "lang", frac.alias("dup_gram_frac"))
     )
 
