@@ -154,3 +154,13 @@ def test_jaccard_inverted_index_joins_on_hashes(spark, sf_dir):
     ).select("doc_id", dd.shingle_hashes_expr("raw").alias("shingles"))
     ex = sh.select(F.explode("shingles").alias("s"))
     assert ex.schema["s"].dataType.typeName() == "long"
+
+
+@pytest.mark.parametrize("name", ["doc_repetition_score", "decontaminate_train_eval"])
+def test_two_level_gram_hash_not_inlined(spark, sf_dir, name):
+    """The word-hash arrays must stay separate projected columns: if the
+    gram lambda (or a pushed-down filter) inlines them, per-doc cost goes
+    O(words²) — measured 28s vs 0.25s at sf0.1 for the repetition score."""
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    assert "slice(transform(split" not in plan
+    assert "size(transform(sequence" not in plan  # filter over computed grams
