@@ -254,11 +254,16 @@ _JACC_THRESHOLD = 0.8
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (
+    WITH wh AS (
         SELECT doc_id,
-               {dd.duck_shingle_hashes_expr(dd.duck_shingle_expr("text", _JACC_N))}
-                 AS shingles
+               {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
+               {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
         FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS shingles
+        FROM wh
     ),
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     inter AS (
@@ -279,23 +284,26 @@ _JACC_THRESHOLD = 0.8
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup (X2, exact variant): candidate pairs from an
     inverted-index self-join on shared shingles, then exact Jaccard >= 0.8.
-    Cost is O(collisions), not O(n²), and the shingles are pre-hashed to
-    int64 (shared cross-engine hash, mirrored in the oracle) so the
-    self-join shuffle carries 8-byte keys instead of n-gram strings —
-    at corpus scale the exchange is the whole cost of this op.
+    Cost is O(collisions), not O(n²). Shingles are the 64-bit two-level
+    word-gram hashes (mirrored in the oracle): the self-join shuffle
+    carries 8-byte keys instead of n-gram strings, per-doc hashing is
+    O(words) instead of O(gram chars), and at 2^60 width cross-doc
+    collisions are negligible — at corpus scale the exchange is the whole
+    cost of this op.
 
     Scale knob: drop shingles with document frequency above a cutoff before
     the join to bound hot-key fanout (stop-shingle removal); unnecessary at
     test scale so semantics stay exact here.
     """
     docs = scale_out(load_table(spark, sf_dir, "documents"))
-    sh = (
-        docs.select(
-            "doc_id", dd.shingle_expr("text", _JACC_N).alias("shingles_raw")
-        )
-        .select("doc_id", dd.shingle_hashes_expr("shingles_raw").alias("shingles"))
-        .cache()
+    wh = docs.select(
+        "doc_id",
+        dd.word_polyhashes_expr("text", 31).alias("wh1"),
+        dd.word_polyhashes_expr("text", 131).alias("wh2"),
     )
+    sh = wh.select(
+        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("shingles")
+    ).cache()
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     inter = (
         ex.alias("a")
@@ -813,11 +821,16 @@ _CURATE_MIN_QUALITY = 0.55
                               / CAST(n_tokens AS DOUBLE)), 6) AS quality
         FROM feat
     ),
+    whc AS (
+        SELECT doc_id,
+               {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
+               {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
+        FROM documents
+    ),
     sh AS (
         SELECT doc_id,
-               {dd.duck_shingle_hashes_expr(dd.duck_shingle_expr("text", _JACC_N))}
-                 AS shingles
-        FROM documents
+               {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS shingles
+        FROM whc
     ),
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     inter AS (
@@ -869,14 +882,16 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cache: the shingle arrays feed both self-join sides and the size
     # lookup — without it the (HOF-interpreted) shingling reruns 4x.
-    # Shingles pre-hashed to int64 (oracle mirrors) → 8-byte shuffle keys.
-    sh = (
-        docs.select(
-            "doc_id", dd.shingle_expr("text", _JACC_N).alias("shingles_raw")
-        )
-        .select("doc_id", dd.shingle_hashes_expr("shingles_raw").alias("shingles"))
-        .cache()
+    # Shingles are 64-bit two-level word-gram hashes (oracle mirrors) →
+    # O(words) per-doc hashing and 8-byte shuffle keys.
+    wh = docs.select(
+        "doc_id",
+        dd.word_polyhashes_expr("text", 31).alias("wh1"),
+        dd.word_polyhashes_expr("text", 131).alias("wh2"),
     )
+    sh = wh.select(
+        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("shingles")
+    ).cache()
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     inter = (
         ex.alias("a")
