@@ -141,9 +141,16 @@ def duck_shingle_hashes_expr(shingles_col: str) -> str:
 
 def minhash_sig_expr(hashes_col: str, num_hashes: int) -> Column:
     """MinHash signature: sig[k] = min over shingle hashes of
-    (a_k*x + b_k) mod P. One array expression, fully codegen'd."""
+    (a_k*(x mod P) + b_k) mod P. One array expression, one pass.
+
+    The inner ``mod P`` admits ~60-bit inputs (the two-level gram hashes):
+    a_k < P ~ 2^30, so a_k*x needs x < 2^33 to stay in int64 — DuckDB
+    ERRORS on int64 overflow rather than wrapping, so the reduction is
+    mandatory, and it must be mirrored in the oracle. Reduction collisions
+    only perturb which element wins a min (identically on both engines);
+    the verify step still compares full-width hash sets."""
     mins = ", ".join(
-        f"array_min(transform({hashes_col}, mh_x -> ({a} * mh_x + {b}) % {MOD}))"
+        f"array_min(transform({hashes_col}, mh_x -> ({a} * (mh_x % {MOD}) + {b}) % {MOD}))"
         for a, b in hash_params(num_hashes)
     )
     return F.expr(f"array({mins})")
@@ -151,7 +158,7 @@ def minhash_sig_expr(hashes_col: str, num_hashes: int) -> Column:
 
 def duck_minhash_sig_expr(hashes_col: str, num_hashes: int) -> str:
     mins = ", ".join(
-        f"list_min(list_transform({hashes_col}, mh_x -> ({a} * mh_x + {b}) % {MOD}))"
+        f"list_min(list_transform({hashes_col}, mh_x -> ({a} * (mh_x % {MOD}) + {b}) % {MOD}))"
         for a, b in hash_params(num_hashes)
     )
     return f"[{mins}]"

@@ -336,12 +336,15 @@ _MH_ROWS = 2  # bands x rows == signature length
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH sh AS (
-        SELECT doc_id, {dd.duck_shingle_expr("text", _JACC_N)} AS shingles
+    WITH wh AS (
+        SELECT doc_id,
+               {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
+               {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
         FROM documents
     ),
     hs AS (
-        SELECT doc_id, {dd.duck_shingle_hashes_expr("shingles")} AS hs FROM sh
+        SELECT doc_id, {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS hs
+        FROM wh
     ),
     sig AS (
         SELECT doc_id, {dd.duck_minhash_sig_expr("hs", _MH_NUM)} AS sig FROM hs
@@ -375,19 +378,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard (on hash sets) >= 0.8 to verify.
 
     This is the 100 TB fuzzy-dedup plan: per-doc signature compute is
-    embarrassingly parallel codegen; the only shuffles are the bucket join
+    embarrassingly parallel; the only shuffles are the bucket join
     (key = band bucket) and the two verify joins (key = doc_id). The DuckDB
     oracle mirrors the full pipeline with identical hash constants, so the
     check is the strong value-hash tier despite LSH's approximate recall
     (a pair missed by banding is missed identically on both sides).
+
+    Shingle features are the two-level 64-bit word-gram hashes: per-doc
+    cost O(words·n) integer ops instead of char-folding every gram string,
+    and the verify sets are 2^60-wide (a single mod-1e9+7 hash shows
+    false-positive overlap already at sf0.1). The signature's universal
+    hashes reduce each gram mod P first (see minhash_sig_expr — int64
+    overflow constraint). wh1/wh2 stay separate projected columns so the
+    gram fold references them by name (inlining → O(words²)/doc).
     """
     docs = scale_out(load_table(spark, sf_dir, "documents"))
-    hs = docs.select(
+    wh = docs.select(
         "doc_id",
-        dd.shingle_hashes_expr(
-            f"array_distinct(transform(sequence(1, size(split(text, ' ')) - {_JACC_N - 1}),"
-            f" sh_i -> concat_ws(' ', slice(split(text, ' '), sh_i, {_JACC_N}))))"
-        ).alias("hs"),
+        dd.word_polyhashes_expr("text", 31).alias("wh1"),
+        dd.word_polyhashes_expr("text", 131).alias("wh2"),
+    )
+    hs = wh.select(
+        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
     ).cache()
     sig = hs.select("doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig"))
     cand = dd.lsh_candidate_pairs(sig, "doc_id", "sig", _MH_BANDS, _MH_ROWS)
@@ -413,12 +425,16 @@ _SIMHASH_MAX_HAMMING = 8
     oracle=f"""
     WITH wh AS (
         SELECT doc_id,
-               list_distinct(list_transform({dd.duck_shingle_expr("text", _JACC_N)},
-                    sh_s -> {duck_hash64("sh_s")})) AS wh
+               {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
+               {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
         FROM documents
     ),
+    gs AS (
+        SELECT doc_id, {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS gs
+        FROM wh
+    ),
     sim AS (
-        SELECT doc_id, {dd.duck_simhash_expr("wh")} AS sim FROM wh
+        SELECT doc_id, {dd.duck_simhash_expr("gs")} AS sim FROM gs
     ),
     chunks AS (
         SELECT doc_id, sim, unnest({dd.duck_simhash_chunks("sim")},
@@ -452,20 +468,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     One int64 per doc makes this the cheapest fuzzy sketch at 100 TB: the
     blocking join shuffles 4 rows per doc. Oracle mirrors the pipeline
     bit-for-bit (pure integer arithmetic both sides).
+
+    Features are the two-level 64-bit word-gram hashes — exactly 60 bits
+    wide (g1 + g2·2^30, g1,g2 < 2^30), which is SIMHASH_BITS, so the bit
+    sampler consumes them directly. wh1/wh2 and gs stay separate projected
+    columns (inlining the word-hash arrays into the gram lambda is
+    O(words²)/doc; inlining gs into the 60-bit fold re-grams per bit).
     """
     docs = scale_out(load_table(spark, sf_dir, "documents"))
+    wh = docs.select(
+        "doc_id",
+        dd.word_polyhashes_expr("text", 31).alias("wh1"),
+        dd.word_polyhashes_expr("text", 131).alias("wh2"),
+    )
+    gs = wh.select(
+        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("gs")
+    )
     # Cache the one-int64-per-doc sketch: both sides of the blocking
     # self-join read it, and caching stops Catalyst from recomputing the
     # hash fold per side. (At scale: sketch table is 8 bytes/doc.)
-    shingle_hash64_sql = (
-        f"array_distinct(transform("
-        f"array_distinct(transform(sequence(1, size(split(text, ' ')) - {_JACC_N - 1}),"
-        f" sh_i -> concat_ws(' ', slice(split(text, ' '), sh_i, {_JACC_N})))),"
-        f" sh_s -> {spark_hash64('sh_s')}))"
-    )
-    sim = docs.select(
-        "doc_id", dd.simhash_expr(shingle_hash64_sql).alias("sim")
-    ).cache()
+    sim = gs.select("doc_id", dd.simhash_expr("gs").alias("sim")).cache()
     chunks = sim.select(
         "doc_id", "sim", F.explode(dd.simhash_chunks_expr("sim")).alias("cc")
     ).select("doc_id", "sim", "cc.chunk", "cc.cval")

@@ -156,7 +156,15 @@ def test_jaccard_inverted_index_joins_on_hashes(spark, sf_dir):
     assert ex.schema["s"].dataType.typeName() == "long"
 
 
-@pytest.mark.parametrize("name", ["doc_repetition_score", "decontaminate_train_eval"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "doc_repetition_score",
+        "decontaminate_train_eval",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+    ],
+)
 def test_two_level_gram_hash_not_inlined(spark, sf_dir, name):
     """The word-hash arrays must stay separate projected columns: if the
     gram lambda (or a pushed-down filter) inlines them, per-doc cost goes
