@@ -37,6 +37,7 @@ _PLAN_MODULES = (
     "extended",
     "tpch_deep",
     "pipeline",
+    "clustering",
 )
 
 

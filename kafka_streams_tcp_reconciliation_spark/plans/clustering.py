@@ -1,0 +1,261 @@
+"""Clustering & iterative operators over the dedup/similarity layer.
+
+Three capabilities a training-data pipeline needs beyond pairwise ops:
+
+- ``dedup_cluster_resolve`` — connected components over near-dup pairs:
+  the step that turns "A~B, B~C" into one keeper per duplicate CLUSTER
+  (pairwise dedup alone would keep B twice or drop both B and C).
+- ``kmeans_embeddings`` — Lloyd iterations over the embedding corpus:
+  the iterative-algorithm pattern (driver-resident k×d model, distributed
+  assign/update jobs) that also re-trains IVF coarse centroids.
+- ``similarity_ivf_multiprobe`` — the recall knob on the IVF scale path:
+  probe the top-p cells instead of one.
+
+All three are deterministic end-to-end and carry full-pipeline DuckDB
+oracles (the iterative ones unroll/recurse in SQL), so they get the
+strong value-hash check despite being "non-SQL-shaped" operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
+from kafka_streams_tcp_reconciliation_spark.plans import register
+from kafka_streams_tcp_reconciliation_spark.plans.llm import (
+    SIMHASH_CAND_CTES,
+    ivf_oracle,
+    ivf_topk_frame,
+    simhash_pair_frame,
+)
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table, scale_out
+
+# ---------------------------------------------------------------------------
+# near-dup cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_resolve",
+    oracle=f"""
+    WITH RECURSIVE {SIMHASH_CAND_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM simhash_pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM simhash_pairs
+    ),
+    walk(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    reach AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+        FROM walk GROUP BY src
+    )
+    SELECT r.doc_id, r.canonical_id, s.cluster_size
+    FROM reach r
+    JOIN (
+        SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM reach GROUP BY canonical_id
+    ) s USING (canonical_id)
+    """,
+)
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve SimHash near-dup PAIRS into duplicate CLUSTERS (connected
+    components, min-doc_id canonical): (doc_id, canonical_id,
+    cluster_size) for every doc in at least one pair. Downstream, keeping
+    rows where doc_id == canonical_id dedups transitively — A~B~C keeps
+    only A even when A,C were never directly paired.
+
+    Min-label propagation: every node starts labeled with its own id; each
+    round takes the min of its own and its neighbors' labels, until a
+    fixed point. Per-round cost is one shuffle join on dst + one groupBy
+    src — both distributed, nothing corpus-sized on the driver; rounds =
+    cluster diameter (near-dup clusters are shallow — dozens of rounds
+    would mean a pathological chain; large-star/small-star contraction is
+    the published fix if a corpus produces one). The edge list is persisted
+    so the SimHash pipeline runs once, not once per round; labels are
+    localCheckpoint'ed per round to keep the plan tree constant-depth.
+
+    The oracle mirrors the exact fixpoint with a recursive transitive
+    closure over the same pair CTEs — identical clusters by construction.
+    """
+    pairs = simhash_pair_frame(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        relabeled = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                labels["doc_id"],
+                labels["label"].alias("old_label"),
+                F.least(
+                    labels["label"], F.coalesce("nbr_min", labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = relabeled.filter(F.col("label") != F.col("old_label")).count()
+        labels = relabeled.select("doc_id", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("canonical_id"), "cluster_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings (Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ROUNDS = 3  # assignment rounds; centroids update between rounds
+_KM_DIM = 64
+
+
+def _km_assign_ctes(rnd: int) -> str:
+    """One unrolled Lloyd round: assignment a{rnd} against centroids
+    c{rnd-1}, then updated centroids c{rnd}."""
+    dist = (
+        f"round(q.sqn + {sim.duck_dot_expr('c.cvec', 'c.cvec')}"
+        f" - 2 * ({sim.duck_dot_expr('q.embedding', 'c.cvec')}), 6)"
+    )
+    return f"""
+    a{rnd} AS (
+        SELECT vec_id, cluster, dist, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist, cluster
+               ) AS rn
+        FROM (
+            SELECT q.vec_id, c.cluster, {dist} AS dist
+            FROM q, c{rnd - 1} c
+        )
+    ),
+    c{rnd} AS (
+        SELECT cluster, array_agg(cval ORDER BY pos) AS cvec
+        FROM (
+            SELECT a.cluster, pos,
+                   round(avg(CAST(q.embedding[pos] AS DOUBLE)), 6) AS cval
+            FROM (SELECT vec_id, cluster FROM a{rnd} WHERE rn = 1) a
+            JOIN q USING (vec_id),
+                 (SELECT unnest(range(1, {_KM_DIM + 1})) AS pos)
+            GROUP BY a.cluster, pos
+        )
+        GROUP BY cluster
+    )"""
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, embedding,
+               {sim.duck_dot_expr("embedding", "embedding")} AS sqn
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cluster,
+               list_transform(embedding, cs_x -> CAST(cs_x AS DOUBLE)) AS cvec
+        FROM embeddings WHERE vec_id < {_KM_K}
+    ),
+    {",".join(_km_assign_ctes(r) for r in range(1, _KM_ROUNDS + 1))}
+    SELECT vec_id, cluster, dist FROM a{_KM_ROUNDS} WHERE rn = 1
+    """,
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means over the embedding corpus (k={_KM_K}, {_KM_ROUNDS} Lloyd
+    assignment rounds, deterministic init = vectors 0..k-1): the iterative
+    pattern behind IVF coarse-centroid training. Output: final cluster and
+    squared-L2 distance per vector.
+
+    Scale shape (MLlib's): the k×d centroid model is DRIVER-resident —
+    k·d doubles, independent of corpus size — and each round is one
+    distributed job (broadcast centroids → assign via ||x||²+||c||²-2x·c
+    with per-row norms precomputed once → per-(cluster,pos) partial-agg
+    means). The corpus is never collected, never re-shuffled: assignment
+    is a broadcast cross-join + WindowGroupLimit-style argmin.
+
+    Determinism: distances are ordered folds rounded(6) before the argmin
+    (tie → lowest cluster id); updated centroids round(6) per coordinate.
+    The oracle unrolls the same rounds as CTEs — bit-identical path.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.expr(sim.dot_expr("embedding", "embedding")).alias("sqn"),
+    ).persist()
+
+    def assign(cent: DataFrame) -> DataFrame:
+        dist = F.round(
+            F.col("sqn")
+            + F.expr(sim.dot_expr("cvec", "cvec"))
+            - 2 * F.expr(sim.dot_expr("embedding", "cvec")),
+            6,
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        return (
+            emb.crossJoin(F.broadcast(cent))
+            .select("vec_id", "embedding", "cluster", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    cent = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"),
+        F.expr("transform(embedding, cs_x -> CAST(cs_x AS DOUBLE))").alias("cvec"),
+    )
+    for rnd in range(1, _KM_ROUNDS + 1):
+        assigned = assign(cent)
+        if rnd == _KM_ROUNDS:
+            break
+        cent = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cval"))
+            .groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, cval))),"
+                    " cs_s -> cs_s.cval)"
+                ).alias("cvec")
+            )
+            .localCheckpoint()  # materialize the round: constant-depth plan
+        )
+    return assigned.select("vec_id", "cluster", "dist")
+
+
+# ---------------------------------------------------------------------------
+# multi-probe IVF
+# ---------------------------------------------------------------------------
+
+_N_PROBE = 2
+
+
+@register("similarity_ivf_multiprobe", oracle=ivf_oracle(_N_PROBE))
+def similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (X3 recall knob): each query probes its top-{_N_PROBE}
+    cells instead of one, recovering neighbors that fell just across a cell
+    boundary at {_N_PROBE}× the scan cost — still ~n_probe/n_cells of the
+    corpus. Same plan as ``similarity_ivf_topk`` (broadcast centroid
+    assign, equi-join on cell id, WindowGroupLimit top-k) with the probe
+    count widened."""
+    return ivf_topk_frame(spark, sf_dir, _N_PROBE)

@@ -419,11 +419,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_MAX_HAMMING = 8
 
-
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH wh AS (
+# SimHash candidate-pair CTE chain, shared between the dedup_simhash oracle
+# and the cluster-resolution oracle (plans/clustering.py) so the two stay
+# bit-identical by construction.
+SIMHASH_CAND_CTES = f"""
+    wh AS (
         SELECT doc_id,
                {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
                {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
@@ -447,34 +447,19 @@ _SIMHASH_MAX_HAMMING = 8
         FROM chunks a
         JOIN chunks b ON a.chunk = b.chunk AND a.cval = b.cval
                      AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(sim_a, sim_b)) <= {_SIMHASH_MAX_HAMMING}
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (X2, bit-sketch path): 60-bit SimHash over the
-    document's 3-gram shingle hashes; candidates from 4x15-bit chunk
-    blocking (pigeonhole: any pair with hamming < 4 is guaranteed caught;
-    farther pairs probabilistically); keep pairs with hamming <= 8.
+    ),
+    simhash_pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sim_a, sim_b)) <= {_SIMHASH_MAX_HAMMING}
+    )"""
 
-    Shingles, not unigrams: on a small-vocabulary corpus every document
-    has nearly the same word distribution, so unigram SimHash collapses
-    (measured: 1.6M "near-dup" pairs at sf0.1); the 3-gram feature space
-    separates random docs from true near-dups.
 
-    One int64 per doc makes this the cheapest fuzzy sketch at 100 TB: the
-    blocking join shuffles 4 rows per doc. Oracle mirrors the pipeline
-    bit-for-bit (pure integer arithmetic both sides).
-
-    Features are the two-level 64-bit word-gram hashes — exactly 60 bits
-    wide (g1 + g2·2^30, g1,g2 < 2^30), which is SIMHASH_BITS, so the bit
-    sampler consumes them directly. wh1/wh2 and gs stay separate projected
-    columns (inlining the word-hash arrays into the gram lambda is
-    O(words²)/doc; inlining gs into the 60-bit fold re-grams per bit).
-    """
+def simhash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, hamming) by SimHash chunk blocking —
+    the Spark twin of the ``simhash_pairs`` CTE above. Shared by
+    ``dedup_simhash`` and the cluster resolution in plans/clustering.py."""
     docs = scale_out(load_table(spark, sf_dir, "documents"))
     wh = docs.select(
         "doc_id",
@@ -511,6 +496,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= _SIMHASH_MAX_HAMMING).select(
         "doc_a", "doc_b", hamming.alias("hamming")
     )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {SIMHASH_CAND_CTES}
+    SELECT doc_a, doc_b, hamming FROM simhash_pairs
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (X2, bit-sketch path): 60-bit SimHash over the
+    document's 3-gram shingle hashes; candidates from 4x15-bit chunk
+    blocking (pigeonhole: any pair with hamming < 4 is guaranteed caught;
+    farther pairs probabilistically); keep pairs with hamming <= 8.
+
+    Shingles, not unigrams: on a small-vocabulary corpus every document
+    has nearly the same word distribution, so unigram SimHash collapses
+    (measured: 1.6M "near-dup" pairs at sf0.1); the 3-gram feature space
+    separates random docs from true near-dups.
+
+    One int64 per doc makes this the cheapest fuzzy sketch at 100 TB: the
+    blocking join shuffles 4 rows per doc. Oracle mirrors the pipeline
+    bit-for-bit (pure integer arithmetic both sides).
+
+    Features are the two-level 64-bit word-gram hashes — exactly 60 bits
+    wide (g1 + g2·2^30, g1,g2 < 2^30), which is SIMHASH_BITS, so the bit
+    sampler consumes them directly. wh1/wh2 and gs stay separate projected
+    columns (inlining the word-hash arrays into the gram lambda is
+    O(words²)/doc; inlining gs into the 60-bit fold re-grams per bit).
+    """
+    return simhash_pair_frame(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -580,9 +596,10 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_ivf_topk",
-    oracle=f"""
+def ivf_oracle(n_probe: int) -> str:
+    """DuckDB oracle for the IVF plan with ``n_probe`` probed cells —
+    shared by single-probe and multi-probe registrations."""
+    return f"""
     WITH cent AS (
         SELECT label, array_agg(cval ORDER BY pos) AS centroid
         FROM (
@@ -606,7 +623,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 cent.label
                    ) AS rn
             FROM q, cent
-        ) WHERE rn = 1
+        ) WHERE rn <= {n_probe}
     ),
     scored AS (
         SELECT a.query_id, e.vec_id AS neighbor_id, e.label,
@@ -622,18 +639,11 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     )
     WHERE rank <= {_TOPK}
-    """,
-)
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned ANN (X3 scale path): coarse cells = `label`, centroids =
-    per-cell means (rounded so both engines agree bit-for-bit); each query
-    probes only its best cell, so the corpus scan drops to ~1/n_cells.
-
-    100 TB shape: centroid table is tiny -> broadcast to assign queries;
-    the corpus join is an equi-join on the cell id (bucket/partition the
-    corpus by cell to make it shuffle-free); per-query top-k via
-    WindowGroupLimit. No UDFs, everything codegen.
     """
+
+
+def ivf_topk_frame(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
+    """IVF top-k plan, parameterized by the number of probed cells."""
     emb = scale_out(load_table(spark, sf_dir, "embeddings"))
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
@@ -658,7 +668,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         q.crossJoin(F.broadcast(cent))
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_probe)
         .select("query_id", "qv", "label")
     )
     scored = (
@@ -682,6 +692,21 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= _TOPK)
     )
+
+
+@register("similarity_ivf_topk", oracle=ivf_oracle(1))
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN (X3 scale path): coarse cells = `label`, centroids =
+    per-cell means (rounded so both engines agree bit-for-bit); each query
+    probes only its best cell, so the corpus scan drops to ~1/n_cells.
+
+    100 TB shape: centroid table is tiny -> broadcast to assign queries;
+    the corpus join is an equi-join on the cell id (bucket/partition the
+    corpus by cell to make it shuffle-free); per-query top-k via
+    WindowGroupLimit. No UDFs, everything codegen. Multi-probe recall
+    variant: ``similarity_ivf_multiprobe`` (plans/clustering.py).
+    """
+    return ivf_topk_frame(spark, sf_dir, 1)
 
 
 @register(
