@@ -18,7 +18,7 @@ strong value-hash check despite being "non-SQL-shaped" operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
@@ -188,15 +188,19 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared-L2 distance per vector.
 
     Scale shape (MLlib's): the k×d centroid model is DRIVER-resident —
-    k·d doubles, independent of corpus size — and each round is one
-    distributed job (broadcast centroids → assign via ||x||²+||c||²-2x·c
-    with per-row norms precomputed once → per-(cluster,pos) partial-agg
-    means). The corpus is never collected, never re-shuffled: assignment
-    is a broadcast cross-join + WindowGroupLimit-style argmin.
+    k·d doubles collected per round, independent of corpus size — and
+    inlined into the assignment expression as literal arrays, so
+    assignment is a SHUFFLE-FREE narrow map: per row, k ordered-fold
+    dot products and an `array_min` over (dist, cluster) structs. No
+    cross join, no window, no exchange; the corpus is scanned once per
+    round. The centroid update is one partial-agg shuffle over k·d
+    groups.
 
     Determinism: distances are ordered folds rounded(6) before the argmin
-    (tie → lowest cluster id); updated centroids round(6) per coordinate.
-    The oracle unrolls the same rounds as CTEs — bit-identical path.
+    (struct ordering ties → lowest cluster id); updated centroids
+    round(6) per coordinate; the driver-side ||c||² fold runs in the same
+    order as the engines' folds (IEEE doubles — bit-identical). The
+    oracle unrolls the same rounds as CTEs — bit-identical path.
     """
     emb = scale_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
@@ -204,31 +208,55 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(sim.dot_expr("embedding", "embedding")).alias("sqn"),
     ).persist()
 
-    def assign(cent: DataFrame) -> DataFrame:
-        dist = F.round(
-            F.col("sqn")
-            + F.expr(sim.dot_expr("cvec", "cvec"))
-            - 2 * F.expr(sim.dot_expr("embedding", "cvec")),
-            6,
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
-        return (
-            emb.crossJoin(F.broadcast(cent))
-            .select("vec_id", "embedding", "cluster", dist.alias("dist"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+    def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
+        choices = []
+        for cid, cvec in sorted(cents):
+            lit = "array({})".format(
+                ", ".join(f"CAST({v!r} AS DOUBLE)" for v in cvec)
+            )
+            cnorm = 0.0
+            for v in cvec:  # same left-fold order as dot_expr/duck_dot_expr
+                cnorm = cnorm + v * v
+            dist = F.round(
+                F.col("sqn")
+                + F.lit(cnorm)
+                - 2 * F.expr(sim.dot_expr("embedding", lit)),
+                6,
+            )
+            choices.append(
+                F.struct(
+                    dist.alias("dist"),
+                    F.lit(cid).cast("long").alias("cluster"),
+                )
+            )
+        best = F.array_min(F.array(*choices))
+        return emb.select(
+            "vec_id",
+            "embedding",
+            best["cluster"].alias("cluster"),
+            best["dist"].alias("dist"),
         )
 
-    cent = emb.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cluster"),
-        F.expr("transform(embedding, cs_x -> CAST(cs_x AS DOUBLE))").alias("cvec"),
-    )
+    cents = [
+        (int(r.cluster), list(r.cvec))
+        for r in emb.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.col("vec_id").alias("cluster"),
+            F.expr("transform(embedding, cs_x -> CAST(cs_x AS DOUBLE))").alias(
+                "cvec"
+            ),
+        )
+        .collect()
+    ]
     for rnd in range(1, _KM_ROUNDS + 1):
-        assigned = assign(cent)
+        assigned = assign(cents)
         if rnd == _KM_ROUNDS:
             break
-        cent = (
-            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+        cents = [
+            (int(r.cluster), list(r.cvec))
+            for r in assigned.select(
+                "cluster", F.posexplode("embedding").alias("pos", "v")
+            )
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cval"))
             .groupBy("cluster")
@@ -238,8 +266,8 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " cs_s -> cs_s.cval)"
                 ).alias("cvec")
             )
-            .localCheckpoint()  # materialize the round: constant-depth plan
-        )
+            .collect()
+        ]
     return assigned.select("vec_id", "cluster", "dist")
 
 
