@@ -221,6 +221,84 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns: RE2 (DuckDB) and java.util.regex (Spark) agree on this
+# subset — character classes, bounded/unbounded counted repeats, \b — so
+# the redaction is bit-identical cross-engine. No lookaround, no backrefs.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE_RE = r"\+\d[\d-]{6,}\d"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(raw, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PII_IP_RE}', '<IP>', 'g'),
+               '{_PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(raw, '{_PII_EMAIL_RE}')) AS n_email,
+           len(regexp_extract_all(raw, '{_PII_IP_RE}'))    AS n_ip,
+           len(regexp_extract_all(raw, '{_PII_PHONE_RE}')) AS n_phone
+    FROM synth
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (X4): replace emails, IPv4 addresses, and phone
+    numbers with placeholder tokens and count each kind — the scrub pass a
+    training corpus gets before packing. Narrow per-row regexp work, no
+    shuffle, scales linearly.
+
+    The fixture corpus carries no PII, so the query first synthesizes a
+    deterministic contact line from doc_id (identically in both engines)
+    and then redacts it — the oracle checks real substitutions, not a
+    no-op. Redaction order (email → ip → phone) matches on both sides so
+    intermediate placeholders can't shadow later patterns.
+    """
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    synth = docs.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("raw", _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_IP_RE,
+            "<IP>",
+        ),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return synth.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_IP_RE), 0))
+        .cast("long")
+        .alias("n_ip"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phone"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X1/X2 — deduplication: exact → n-gram Jaccard → MinHash-LSH → SimHash
 # ---------------------------------------------------------------------------

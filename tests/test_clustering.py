@@ -59,6 +59,22 @@ def test_kmeans_partitions_all_vectors(spark, sf_dir):
     assert all(r.dist >= 0 for r in rows)
 
 
+def test_kmeans_assignment_is_narrow(spark, sf_dir):
+    """The final assignment pass must be a narrow map over the cached
+    corpus: centroids are driver-resident literals, so there is no join,
+    no window, and no exchange above the cached scan."""
+    plan = (
+        QUERIES["kmeans_embeddings"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Join" not in plan
+    above_cache = plan.split("InMemoryTableScan")[0]
+    assert "Exchange" not in above_cache
+
+
 def test_multiprobe_never_worse_than_single_probe(spark, sf_dir):
     """Probing 2 cells draws candidates from a superset of 1-cell probing,
     so at every (query, rank) the multi-probe cosine is >= single-probe."""
