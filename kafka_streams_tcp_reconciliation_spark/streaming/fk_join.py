@@ -1,0 +1,218 @@
+"""Streaming KTable foreign-key join (SURVEY.md §2.3 J6 in TRUE streaming
+mode — Kafka Streams' KIP-213, the hardest join in the reference's DSL).
+
+A FK join differs from the equi-key J5 join in two ways the simple
+dual-changelog keeper cannot express:
+
+1. The left table is keyed by its own PK but joins on a FIELD of the
+   value (the FK). When a left upsert CHANGES the FK, the join row built
+   against the old FK's dimension must be retracted — some operator has
+   to remember "which FK did this PK reference last time".
+2. When the dimension row for a FK changes, EVERY left row referencing
+   it must be re-emitted (one-to-many fan-out on the right side's
+   update).
+
+Kafka Streams solves this with a two-stage topology split at repartition
+topics: a subscription processor on the left (keyed by PK, emits
+subscribe/unsubscribe messages re-keyed by FK) and a join processor on
+the right (keyed by FK, stores the dimension row plus the subscriber
+set). This module composes the same topology from Spark primitives:
+
+- ``fk_subscription_stream`` — ``applyInPandasWithState`` keyed by PK;
+  state = latest (fk, ts); emits ``sub`` for the new FK and ``unsub``
+  for the previous FK when it changed.
+- ``fk_join_stream`` — union of the subscription stream and the tagged
+  dimension changelog, ``applyInPandasWithState`` keyed by FK; state =
+  latest dimension value + the subscriber set; emits the joined
+  changelog on subscription (if the dimension exists) and re-broadcasts
+  all subscribers on a dimension update.
+
+The stage boundary is any replayable sink+source pair (in Kafka Streams
+it is literally a repartition topic; the test uses a parquet directory).
+Downstream consumers keep the last emission per PK ordered by
+(left_ts, right_ts) — update-mode changelog semantics, exactly like the
+J5 keeper.
+
+State per FK group is the dimension row plus one (pk, value, ts) triple
+per subscriber — proportional to the FK's fan-in, not the corpus; the
+shuffles are the two re-keyings the reference also pays (PK, then FK).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SUB_SCHEMA = T.StructType(
+    [
+        T.StructField("fk", T.StringType()),
+        T.StructField("pk", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("op", T.StringType()),  # 's'ubscribe / 'u'nsubscribe
+    ]
+)
+
+_SUB_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("fk", T.StringType()),
+        T.StructField("ts", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("pk", T.LongType()),
+        T.StructField("fk", T.StringType()),
+        T.StructField("left_value", T.DoubleType()),
+        T.StructField("right_value", T.DoubleType()),
+        T.StructField("left_ts_us", T.LongType()),
+        T.StructField("right_ts_us", T.LongType()),
+    ]
+)
+
+_JOIN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("r_val", T.DoubleType()),
+        T.StructField("r_ts", T.LongType()),
+        T.StructField("sub_pks", T.ArrayType(T.LongType())),
+        T.StructField("sub_vals", T.ArrayType(T.DoubleType())),
+        T.StructField("sub_tss", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def fk_subscription_stream(left: DataFrame, pk: str, fk: str) -> DataFrame:
+    """Stage 1 (KIP-213 subscription side): consume the left changelog
+    keyed by ``pk``, remember the last FK each PK referenced, and emit
+    subscription messages keyed by FK — ``sub`` to the current FK, plus
+    ``unsub`` to the previous FK whenever an upsert moved the PK."""
+
+    def router(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (pk_val,) = key
+        prev_fk, prev_ts = state.get if state.exists else (None, None)
+        out: list[dict[str, Any]] = []
+        for pdf in batches:
+            for r in pdf.sort_values("ts").itertuples(index=False):
+                ts_us = int(pd.Timestamp(r.ts).value // 1000)
+                if prev_ts is not None and ts_us < prev_ts:
+                    continue  # stale upsert — KTable keeps the latest
+                new_fk = str(r.fk)
+                if prev_fk is not None and prev_fk != new_fk:
+                    out.append(
+                        {"fk": prev_fk, "pk": pk_val, "value": None,
+                         "ts_us": ts_us, "op": "u"}
+                    )
+                out.append(
+                    {"fk": new_fk, "pk": pk_val, "value": float(r.value),
+                     "ts_us": ts_us, "op": "s"}
+                )
+                prev_fk, prev_ts = new_fk, ts_us
+        state.update((prev_fk, prev_ts))
+        yield pd.DataFrame(out, columns=["fk", "pk", "value", "ts_us", "op"])
+
+    keyed = left.select(
+        F.col(pk).alias("pk"), F.col(fk).alias("fk"), F.col("ts"), F.col("value")
+    )
+    return keyed.groupBy("pk").applyInPandasWithState(
+        router,
+        outputStructType=SUB_SCHEMA,
+        stateStructType=_SUB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def fk_join_stream(subs: DataFrame, right: DataFrame, rkey: str) -> DataFrame:
+    """Stage 2 (KIP-213 join side): union the subscription stream with
+    the dimension changelog, key by FK, and maintain (dimension row +
+    subscriber set) per FK. Emits the inner-join changelog: on ``sub``
+    when the dimension exists, and for every subscriber when the
+    dimension updates."""
+
+    def joiner(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (fk_val,) = key
+        if state.exists:
+            r_val, r_ts, sub_pks, sub_vals, sub_tss = state.get
+            subs_map = {
+                int(p): (float(v), int(t))
+                for p, v, t in zip(sub_pks, sub_vals, sub_tss)
+            }
+        else:
+            r_val, r_ts = None, None
+            subs_map = {}
+        out: list[dict[str, Any]] = []
+
+        def emit(pk_val: int, l_val: float, l_ts: int) -> None:
+            out.append(
+                {"pk": pk_val, "fk": fk_val, "left_value": l_val,
+                 "right_value": r_val, "left_ts_us": l_ts,
+                 "right_ts_us": r_ts}
+            )
+
+        for pdf in batches:
+            # deterministic replay order: event time, then op ('r' < 's'
+            # < 'u'), then pk — ties between a dim update and a sub at
+            # the same instant resolve identically on every run
+            for r in pdf.sort_values(["ts_us", "op", "pk"]).itertuples(index=False):
+                if r.op == "r":
+                    if r_ts is None or r.ts_us >= r_ts:
+                        r_val, r_ts = float(r.value), int(r.ts_us)
+                        for p, (lv, lt) in sorted(subs_map.items()):
+                            emit(p, lv, lt)
+                elif r.op == "s":
+                    subs_map[int(r.pk)] = (float(r.value), int(r.ts_us))
+                    if r_ts is not None:
+                        emit(int(r.pk), float(r.value), int(r.ts_us))
+                else:  # 'u' — the PK moved to another FK
+                    subs_map.pop(int(r.pk), None)
+        state.update(
+            (
+                r_val,
+                r_ts,
+                list(subs_map),
+                [v for v, _ in subs_map.values()],
+                [t for _, t in subs_map.values()],
+            )
+        )
+        yield pd.DataFrame(
+            out,
+            columns=["pk", "fk", "left_value", "right_value",
+                     "left_ts_us", "right_ts_us"],
+        )
+
+    tagged_right = right.select(
+        F.col(rkey).cast("string").alias("fk"),
+        F.lit(None).cast("long").alias("pk"),
+        F.col("value").cast("double").alias("value"),
+        # naive-as-UTC epoch micros — same convention as pd.Timestamp
+        # .value in the stage-1 router, so cross-stage ordering agrees
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        F.lit("r").alias("op"),
+    )
+    unioned = subs.select("fk", "pk", "value", "ts_us", "op").unionByName(
+        tagged_right
+    )
+    return unioned.groupBy("fk").applyInPandasWithState(
+        joiner,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=_JOIN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

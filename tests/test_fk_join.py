@@ -1,0 +1,95 @@
+"""J6 streaming foreign-key KTable join (KIP-213 topology) — the final
+emission per PK must equal the batch FK join of the two latest-per-key
+snapshots, including PKs whose FK CHANGED mid-stream (the unsubscribe
+path) and dimension updates after subscription (the re-broadcast path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.operators.ktable import latest_by_key
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+from kafka_streams_tcp_reconciliation_spark.streaming.fk_join import (
+    SUB_SCHEMA,
+    fk_join_stream,
+    fk_subscription_stream,
+)
+from kafka_streams_tcp_reconciliation_spark.streaming.source import chunked_event_stream
+
+
+def test_fk_join_converges_to_batch_snapshot(spark, sf_dir, tmp_path):
+    # left KTable: latest event per user (PK=user_id, FK=event_type);
+    # right KTable: latest event value per event_type. Users change event
+    # types over time, so FK moves (unsubscribes) really happen.
+    chunks = str(tmp_path / "chunks")
+    topic = str(tmp_path / "subs_topic")
+
+    # stage 1: subscription router, PK-keyed state, writes the
+    # "repartition topic" (a replayable parquet dir here)
+    left = chunked_event_stream(spark, sf_dir, chunks, n_chunks=3)
+    q1 = (
+        fk_subscription_stream(left, pk="user_id", fk="event_type")
+        .writeStream.format("parquet")
+        .option("path", topic)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(timeout=300)
+
+    # stage 2: FK-keyed joiner over subscriptions ∪ dimension changelog
+    subs = spark.readStream.schema(SUB_SCHEMA).parquet(topic)
+    right = chunked_event_stream(spark, sf_dir, chunks, n_chunks=3)
+    q2 = (
+        fk_join_stream(subs, right, rkey="event_type")
+        .writeStream.format("memory")
+        .queryName("t_fkjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(timeout=300)
+
+    got = {
+        r.pk: (r.fk, r.left_value, r.right_value)
+        for r in spark.sql(
+            """
+            SELECT pk, fk, left_value, right_value FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY pk
+                  ORDER BY left_ts_us DESC, right_ts_us DESC) AS rn
+              FROM t_fkjoin
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    latest_user = latest_by_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_type", "value")
+    latest_type = latest_by_key(
+        ev, ["event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("event_type", F.col("value").alias("rv"))
+    want = {
+        r.user_id: (r.event_type, r.value, r.rv)
+        for r in latest_user.join(latest_type, "event_type").collect()
+    }
+
+    assert set(got) == set(want)
+    n_moved = 0
+    first_type = {
+        r.user_id: r.event_type
+        for r in latest_by_key(
+            ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()]
+        ).collect()
+    }
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+        if first_type[k] != want[k][0]:
+            n_moved += 1
+    # the fixture must actually exercise the FK-change/unsubscribe path
+    assert n_moved > 0, "no user ever changed event_type — test is vacuous"
