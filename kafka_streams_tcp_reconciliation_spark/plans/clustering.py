@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
+from kafka_streams_tcp_reconciliation_spark.operators.graph import (
+    connected_components_propagate,
+)
 from kafka_streams_tcp_reconciliation_spark.plans import register
 from kafka_streams_tcp_reconciliation_spark.plans.llm import (
     SIMHASH_CAND_CTES,
@@ -69,58 +72,26 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows where doc_id == canonical_id dedups transitively — A~B~C keeps
     only A even when A,C were never directly paired.
 
-    Min-label propagation: every node starts labeled with its own id; each
-    round takes the min of its own and its neighbors' labels, until a
-    fixed point. Per-round cost is one shuffle join on dst + one groupBy
-    src — both distributed, nothing corpus-sized on the driver; rounds =
-    cluster diameter (near-dup clusters are shallow — dozens of rounds
-    would mean a pathological chain; large-star/small-star contraction is
-    the published fix if a corpus produces one). The edge list is persisted
-    so the SimHash pipeline runs once, not once per round; labels are
-    localCheckpoint'ed per round to keep the plan tree constant-depth.
+    Components via min-label propagation (``operators/graph.py``):
+    rounds = cluster diameter, ideal for shallow near-dup clusters. If a
+    corpus ever produces a pathological chain, swap in the diameter-proof
+    ``connected_components_star`` from the same module — identical
+    (node, component) contract, O(log n) rounds (both are property-tested
+    equal in tests/test_graph.py).
 
-    The oracle mirrors the exact fixpoint with a recursive transitive
-    closure over the same pair CTEs — identical clusters by construction.
+    The oracle mirrors the same components with a recursive transitive
+    closure over the same pair CTEs — identical clusters by construction
+    (the component labeling is algorithm-independent: min doc_id).
     """
     pairs = simhash_pair_frame(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    while True:
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        relabeled = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
-            .select(
-                labels["doc_id"],
-                labels["label"].alias("old_label"),
-                F.least(
-                    labels["label"], F.coalesce("nbr_min", labels["label"])
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = relabeled.filter(F.col("label") != F.col("old_label")).count()
-        labels = relabeled.select("doc_id", "label")
-        if changed == 0:
-            break
-    edges.unpersist()
-    sizes = labels.groupBy("label").agg(
+    labels = connected_components_propagate(pairs, "doc_a", "doc_b")
+    sizes = labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return labels.join(sizes, "label").select(
-        "doc_id", F.col("label").alias("canonical_id"), "cluster_size"
+    return labels.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
     )
 
 
