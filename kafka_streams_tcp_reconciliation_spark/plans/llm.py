@@ -788,6 +788,78 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               embedding,
+               round(greatest(
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(embedding,
+                               cs_x -> abs(CAST(cs_x AS DOUBLE)))),
+                       (cs_a, cs_x) -> greatest(cs_a, cs_x)),
+                   CAST(1e-12 AS DOUBLE)) / 127.0, 9) AS qscale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           qscale,
+           array_to_string(list_transform(embedding,
+               cs_x -> CAST(CAST(round(CAST(cs_x AS DOUBLE) / qscale) AS INT)
+                            AS VARCHAR)), ',') AS q8_csv,
+           round(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(embedding, cs_x ->
+                       (CAST(cs_x AS DOUBLE)
+                        - round(CAST(cs_x AS DOUBLE) / qscale) * qscale)
+                       * (CAST(cs_x AS DOUBLE)
+                          - round(CAST(cs_x AS DOUBLE) / qscale) * qscale))),
+               (cs_a, cs_v) -> cs_a + cs_v) / len(embedding), 9) AS mse
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (X3 storage path): per-vector
+    scale = max|x|/127, quantized codes, and the reconstruction MSE —
+    the compression pass that shrinks an embedding corpus 4x before
+    ANN serving. Narrow per-row HOF arithmetic, no shuffle, no UDF.
+
+    Determinism: scale is round(9)ed before use; round() is
+    half-away-from-zero in both engines; MSE is an ordered fold over the
+    identical reconstruction expression, round(9)ed. The codes come back
+    as int32 on both sides (DuckDB's round-to-nearest double->INT cast
+    vs Spark's truncation is moot — the input is already integral).
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "round(greatest("
+            " aggregate(transform(embedding, cs_x -> abs(CAST(cs_x AS DOUBLE))),"
+            "  CAST(0 AS DOUBLE), (cs_a, cs_x) -> greatest(cs_a, cs_x)),"
+            " CAST(1e-12 AS DOUBLE)) / 127.0, 9)"
+        ).alias("qscale"),
+    )
+    return scaled.select(
+        "vec_id",
+        "qscale",
+        F.expr(
+            "array_join(transform(embedding,"
+            " cs_x -> CAST(CAST(round(CAST(cs_x AS DOUBLE) / qscale) AS INT)"
+            " AS STRING)), ',')"
+        ).alias("q8_csv"),
+        F.expr(
+            "round(aggregate(transform(embedding, cs_x ->"
+            " (CAST(cs_x AS DOUBLE) - round(CAST(cs_x AS DOUBLE) / qscale) * qscale)"
+            " * (CAST(cs_x AS DOUBLE) - round(CAST(cs_x AS DOUBLE) / qscale) * qscale)),"
+            " CAST(0 AS DOUBLE), (cs_a, cs_v) -> cs_a + cs_v)"
+            " / size(embedding), 9)"
+        ).alias("mse"),
+    )
+
+
+@register(
     "dedup_embedding_neardup",
     oracle=f"""
     WITH e AS (
