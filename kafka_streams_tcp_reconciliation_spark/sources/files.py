@@ -55,6 +55,20 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
     )
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC interchange: columnar like parquet (pushdown, splittable) —
+    for pipelines whose upstream lake is ORC/Hive."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).orc(path)
+
+
+def read_table_orc(spark: SparkSession, path: str, table: str) -> DataFrame:
+    return read_orc(spark, path, schema_for(table))
+
+
 def to_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Normalize any ingested frame to the engine's canonical format."""
     w = df.write.mode("overwrite")

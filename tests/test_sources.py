@@ -28,6 +28,20 @@ def test_csv_roundtrip(spark, sf_dir, tmp_path, table):
     _assert_same(src, back, table)
 
 
+@pytest.mark.parametrize("table", ["orders", "embeddings"])
+def test_orc_roundtrip(spark, sf_dir, tmp_path, table):
+    src = load_table(spark, sf_dir, table)
+    path = str(tmp_path / f"{table}_orc")
+    fs.write_orc(src, path)
+    back = fs.read_table_orc(spark, path, table)
+    assert back.schema == src.schema
+    _assert_same(
+        src.withColumn("r", F.to_json(F.struct("*"))).select("r"),
+        back.withColumn("r", F.to_json(F.struct("*"))).select("r"),
+        table,
+    )
+
+
 @pytest.mark.parametrize("table", ["orders", "documents"])
 def test_jsonl_roundtrip(spark, sf_dir, tmp_path, table):
     src = load_table(spark, sf_dir, table)
