@@ -512,3 +512,49 @@ def windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- anomaly detection: per-type z-score outliers -------------------------
+
+
+@register(
+    "value_zscore_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               avg(value)        AS mu,
+               stddev_pop(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) > 2
+    """,
+)
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly flagging — the reconciliation
+    domain's "this flow's latency is abnormal" query. Two-pass shape that
+    scales: a tiny per-type stats aggregate (4 rows) broadcast back onto
+    the event scan; no window over the full corpus, no second wide
+    shuffle.
+
+    Cross-engine: mu/sigma differ between engines in the last ulp (double
+    summation order), so z is rounded(4); the >2 cut sits far from any
+    fixture value's ulp neighborhood.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("z"),
+        )
+    )
