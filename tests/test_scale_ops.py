@@ -124,3 +124,47 @@ def test_salted_agg_on_skewed_data(spark):
         .count()
     )
     assert hot_salts > 1
+
+
+def test_zorder_layout_prunes_on_secondary_column(spark, sf_dir, tmp_path):
+    """Files laid out in Morton order over (user_id, value-bucket) must
+    let a selective filter on the SECOND dimension skip files that a
+    plain user_id-sorted layout cannot (its value ranges span every
+    file). This is the min/max pruning the parquet reader applies at
+    scale, measured directly on the file footprints."""
+    from kafka_streams_tcp_reconciliation_spark.sources.bucketing import write_zordered
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", (F.col("value").cast("int")).alias("v_int"))
+    )
+    linear, zordered = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(linear)
+    )
+    write_zordered(ev, zordered, ["user_id", "v_int"], num_files=8, bits=10)
+
+    def overlapping_files(path: str, lo: int, hi: int) -> tuple[int, int]:
+        import glob
+
+        files = glob.glob(f"{path}/part-*.parquet")
+        hit = 0
+        for f in files:
+            r = (
+                spark.read.parquet(f)
+                .agg(F.min("v_int").alias("lo"), F.max("v_int").alias("hi"))
+                .first()
+            )
+            if r.lo <= hi and r.hi >= lo:
+                hit += 1
+        return hit, len(files)
+
+    # a band in the dense region of the (skewed) value distribution:
+    # every linear file spans it, few z-ordered files do
+    hit_lin, n_lin = overlapping_files(linear, 150, 200)
+    hit_z, n_z = overlapping_files(zordered, 150, 200)
+    assert n_lin == n_z == 8
+    assert hit_lin >= 6, "linear layout unexpectedly clustered v_int"
+    assert hit_z < hit_lin, (hit_z, hit_lin)
