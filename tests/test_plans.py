@@ -172,3 +172,22 @@ def test_two_level_gram_hash_not_inlined(spark, sf_dir, name):
     plan = plan_of(QUERIES[name](spark, sf_dir))
     assert "slice(transform(split" not in plan
     assert "size(transform(sequence" not in plan  # filter over computed grams
+
+
+@pytest.mark.parametrize("name", ["text_pii_redact", "embedding_quantize_int8"])
+def test_per_row_text_ops_are_narrow(spark, sf_dir, name):
+    """Redaction and quantization are per-row maps: the only exchange
+    allowed is scale_out's round-robin widening — never a hash shuffle,
+    join, or window."""
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    assert "Window" not in plan and "Join" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_zscore_stats_broadcast_not_collected(spark, sf_dir):
+    """The per-type (mu, sigma) stats reach the event scan via a
+    broadcast hash join — a 4-row build side, never a collect()ed
+    literal and never a corpus-wide window."""
+    plan = plan_of(QUERIES["value_zscore_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
