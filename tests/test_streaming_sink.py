@@ -93,3 +93,55 @@ def test_state_store_reader(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM t5_state").collect()
     }
     assert got == want
+
+
+def test_rocksdb_state_store_provider_runs_stateful_query(spark, sf_dir, tmp_path):
+    """S7 durability: the same windowed stateful pipeline must run (and
+    produce identical results) with the RocksDB state store provider —
+    the store the reference's RocksDB-backed KTables correspond to. Set
+    per-test and restored, since tiny local tests don't need it."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = chunked_event_stream(
+            spark, sf_dir, str(tmp_path / "chunks"), n_chunks=3
+        )
+        counts = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("window.start", "event_type", "n")
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("t_rocksdb")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+        got = {
+            (r.start, r.event_type): r.n
+            for r in spark.sql("SELECT * FROM t_rocksdb").collect()
+        }
+        from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+        want = {
+            (r.start, r.event_type): r.n
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("window.start", "event_type", "n")
+            .collect()
+        }
+        assert got == want and got
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
