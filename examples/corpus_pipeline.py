@@ -41,6 +41,17 @@ def main() -> None:
     contaminated = q["decontaminate_train_eval"](spark, sf_dir)
     print(f"train docs sharing an 8-gram with the eval split: {contaminated.count()}")
 
+    clusters = q["dedup_cluster_resolve"](spark, sf_dir)
+    n_members = clusters.count()
+    n_keep = clusters.filter("doc_id = canonical_id").count()
+    print(
+        f"near-dup clusters: {n_members} docs in clusters, "
+        f"{n_keep} canonical keepers (transitive A~B~C keeps one)"
+    )
+
+    redacted = q["text_pii_redact"](spark, sf_dir)
+    print(f"PII-scrubbed docs: {redacted.count()}")
+
     rep = q["doc_repetition_score"](spark, sf_dir)
     print("most-repetitive documents (duplicate 5-gram fraction):")
     rep.orderBy(rep.dup_gram_frac.desc(), "doc_id").show(5)
