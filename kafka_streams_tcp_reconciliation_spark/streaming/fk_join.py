@@ -20,7 +20,10 @@ set). This module composes the same topology from Spark primitives:
 
 - ``fk_subscription_stream`` — ``applyInPandasWithState`` keyed by PK;
   state = latest (fk, ts); emits ``sub`` for the new FK and ``unsub``
-  for the previous FK when it changed.
+  for the previous FK when it changed. A NULL left value is a KTable
+  tombstone (delete): it unsubscribes with a ``d`` marker and the
+  joiner emits a null-valued retraction so downstream latest-per-PK
+  consumers see the row disappear.
 - ``fk_join_stream`` — union of the subscription stream and the tagged
   dimension changelog, ``applyInPandasWithState`` keyed by FK; state =
   latest dimension value + the subscriber set; emits the joined
@@ -55,7 +58,9 @@ SUB_SCHEMA = T.StructType(
         T.StructField("pk", T.LongType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("ts_us", T.LongType()),
-        T.StructField("op", T.StringType()),  # 's'ubscribe / 'u'nsubscribe
+        # 's'ubscribe / 'u'nsubscribe (FK move) / 'd'elete (tombstone —
+        # unsubscribe AND retract the join row downstream)
+        T.StructField("op", T.StringType()),
     ]
 )
 
@@ -107,6 +112,17 @@ def fk_subscription_stream(left: DataFrame, pk: str, fk: str) -> DataFrame:
                 ts_us = int(pd.Timestamp(r.ts).value // 1000)
                 if prev_ts is not None and ts_us < prev_ts:
                     continue  # stale upsert — KTable keeps the latest
+                if pd.isna(r.value):
+                    # tombstone: the left row is DELETED — unsubscribe
+                    # from whatever FK it referenced (KTable null-value
+                    # semantics); the joiner emits the retraction
+                    if prev_fk is not None:
+                        out.append(
+                            {"fk": prev_fk, "pk": pk_val, "value": None,
+                             "ts_us": ts_us, "op": "d"}
+                        )
+                    prev_fk, prev_ts = None, ts_us
+                    continue
                 new_fk = str(r.fk)
                 if prev_fk is not None and prev_fk != new_fk:
                     out.append(
@@ -165,9 +181,9 @@ def fk_join_stream(subs: DataFrame, right: DataFrame, rkey: str) -> DataFrame:
             )
 
         for pdf in batches:
-            # deterministic replay order: event time, then op ('r' < 's'
-            # < 'u'), then pk — ties between a dim update and a sub at
-            # the same instant resolve identically on every run
+            # deterministic replay order: event time, then op ('d' < 'r'
+            # < 's' < 'u'), then pk — ties between a dim update and a sub
+            # at the same instant resolve identically on every run
             for r in pdf.sort_values(["ts_us", "op", "pk"]).itertuples(index=False):
                 if r.op == "r":
                     if r_ts is None or r.ts_us >= r_ts:
@@ -178,8 +194,15 @@ def fk_join_stream(subs: DataFrame, right: DataFrame, rkey: str) -> DataFrame:
                     subs_map[int(r.pk)] = (float(r.value), int(r.ts_us))
                     if r_ts is not None:
                         emit(int(r.pk), float(r.value), int(r.ts_us))
-                else:  # 'u' — the PK moved to another FK
+                elif r.op == "u":  # the PK moved to another FK — the new
+                    subs_map.pop(int(r.pk), None)  # sub's row supersedes
+                else:  # 'd' — tombstone: retract the join row downstream
                     subs_map.pop(int(r.pk), None)
+                    out.append(
+                        {"pk": int(r.pk), "fk": fk_val, "left_value": None,
+                         "right_value": None, "left_ts_us": int(r.ts_us),
+                         "right_ts_us": int(r.ts_us)}
+                    )
         state.update(
             (
                 r_val,

@@ -93,3 +93,92 @@ def test_fk_join_converges_to_batch_snapshot(spark, sf_dir, tmp_path):
             n_moved += 1
     # the fixture must actually exercise the FK-change/unsubscribe path
     assert n_moved > 0, "no user ever changed event_type — test is vacuous"
+
+
+def test_fk_join_tombstone_retracts_join_row(spark, sf_dir, tmp_path):
+    """A null left value is a KTable delete: after the tombstone the
+    final emission for that PK must be a retraction (null values), and
+    every surviving PK must still match the batch snapshot with the
+    deleted users excluded."""
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    dead = [0, 1, 2]
+    tombs = (
+        ev.filter(F.col("user_id").isin(dead))
+        .groupBy("user_id")
+        .agg(F.first("event_type").alias("event_type"))
+        .select(
+            "user_id",
+            "event_type",
+            F.lit(max_ts + __import__("datetime").timedelta(hours=1)).alias("ts"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    live = ev.select("user_id", "event_type", "ts", "value")
+    chunk_dir = tmp_path / "left_chunks"
+    chunk_dir.mkdir()
+    for i, part in enumerate([live, tombs]):
+        out = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(out))
+        (pf,) = out.glob("part-*.parquet")
+        pf.rename(chunk_dir / f"c{i:02d}.parquet")
+
+    left = (
+        spark.readStream.schema(live.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir))
+    )
+    topic = str(tmp_path / "subs_topic")
+    q1 = (
+        fk_subscription_stream(left, pk="user_id", fk="event_type")
+        .writeStream.format("parquet")
+        .option("path", topic)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(timeout=300)
+
+    subs = spark.readStream.schema(SUB_SCHEMA).parquet(topic)
+    right = chunked_event_stream(spark, sf_dir, str(tmp_path / "rchunks"), n_chunks=3)
+    q2 = (
+        fk_join_stream(subs, right, rkey="event_type")
+        .writeStream.format("memory")
+        .queryName("t_fkjoin_tomb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(timeout=300)
+
+    final = {
+        r.pk: (r.left_value, r.right_value)
+        for r in spark.sql(
+            """
+            SELECT pk, left_value, right_value FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY pk
+                  ORDER BY left_ts_us DESC, right_ts_us DESC) AS rn
+              FROM t_fkjoin_tomb
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    for u in dead:
+        assert u in final and final[u] == (None, None), (u, final.get(u))
+
+    latest_user = latest_by_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_type", "value")
+    latest_type = latest_by_key(
+        ev, ["event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("event_type", F.col("value").alias("rv"))
+    want = {
+        r.user_id: (r.value, r.rv)
+        for r in latest_user.join(latest_type, "event_type").collect()
+        if r.user_id not in dead
+    }
+    survivors = {k: v for k, v in final.items() if v[0] is not None}
+    assert survivors == want
