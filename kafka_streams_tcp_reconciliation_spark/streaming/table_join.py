@@ -7,7 +7,9 @@ from the engine's own primitives: tag and union the two changelogs (one
 co-partitioned shuffle on the key — exactly the reference's
 co-partitioning contract), then an ``applyInPandasWithState`` keeper with
 two state slots per key that emits on every update once both sides are
-populated (inner-join semantics; update-mode changelog output).
+populated (inner-join semantics; update-mode changelog output). A NULL
+value is a KTable tombstone: it clears its side's slot and retracts the
+join row (null-valued emission) if one existed.
 
 State is two scalars per key — constant memory, 100 TB-safe. Batch
 snapshot semantics of the same operator: ``latest_by_key`` each side +
@@ -69,13 +71,18 @@ def ktable_join_stream(
             pdf = pdf.sort_values("ts")
             for r in pdf.itertuples(index=False):
                 ts_us = int(pd.Timestamp(r.ts).value // 1000)
+                # a null value is a KTable tombstone: it clears the
+                # side's slot and (if the join row existed) retracts it
+                had_join = l_val is not None and r_val is not None
                 if r.side == "l":
                     if l_ts is None or ts_us >= l_ts:
-                        l_val, l_ts = float(r.value), ts_us
+                        l_val = None if pd.isna(r.value) else float(r.value)
+                        l_ts = ts_us
                 else:
                     if r_ts is None or ts_us >= r_ts:
-                        r_val, r_ts = float(r.value), ts_us
-                if l_ts is not None and r_ts is not None:
+                        r_val = None if pd.isna(r.value) else float(r.value)
+                        r_ts = ts_us
+                if l_val is not None and r_val is not None:
                     out.append(
                         {
                             "user_id": user_id,
@@ -83,6 +90,16 @@ def ktable_join_stream(
                             "right_value": r_val,
                             "left_ts_us": l_ts,
                             "right_ts_us": r_ts,
+                        }
+                    )
+                elif had_join:
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "left_value": None,
+                            "right_value": None,
+                            "left_ts_us": ts_us,
+                            "right_ts_us": ts_us,
                         }
                     )
         state.update((l_val, l_ts, r_val, r_ts))
