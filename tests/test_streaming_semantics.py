@@ -99,3 +99,38 @@ def test_session_window_stream_closes_sessions(spark, tmp_path):
     assert len(u1) == 1, f"expected one closed session, got\n{got}"
     assert int(u1.iloc[0]["n_events"]) == 3
     assert u1.iloc[0]["session_start"] == "2026-01-01 00:00:00"
+
+
+def test_streaming_anomaly_flags_match_batch_query(spark, sf_dir, tmp_path):
+    """Replaying the corpus through the streaming flagger with the
+    batch-trained profile must flag exactly the batch query's outlier
+    set (same ids, same rounded z)."""
+    from kafka_streams_tcp_reconciliation_spark.plans import all_queries
+    from kafka_streams_tcp_reconciliation_spark.streaming.anomaly import (
+        flag_anomalies_stream,
+        value_profile,
+    )
+    from kafka_streams_tcp_reconciliation_spark.streaming.source import (
+        chunked_event_stream,
+    )
+
+    stream = chunked_event_stream(spark, sf_dir, str(tmp_path / "chunks"), n_chunks=3)
+    q = (
+        flag_anomalies_stream(stream, value_profile(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("t_anomaly")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {
+        r.event_id: r.z
+        for r in spark.sql("SELECT event_id, z FROM t_anomaly").collect()
+    }
+    want = {
+        r.event_id: r.z
+        for r in all_queries()["value_zscore_outliers"](spark, sf_dir).collect()
+    }
+    assert got == want and got
