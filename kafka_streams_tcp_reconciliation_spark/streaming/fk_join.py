@@ -33,8 +33,9 @@ set). This module composes the same topology from Spark primitives:
 The stage boundary is any replayable sink+source pair (in Kafka Streams
 it is literally a repartition topic; the test uses a parquet directory).
 Downstream consumers keep the last emission per PK ordered by
-(left_ts, right_ts) — update-mode changelog semantics, exactly like the
-J5 keeper.
+(left_ts, left_seq, right_ts) — update-mode changelog semantics, exactly
+like the J5 keeper, with the router's per-PK seq breaking same-timestamp
+ties.
 
 State per FK group is the dimension row plus one (pk, value, ts) triple
 per subscriber — proportional to the FK's fan-in, not the corpus; the
@@ -61,6 +62,10 @@ SUB_SCHEMA = T.StructType(
         # 's'ubscribe / 'u'nsubscribe (FK move) / 'd'elete (tombstone —
         # unsubscribe AND retract the join row downstream)
         T.StructField("op", T.StringType()),
+        # per-PK monotone counter: linearizes this PK's sub/unsub
+        # messages even when several upserts share one event timestamp
+        # (same-ts FK flapping A->B->A must end subscribed at A)
+        T.StructField("seq", T.LongType()),
     ]
 )
 
@@ -68,6 +73,7 @@ _SUB_STATE_SCHEMA = T.StructType(
     [
         T.StructField("fk", T.StringType()),
         T.StructField("ts", T.LongType()),
+        T.StructField("seq", T.LongType()),
     ]
 )
 
@@ -78,6 +84,10 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("left_value", T.DoubleType()),
         T.StructField("right_value", T.DoubleType()),
         T.StructField("left_ts_us", T.LongType()),
+        # the originating subscription's per-PK seq: downstream
+        # latest-per-PK consumers order by (left_ts_us, left_seq,
+        # right_ts_us) so same-timestamp FK flapping still resolves
+        T.StructField("left_seq", T.LongType()),
         T.StructField("right_ts_us", T.LongType()),
     ]
 )
@@ -89,6 +99,7 @@ _JOIN_STATE_SCHEMA = T.StructType(
         T.StructField("sub_pks", T.ArrayType(T.LongType())),
         T.StructField("sub_vals", T.ArrayType(T.DoubleType())),
         T.StructField("sub_tss", T.ArrayType(T.LongType())),
+        T.StructField("sub_seqs", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -105,8 +116,19 @@ def fk_subscription_stream(left: DataFrame, pk: str, fk: str) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (pk_val,) = key
-        prev_fk, prev_ts = state.get if state.exists else (None, None)
+        prev_fk, prev_ts, seq = (
+            state.get if state.exists else (None, None, 0)
+        )
         out: list[dict[str, Any]] = []
+
+        def put(fk: str, value: float | None, ts_us: int, op: str) -> None:
+            nonlocal seq
+            seq += 1
+            out.append(
+                {"fk": fk, "pk": pk_val, "value": value, "ts_us": ts_us,
+                 "op": op, "seq": seq}
+            )
+
         for pdf in batches:
             for r in pdf.sort_values("ts").itertuples(index=False):
                 ts_us = int(pd.Timestamp(r.ts).value // 1000)
@@ -117,25 +139,18 @@ def fk_subscription_stream(left: DataFrame, pk: str, fk: str) -> DataFrame:
                     # from whatever FK it referenced (KTable null-value
                     # semantics); the joiner emits the retraction
                     if prev_fk is not None:
-                        out.append(
-                            {"fk": prev_fk, "pk": pk_val, "value": None,
-                             "ts_us": ts_us, "op": "d"}
-                        )
+                        put(prev_fk, None, ts_us, "d")
                     prev_fk, prev_ts = None, ts_us
                     continue
                 new_fk = str(r.fk)
                 if prev_fk is not None and prev_fk != new_fk:
-                    out.append(
-                        {"fk": prev_fk, "pk": pk_val, "value": None,
-                         "ts_us": ts_us, "op": "u"}
-                    )
-                out.append(
-                    {"fk": new_fk, "pk": pk_val, "value": float(r.value),
-                     "ts_us": ts_us, "op": "s"}
-                )
+                    put(prev_fk, None, ts_us, "u")
+                put(new_fk, float(r.value), ts_us, "s")
                 prev_fk, prev_ts = new_fk, ts_us
-        state.update((prev_fk, prev_ts))
-        yield pd.DataFrame(out, columns=["fk", "pk", "value", "ts_us", "op"])
+        state.update((prev_fk, prev_ts, seq))
+        yield pd.DataFrame(
+            out, columns=["fk", "pk", "value", "ts_us", "op", "seq"]
+        )
 
     keyed = left.select(
         F.col(pk).alias("pk"), F.col(fk).alias("fk"), F.col("ts"), F.col("value")
@@ -163,37 +178,40 @@ def fk_join_stream(subs: DataFrame, right: DataFrame, rkey: str) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (fk_val,) = key
         if state.exists:
-            r_val, r_ts, sub_pks, sub_vals, sub_tss = state.get
+            r_val, r_ts, sub_pks, sub_vals, sub_tss, sub_seqs = state.get
             subs_map = {
-                int(p): (float(v), int(t))
-                for p, v, t in zip(sub_pks, sub_vals, sub_tss)
+                int(p): (float(v), int(t), int(q))
+                for p, v, t, q in zip(sub_pks, sub_vals, sub_tss, sub_seqs)
             }
         else:
             r_val, r_ts = None, None
             subs_map = {}
         out: list[dict[str, Any]] = []
 
-        def emit(pk_val: int, l_val: float, l_ts: int) -> None:
+        def emit(pk_val: int, l_val: float, l_ts: int, l_seq: int) -> None:
             out.append(
                 {"pk": pk_val, "fk": fk_val, "left_value": l_val,
                  "right_value": r_val, "left_ts_us": l_ts,
-                 "right_ts_us": r_ts}
+                 "left_seq": l_seq, "right_ts_us": r_ts}
             )
 
         for pdf in batches:
-            # deterministic replay order: event time, then op ('d' < 'r'
-            # < 's' < 'u'), then pk — ties between a dim update and a sub
-            # at the same instant resolve identically on every run
-            for r in pdf.sort_values(["ts_us", "op", "pk"]).itertuples(index=False):
+            # deterministic replay order: event time, then the router's
+            # per-PK seq (dim updates carry seq -1 → first at equal ts),
+            # then pk. The seq linearizes one PK's sub/unsub chain even
+            # when several FK moves share a timestamp.
+            for r in pdf.sort_values(["ts_us", "seq", "pk"]).itertuples(index=False):
                 if r.op == "r":
                     if r_ts is None or r.ts_us >= r_ts:
                         r_val, r_ts = float(r.value), int(r.ts_us)
-                        for p, (lv, lt) in sorted(subs_map.items()):
-                            emit(p, lv, lt)
+                        for p, (lv, lt, lq) in sorted(subs_map.items()):
+                            emit(p, lv, lt, lq)
                 elif r.op == "s":
-                    subs_map[int(r.pk)] = (float(r.value), int(r.ts_us))
+                    subs_map[int(r.pk)] = (
+                        float(r.value), int(r.ts_us), int(r.seq)
+                    )
                     if r_ts is not None:
-                        emit(int(r.pk), float(r.value), int(r.ts_us))
+                        emit(int(r.pk), float(r.value), int(r.ts_us), int(r.seq))
                 elif r.op == "u":  # the PK moved to another FK — the new
                     subs_map.pop(int(r.pk), None)  # sub's row supersedes
                 else:  # 'd' — tombstone: retract the join row downstream
@@ -201,21 +219,22 @@ def fk_join_stream(subs: DataFrame, right: DataFrame, rkey: str) -> DataFrame:
                     out.append(
                         {"pk": int(r.pk), "fk": fk_val, "left_value": None,
                          "right_value": None, "left_ts_us": int(r.ts_us),
-                         "right_ts_us": int(r.ts_us)}
+                         "left_seq": int(r.seq), "right_ts_us": int(r.ts_us)}
                     )
         state.update(
             (
                 r_val,
                 r_ts,
                 list(subs_map),
-                [v for v, _ in subs_map.values()],
-                [t for _, t in subs_map.values()],
+                [v for v, _, _ in subs_map.values()],
+                [t for _, t, _ in subs_map.values()],
+                [q for _, _, q in subs_map.values()],
             )
         )
         yield pd.DataFrame(
             out,
             columns=["pk", "fk", "left_value", "right_value",
-                     "left_ts_us", "right_ts_us"],
+                     "left_ts_us", "left_seq", "right_ts_us"],
         )
 
     tagged_right = right.select(
@@ -228,8 +247,9 @@ def fk_join_stream(subs: DataFrame, right: DataFrame, rkey: str) -> DataFrame:
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
         ).alias("ts_us"),
         F.lit("r").alias("op"),
+        F.lit(-1).cast("long").alias("seq"),
     )
-    unioned = subs.select("fk", "pk", "value", "ts_us", "op").unionByName(
+    unioned = subs.select("fk", "pk", "value", "ts_us", "op", "seq").unionByName(
         tagged_right
     )
     return unioned.groupBy("fk").applyInPandasWithState(

@@ -60,7 +60,8 @@ def test_fk_join_converges_to_batch_snapshot(spark, sf_dir, tmp_path):
             SELECT pk, fk, left_value, right_value FROM (
               SELECT *, row_number() OVER (
                   PARTITION BY pk
-                  ORDER BY left_ts_us DESC, right_ts_us DESC) AS rn
+                  ORDER BY left_ts_us DESC, left_seq DESC,
+                           right_ts_us DESC) AS rn
               FROM t_fkjoin
             ) WHERE rn = 1
             """
@@ -160,7 +161,8 @@ def test_fk_join_tombstone_retracts_join_row(spark, sf_dir, tmp_path):
             SELECT pk, left_value, right_value FROM (
               SELECT *, row_number() OVER (
                   PARTITION BY pk
-                  ORDER BY left_ts_us DESC, right_ts_us DESC) AS rn
+                  ORDER BY left_ts_us DESC, left_seq DESC,
+                           right_ts_us DESC) AS rn
               FROM t_fkjoin_tomb
             ) WHERE rn = 1
             """
@@ -182,3 +184,95 @@ def test_fk_join_tombstone_retracts_join_row(spark, sf_dir, tmp_path):
     }
     survivors = {k: v for k, v in final.items() if v[0] is not None}
     assert survivors == want
+
+
+def test_fk_join_same_timestamp_flapping(spark, sf_dir, tmp_path):
+    """Two FK moves sharing one event timestamp (A->B->A) must end
+    subscribed at A: the router's per-PK seq linearizes the sub/unsub
+    chain that the timestamp alone cannot order."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    left_rows = [
+        (1, "A", t0, 10.0),          # subscribe A
+        (1, "B", t0, 11.0),          # same-ts move to B
+        (1, "A", t0, 12.0),          # same-ts move back to A
+        (2, "B", t0, 20.0),          # control row
+    ]
+    right_rows = [
+        ("A", t0, 100.0),
+        ("B", t0, 200.0),
+    ]
+    chunk = tmp_path / "left_chunks"
+    chunk.mkdir()
+    out = tmp_path / "stage0"
+    spark.createDataFrame(left_rows, schema).coalesce(1).write.parquet(str(out))
+    (pf,) = out.glob("part-*.parquet")
+    pf.rename(chunk / "c00.parquet")
+
+    left = spark.readStream.schema(schema).parquet(str(chunk))
+    topic = str(tmp_path / "subs_topic")
+    q1 = (
+        fk_subscription_stream(left, pk="user_id", fk="event_type")
+        .writeStream.format("parquet")
+        .option("path", topic)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(timeout=300)
+
+    rschema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rchunk = tmp_path / "right_chunks"
+    rchunk.mkdir()
+    rout = tmp_path / "rstage0"
+    spark.createDataFrame(right_rows, rschema).coalesce(1).write.parquet(str(rout))
+    (rpf,) = rout.glob("part-*.parquet")
+    rpf.rename(rchunk / "c00.parquet")
+
+    subs = spark.readStream.schema(SUB_SCHEMA).parquet(topic)
+    right = spark.readStream.schema(rschema).parquet(str(rchunk))
+    q2 = (
+        fk_join_stream(subs, right, rkey="event_type")
+        .writeStream.format("memory")
+        .queryName("t_fkjoin_flap")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(timeout=300)
+
+    final = {
+        r.pk: (r.fk, r.left_value, r.right_value)
+        for r in spark.sql(
+            """
+            SELECT pk, fk, left_value, right_value FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY pk
+                  ORDER BY left_ts_us DESC, left_seq DESC,
+                           right_ts_us DESC) AS rn
+              FROM t_fkjoin_flap
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    assert final[1] == ("A", 12.0, 100.0), final
+    assert final[2] == ("B", 20.0, 200.0), final
