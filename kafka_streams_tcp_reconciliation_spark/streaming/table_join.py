@@ -34,6 +34,10 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("right_value", T.DoubleType()),
         T.StructField("left_ts_us", T.LongType()),
         T.StructField("right_ts_us", T.LongType()),
+        # per-key monotone emission counter: the keeper is the sole
+        # emitter for a key, so ordering by emit_seq alone is total —
+        # same-timestamp upserts stay ordered downstream
+        T.StructField("emit_seq", T.LongType()),
     ]
 )
 
@@ -43,6 +47,7 @@ STATE_SCHEMA = T.StructType(
         T.StructField("l_ts", T.LongType()),
         T.StructField("r_val", T.DoubleType()),
         T.StructField("r_ts", T.LongType()),
+        T.StructField("seq", T.LongType()),
     ]
 )
 
@@ -63,8 +68,8 @@ def ktable_join_stream(
         order, update the side's slot, emit the joined row per update when
         both slots are filled (KTable inner-join emission rule)."""
         (user_id,) = key
-        l_val, l_ts, r_val, r_ts = (
-            state.get if state.exists else (None, None, None, None)
+        l_val, l_ts, r_val, r_ts, seq = (
+            state.get if state.exists else (None, None, None, None, 0)
         )
         out: list[dict[str, Any]] = []
         for pdf in batches:
@@ -83,6 +88,7 @@ def ktable_join_stream(
                         r_val = None if pd.isna(r.value) else float(r.value)
                         r_ts = ts_us
                 if l_val is not None and r_val is not None:
+                    seq += 1
                     out.append(
                         {
                             "user_id": user_id,
@@ -90,9 +96,11 @@ def ktable_join_stream(
                             "right_value": r_val,
                             "left_ts_us": l_ts,
                             "right_ts_us": r_ts,
+                            "emit_seq": seq,
                         }
                     )
                 elif had_join:
+                    seq += 1
                     out.append(
                         {
                             "user_id": user_id,
@@ -100,11 +108,14 @@ def ktable_join_stream(
                             "right_value": None,
                             "left_ts_us": ts_us,
                             "right_ts_us": ts_us,
+                            "emit_seq": seq,
                         }
                     )
-        state.update((l_val, l_ts, r_val, r_ts))
+        state.update((l_val, l_ts, r_val, r_ts, seq))
         yield pd.DataFrame(
-            out, columns=["user_id", "left_value", "right_value", "left_ts_us", "right_ts_us"]
+            out,
+            columns=["user_id", "left_value", "right_value",
+                     "left_ts_us", "right_ts_us", "emit_seq"],
         )
 
     tagged = left.select(

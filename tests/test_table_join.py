@@ -32,8 +32,7 @@ def test_ktable_join_converges_to_batch_snapshot(spark, sf_dir, tmp_path):
             """
             SELECT user_id, left_value, right_value FROM (
               SELECT *, row_number() OVER (
-                  PARTITION BY user_id
-                  ORDER BY left_ts_us DESC, right_ts_us DESC) AS rn
+                  PARTITION BY user_id ORDER BY emit_seq DESC) AS rn
               FROM t_ktjoin
             ) WHERE rn = 1
             """
@@ -129,8 +128,7 @@ def test_ktable_join_tombstone_retracts(spark, sf_dir, tmp_path):
             """
             SELECT user_id, left_value, right_value FROM (
               SELECT *, row_number() OVER (
-                  PARTITION BY user_id
-                  ORDER BY left_ts_us DESC, right_ts_us DESC) AS rn
+                  PARTITION BY user_id ORDER BY emit_seq DESC) AS rn
               FROM t_ktjoin_tomb
             ) WHERE rn = 1
             """
