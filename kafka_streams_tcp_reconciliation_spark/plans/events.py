@@ -558,3 +558,64 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+# --- reconciliation KPI: per-hour loss rate -------------------------------
+
+
+@register(
+    "reconcile_loss_rate_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', a.ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM events b
+               WHERE b.user_id = a.user_id
+                 AND b.event_type = 'click'
+                 AND b.ts BETWEEN a.ts - INTERVAL '10 minutes'
+                              AND a.ts + INTERVAL '10 minutes'
+           )) AS BIGINT) AS n_lost,
+           round(count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM events b
+               WHERE b.user_id = a.user_id
+                 AND b.event_type = 'click'
+                 AND b.ts BETWEEN a.ts - INTERVAL '10 minutes'
+                              AND a.ts + INTERVAL '10 minutes'
+           )) / CAST(count(*) AS DOUBLE), 6) AS loss_rate
+    FROM events a
+    WHERE a.event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def reconcile_loss_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reconciliation KPI: per hour, how many purchases found no
+    click within the ±10-minute window, and the loss fraction — the
+    reference domain's per-interval segment-loss-rate dashboard.
+
+    Composition, not new machinery: the windowed anti-join that powers
+    ``reconcile_unmatched_purchases`` tagged back onto all purchases
+    (left_anti → left join on the anti result's id, so the count and the
+    denominator come from one purchase scan), then an hourly rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    lost = windowed_anti_join(
+        purchases, clicks, ["user_id"], "ts", "ts", "10 minutes", "10 minutes"
+    ).select(F.col("event_id"), F.lit(1).alias("is_lost"))
+    tagged = purchases.join(lost, "event_id", "left")
+    return (
+        tagged.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("is_lost").alias("n_lost"),
+        )
+        .select(
+            F.date_format("h", _TS_FMT).alias("hour"),
+            "n_purchases",
+            "n_lost",
+            F.round(
+                F.col("n_lost") / F.col("n_purchases").cast("double"), 6
+            ).alias("loss_rate"),
+        )
+    )
