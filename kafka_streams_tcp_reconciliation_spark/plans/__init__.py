@@ -38,6 +38,7 @@ _PLAN_MODULES = (
     "tpch_deep",
     "pipeline",
     "clustering",
+    "curation",
 )
 
 
