@@ -22,6 +22,16 @@ from kafka_streams_tcp_reconciliation_spark.session import get_spark  # noqa: E4
 
 
 def main() -> None:
+    # The JVM child process inherits fd 1 and writes startup noise there
+    # ("WARNING: Using incubator modules…"), which corrupted the driver's
+    # JSON parse in round 1. Route fd 1 → stderr for the whole run and keep
+    # a private dup of the real stdout; the final JSON line is written to
+    # that dup, making it the ONLY stdout content. Also mirrored to
+    # BENCH.json on disk as a parse-proof artifact.
+    real_stdout = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="kafka-streams-tcp-reconciliation-bench")
@@ -60,17 +70,18 @@ def main() -> None:
             # slow GC buildup over the run
             spark.catalog.clearCache()
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        f.write(payload + "\n")
+    os.write(real_stdout, (payload + "\n").encode())
     spark.stop()
 
 

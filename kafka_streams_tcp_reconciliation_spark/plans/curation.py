@@ -154,12 +154,12 @@ _LEV_MAX_REL = 0.3
     SELECT p.doc_a, p.doc_b,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
            round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
-                 / greatest(length(a.text), length(b.text)), 6) AS rel_edit
+                 / greatest(length(a.text), length(b.text), 1), 6) AS rel_edit
     FROM simhash_pairs p
     JOIN documents a ON p.doc_a = a.doc_id
     JOIN documents b ON p.doc_b = b.doc_id
     WHERE round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
-                / greatest(length(a.text), length(b.text)), 6) <= {_LEV_MAX_REL}
+                / greatest(length(a.text), length(b.text), 1), 6) <= {_LEV_MAX_REL}
     """,
 )
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,6 +174,19 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Both engines' built-in ``levenshtein`` is the standard
     unit-cost DP — integer-exact cross-engine; the relative score is
     rounded before the threshold so the predicate agrees bit-for-bit.
+
+    Oracle contract caveats (both engine-verified):
+
+    - DuckDB's ``levenshtein`` counts BYTES while Spark's counts
+      CODEPOINTS, so the cross-engine equivalence holds only for ASCII
+      text. The fixture corpus is ASCII by construction
+      (``tests/test_sources.py`` asserts it); for a multi-byte corpus,
+      fold both sides to a common ASCII projection first or accept a
+      rows-only check.
+    - The denominator is ``greatest(len_a, len_b, 1)``: without the
+      floor, a pair of empty documents — true duplicates with
+      edit_dist = 0 — yields 0/0 (NULL in Spark, NaN in DuckDB) and is
+      silently dropped by the threshold filter in both engines.
 
     Scale shape: the candidate join is doc_id-keyed (shuffle proportional
     to candidate count, not corpus size); the edit-distance evaluation is
@@ -191,7 +204,7 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit = F.levenshtein("text_a", "text_b").cast("long")
     rel = F.round(
         edit.cast("double")
-        / F.greatest(F.length("text_a"), F.length("text_b")).cast("double"),
+        / F.greatest(F.length("text_a"), F.length("text_b"), F.lit(1)).cast("double"),
         6,
     )
     return (

@@ -7,8 +7,11 @@ Explicit schemas serve two purposes:
    downstream date function (``date_trunc``, ``year`` …) timezone-independent
    — identical results regardless of the driver session's timezone, and
    identical to the DuckDB oracle, which treats parquet timestamps as naive
-   TIMESTAMP. (``events.ts`` is ns-precision in parquet; Spark and DuckDB both
-   evaluate at µs after casting — the oracle casts explicitly.)
+   TIMESTAMP. (``events.ts`` is µs-precision (``timestamp[us]``) in the
+   current testdata at every scale factor — verified with pyarrow — and is
+   read directly as ``TIMESTAMP_NTZ``. ``load_table`` probes the physical
+   type per-file so ns-typed data, should it ever appear, is still handled
+   via the legacy nanos→µs truncation path rather than silently misread.)
 2. **Column pruning is still fully effective** — schemas list the physical
    columns; Catalyst prunes to whatever each query selects (check
    ``ReadSchema`` in ``.explain``).
@@ -106,15 +109,10 @@ _SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
-    # events.ts is physically INT64 TIMESTAMP(NANOS) — Spark's parquet reader
-    # rejects nanos unless spark.sql.legacy.parquet.nanosAsLong=true, so we
-    # read the raw nanos as LongType and convert to TIMESTAMP_NTZ at µs
-    # precision in load_table (truncating div 1000 — identical to DuckDB's
-    # ns→µs truncation when it reads the same file as TIMESTAMP).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -154,9 +152,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in _SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
+        # Legacy path: ns-typed files need nanosAsLong (Spark's parquet reader
+        # rejects TIMESTAMP(NANOS) otherwise); truncate ns→µs like DuckDB does
+        # when it reads the same file as TIMESTAMP. The current testdata is
+        # timestamp[us] at every SF, so this branch is normally dead — kept so
+        # a testdata regeneration back to ns cannot silently misread (the
+        # class of bug that broke round 1, in both directions).
+        ns_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in _SCHEMAS[name].fields
+            ]
+        )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(_SCHEMAS[name]).parquet(path)
+        raw = spark.read.schema(ns_schema).parquet(path)
         return raw.select(
             "event_id",
             F.expr(
@@ -169,6 +179,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "props",
         )
     return spark.read.schema(_SCHEMAS[name]).parquet(path)
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Probe the physical parquet type of ``events.ts`` (footer-only read).
+
+    Never assume the timestamp unit — derive it from the file. A wrong
+    assumption here compresses/stretches every event time 1000× and corrupts
+    every absolute-time query downstream.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = [
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            ]
+            if not parts:
+                return False
+            target = parts[0]
+        field = pq.read_schema(target).field("ts")
+        return str(field.type) == "timestamp[ns]"
+    except Exception:
+        return False
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

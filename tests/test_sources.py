@@ -12,6 +12,116 @@ from kafka_streams_tcp_reconciliation_spark.sources import kafka as ks
 from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
 
 
+# Physical parquet schema snapshot for every test table (pyarrow type
+# strings). Round 1's headline bug was a data-vs-assumption drift: the
+# loader assumed events.ts was timestamp[ns] while the files were
+# timestamp[us], compressing 30 days of events into 43 minutes. This
+# snapshot makes that class of drift fail a unit test instead of the
+# driver's correctness gate. If the driver regenerates testdata with new
+# types, update the snapshot AND audit sources/tables.py's handling.
+_PHYSICAL_SCHEMAS = {
+    "region": {"r_regionkey": "int32", "r_name": "string"},
+    "nation": {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"},
+    "customer": {
+        "c_custkey": "int64",
+        "c_name": "string",
+        "c_nationkey": "int32",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "int64",
+        "s_name": "string",
+        "s_nationkey": "int32",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "int64",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int32",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "int64",
+        "o_custkey": "int64",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp[us]",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "int64",
+        "l_partkey": "int64",
+        "l_suppkey": "int64",
+        "l_linenumber": "int32",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp[us]",
+    },
+    "events": {
+        "event_id": "int64",
+        "ts": "timestamp[us]",
+        "user_id": "int64",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "int64",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "int64",
+    },
+    "embeddings": {
+        "vec_id": "int64",
+        "embedding": "list<element: float>",
+        "label": "int32",
+    },
+}
+
+
+@pytest.mark.parametrize("table", sorted(_PHYSICAL_SCHEMAS))
+def test_physical_parquet_schema_snapshot(sf_dir, table):
+    import os
+
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(os.path.join(sf_dir, f"{table}.parquet"))
+    actual = {f.name: str(f.type) for f in schema}
+    assert actual == _PHYSICAL_SCHEMAS[table], (
+        f"{table}: physical parquet schema drifted from snapshot — "
+        "audit sources/tables.py before updating this test"
+    )
+
+
+def test_events_ts_loads_as_us_wall_clock(spark, sf_dir):
+    """The loaded event timeline must span days (the generator writes ~30
+    days of events), not minutes — the observable symptom of a wrong
+    timestamp-unit assumption in either direction."""
+    ev = load_table(spark, sf_dir, "events")
+    assert ev.schema["ts"].dataType == T.TimestampNTZType()
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_hours = (hi - lo).total_seconds() / 3600
+    assert span_hours > 24, f"events span {span_hours:.2f}h — unit bug?"
+    assert lo.year >= 1990, f"events start at {lo} — epoch-compressed?"
+
+
+def test_documents_text_is_ascii(spark, sf_dir):
+    """dedup_levenshtein's oracle contract requires ASCII text (DuckDB
+    levenshtein counts bytes, Spark counts codepoints — equal only for
+    ASCII). Fails if a regenerated corpus breaks that assumption."""
+    docs = load_table(spark, sf_dir, "documents")
+    non_ascii = docs.filter(F.col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert non_ascii == 0, f"{non_ascii} docs contain non-ASCII text"
+
+
 def _assert_same(a, b, key):
     left = {tuple(r) for r in a.collect()}
     right = {tuple(r) for r in b.collect()}
