@@ -559,3 +559,185 @@ def filter_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: boilerplate span mining, per-domain quotas, LM filter
+# ---------------------------------------------------------------------------
+
+_BP_N = 3  # span length in words
+_BP_MIN_DOCS = 5  # spans seen in >= this many distinct docs are boilerplate
+
+
+@register(
+    "boilerplate_ngram_spans",
+    oracle=f"""
+    WITH wh AS (
+      SELECT doc_id,
+             {duck_word_polyhashes_expr('text', 31)} AS wh1,
+             {duck_word_polyhashes_expr('text', 131)} AS wh2
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest({duck_gram_fold64_expr('wh1', 'wh2', _BP_N)}) AS g
+      FROM wh WHERE len(wh1) >= {_BP_N}
+    )
+    SELECT g AS gram_hash,
+           count(*) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM grams
+    GROUP BY g
+    HAVING count(*) >= {_BP_MIN_DOCS}
+    """,
+)
+def boilerplate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span mining (the C4/RefinedWeb boilerplate
+    step): word {n}-gram spans occurring in ≥{k} DISTINCT documents, with
+    how many docs carry each span. Downstream, these spans are stripped
+    from member documents or used to flag template/boilerplate pages —
+    the line-dedup analog for corpora without line structure.
+
+    Same two-level word-gram hash family as decontamination: per-doc
+    DISTINCT span hashes (so count(*) counts documents, not occurrences),
+    then an inverted-index aggregation on the 8-byte hash. Scale shape:
+    one explode + one map-side-combinable groupBy — no pairwise joins;
+    a viral span is a hot key only for its partial-agg column. The
+    word-hash arrays are projected as real columns before the gram fold
+    (textual nesting re-evaluates the array per gram, O(words²)/doc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wh = docs.select(
+        "doc_id",
+        word_polyhashes_expr("text", 31).alias("wh1"),
+        word_polyhashes_expr("text", 131).alias("wh2"),
+    )
+    grams = (
+        wh.filter(F.size("wh1") >= _BP_N)
+        .select("doc_id", gram_fold64_expr("wh1", "wh2", _BP_N).alias("ghs"))
+        .select("doc_id", F.explode("ghs").alias("g"))
+    )
+    return (
+        grams.groupBy(F.col("g").alias("gram_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+    )
+
+
+_QUOTA_PER_SOURCE = 15
+
+
+@register(
+    "domain_quota_sample",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_DUCK_DOC_HASH} % 1000, doc_id) AS rn
+      FROM documents
+    ) ranked
+    WHERE rn <= {_QUOTA_PER_SOURCE}
+    """,
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota (the Common-Crawl "cap pages per host"
+    rule): keep at most N documents per source, chosen in deterministic
+    pseudorandom hash order so the sample is reproducible and
+    engine-independent (no RNG — the kept set is a pure function of
+    doc_id, like the corpus split).
+
+    Scale shape: one shuffle on ``source`` + a per-partition top-N.
+    Catalyst turns the rank-filter into WindowGroupLimit, so each
+    partition keeps a bounded N-row heap instead of sorting the whole
+    domain — a hot domain with 100M pages costs a streaming pass, not an
+    O(n log n) sort. For truly pathological hosts, pre-aggregate with the
+    salted two-phase top-N in operators/skew.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    order = (F.expr(_SPARK_DOC_HASH) % 1000).alias("h")
+    w = Window.partitionBy("source").orderBy(order, "doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _QUOTA_PER_SOURCE)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM terms WHERE term <> '' GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vocab),
+    lp AS (
+      SELECT term,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000)
+                  AS BIGINT) AS logp_micro
+      FROM vocab CROSS JOIN tot
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           CAST((-CAST(sum(tf.tf * lp.logp_micro) AS BIGINT))
+                // CAST(sum(tf.tf) AS BIGINT) AS BIGINT) AS mean_nll_micro
+    FROM tf JOIN lp ON tf.term = lp.term
+    GROUP BY tf.doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model score per document (the
+    CCNet/Wikipedia-LM quality-filter analog): mean negative log-prob of
+    the document's tokens under the corpus's own unigram distribution,
+    in integer micro-nats. Gibberish and rare-token soup score high;
+    repetitive boilerplate scores low — both tails are curation targets.
+
+    Determinism: each term's log-prob is rounded ONCE to integer
+    micro-nats (safe like every round(…,6) in this file), after which
+    all arithmetic — tf-weighted sum, token count, mean via integer
+    division — is exact BIGINT in any association order on any engine.
+    This is how a float LM score gets a strong cross-engine oracle
+    (same trick as PageRank's ppm ranks).
+
+    Scale shape: the vocab is a map-side-combinable term aggregate; the
+    score join is term-keyed with stopword-grade hot keys — AQE skew
+    handling splits those, and the final per-doc sum combines map-side.
+    At 100 TB, cut the tail of the vocab to top-K + an OOV bucket and
+    broadcast it instead of shuffling the tf relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("long").alias("tot"))
+    lp = vocab.join(F.broadcast(tot)).select(
+        "term",
+        F.expr(
+            "CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)"
+        ).alias("logp_micro"),
+    )
+    return (
+        tf.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST((-CAST(sum(tf * logp_micro) AS BIGINT))"
+                " DIV CAST(sum(tf) AS BIGINT) AS BIGINT)"
+            ).alias("mean_nll_micro"),
+        )
+    )
