@@ -604,18 +604,32 @@ def boilerplate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     one explode + one map-side-combinable groupBy — no pairwise joins;
     a viral span is a hot key only for its partial-agg column. The
     word-hash arrays are projected as real columns before the gram fold
-    (textual nesting re-evaluates the array per gram, O(words²)/doc).
+    (textual nesting re-evaluates the array per gram, O(words²)/doc),
+    and the short-doc guard is on ``size(split(text))`` BEFORE the
+    projection — a predicate on the computed wh arrays gets pushed below
+    them with the whole fold inlined (the doc_repetition_score pitfall).
+
+    The explode is ``explode_outer`` + ``g IS NOT NULL``, deliberately:
+    plain ``explode`` triggers Catalyst's InferFiltersFromGenerate,
+    which synthesizes ``size(ghs) > 0`` and pushes it below the
+    projection with the ENTIRE two-level fold inlined into the Filter —
+    every row then evaluates the word-hash + gram pipeline twice
+    (measured 40s vs ~1s at sf0.1). The rule skips outer generates, and
+    the null-filter on the generated attribute cannot be pushed below
+    the generate. Empty gram arrays cannot occur anyway (the word-count
+    guard guarantees ≥ 1 gram), so the two forms are semantically
+    identical here.
     """
     docs = load_table(spark, sf_dir, "documents")
-    wh = docs.select(
+    wh = docs.filter(F.size(F.split("text", " ")) >= _BP_N).select(
         "doc_id",
         word_polyhashes_expr("text", 31).alias("wh1"),
         word_polyhashes_expr("text", 131).alias("wh2"),
     )
     grams = (
-        wh.filter(F.size("wh1") >= _BP_N)
-        .select("doc_id", gram_fold64_expr("wh1", "wh2", _BP_N).alias("ghs"))
-        .select("doc_id", F.explode("ghs").alias("g"))
+        wh.select("doc_id", gram_fold64_expr("wh1", "wh2", _BP_N).alias("ghs"))
+        .select("doc_id", F.explode_outer("ghs").alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     return (
         grams.groupBy(F.col("g").alias("gram_hash"))
