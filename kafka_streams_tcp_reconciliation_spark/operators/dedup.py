@@ -192,9 +192,18 @@ def lsh_candidate_pairs(
     all-pairs. Skew guard: genuinely hot buckets mean near-identical docs,
     which ARE the output; cap bucket width upstream if adversarial.
     """
-    bucketed = with_sig.select(
-        F.col(id_col), F.explode(band_structs_expr(sig_col, bands, rows)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bkey")
+    # explode_outer + null-filter, not explode: InferFiltersFromGenerate
+    # would synthesize size(bands)>0 below the projection and re-evaluate
+    # the band-key construction per row in an interpreted Filter. The band
+    # array has a constant `bands` entries, never empty/null.
+    bucketed = (
+        with_sig.select(
+            F.col(id_col),
+            F.explode_outer(band_structs_expr(sig_col, bands, rows)).alias("bb"),
+        )
+        .filter(F.col("bb").isNotNull())
+        .select(id_col, "bb.band", "bb.bkey")
+    )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (

@@ -910,9 +910,19 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    b = emb.select(
-        "vec_id", F.explode(sim.lsh_bucket_structs_expr("embedding")).alias("bb")
-    ).select("vec_id", "bb.tbl", "bb.bucket")
+    # explode_outer + null-filter, not explode: InferFiltersFromGenerate
+    # would synthesize size(buckets)>0 and re-evaluate the 16-hyperplane
+    # bucket expression once more per row in an interpreted Filter. The
+    # struct array is a constant 2·tables entries, never empty/null, so
+    # the forms are semantically identical.
+    b = (
+        emb.select(
+            "vec_id",
+            F.explode_outer(sim.lsh_bucket_structs_expr("embedding")).alias("bb"),
+        )
+        .filter(F.col("bb").isNotNull())
+        .select("vec_id", "bb.tbl", "bb.bucket")
+    )
     cand = (
         b.alias("a")
         .join(
