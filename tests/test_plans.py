@@ -191,3 +191,43 @@ def test_zscore_stats_broadcast_not_collected(spark, sf_dir):
     plan = plan_of(QUERIES["value_zscore_outliers"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+@pytest.mark.parametrize("name", ["boilerplate_ngram_spans"])
+def test_boilerplate_grams_not_inlined(spark, sf_dir, name):
+    """Same O(words²) inlining class as test_two_level_gram_hash_not_inlined,
+    plus the InferFiltersFromGenerate variant this query regressed on: a
+    plain explode of the computed gram array synthesizes size(ghs) > 0 and
+    pushes the whole two-level fold into an interpreted Filter (measured
+    40s vs 1.6s at sf0.1). explode_outer + null-filter keeps it out."""
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    assert "slice(transform(split" not in plan
+    assert "size(transform(sequence" not in plan
+    assert "size(array_distinct(transform" not in plan
+
+
+def test_embedding_lsh_buckets_computed_once(spark, sf_dir):
+    """The 16-hyperplane bucket expression must appear exactly once (in the
+    projection) — an inferred size() filter on the exploded struct array
+    would re-evaluate every plane dot product per row. The lambda variable
+    `lt_t` occurs ~20 times inside ONE instance of the expression;
+    duplication doubles it."""
+    plan = plan_of(QUERIES["dedup_embedding_neardup"](spark, sf_dir))
+    assert plan.count("lt_t") <= 20, "LSH bucket expression evaluated twice"
+
+
+def test_domain_quota_uses_window_group_limit(spark, sf_dir):
+    """The per-source cap must run as WindowGroupLimit (bounded per-group
+    heap), never a full per-domain sort — a hot host with 100M pages is a
+    streaming pass, not O(n log n)."""
+    plan = plan_of(QUERIES["domain_quota_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_unigram_logprob_total_broadcast(spark, sf_dir):
+    """The corpus token total (1 row) must reach the vocab via broadcast
+    (nested-loop of a scalar relation), never a collect()ed literal; the
+    per-term log-prob join stays a hash join that AQE can skew-split."""
+    plan = plan_of(QUERIES["unigram_logprob_score"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
