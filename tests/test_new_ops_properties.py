@@ -71,3 +71,99 @@ def test_zscore_outliers_match_python_rederivation(spark, sf_dir):
     }
     got = {r.event_id for r in QUERIES["value_zscore_outliers"](spark, sf_dir).collect()}
     assert got == want
+
+
+def test_boilerplate_spans_match_python_rederivation(spark, sf_dir):
+    """Every reported span hash really occurs in >= the threshold number
+    of distinct documents, and no qualifying span is missed — re-derived
+    with a plain-Python implementation of the same two-level gram hash."""
+    from kafka_streams_tcp_reconciliation_spark.functions.hashing import BASE_A, BASE_B, MOD
+    from kafka_streams_tcp_reconciliation_spark.plans.pipeline import _BP_MIN_DOCS, _BP_N
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def word_hash(w: str, base: int) -> int:
+        h = 0
+        for ch in w:
+            h = (h * base + ord(ch)) % MOD
+        return h
+
+    expected: dict[int, set[int]] = {}
+    for r in docs:
+        words = r.text.split(" ")
+        if len(words) < _BP_N:
+            continue
+        wh1 = [word_hash(w, BASE_A) for w in words]
+        wh2 = [word_hash(w, BASE_B) for w in words]
+        grams = set()
+        for i in range(len(words) - _BP_N + 1):
+            g1 = g2 = 0
+            for j in range(_BP_N):
+                g1 = (g1 * BASE_B + wh1[i + j]) % MOD
+                g2 = (g2 * BASE_A + wh2[i + j]) % MOD
+            grams.add(g1 + g2 * (1 << 30))
+        for g in grams:
+            expected.setdefault(g, set()).add(r.doc_id)
+
+    want = {
+        g: docs_ for g, docs_ in expected.items() if len(docs_) >= _BP_MIN_DOCS
+    }
+    got = {
+        r.gram_hash: (r.n_docs, r.first_doc)
+        for r in QUERIES["boilerplate_ngram_spans"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for g, (n, first) in got.items():
+        assert n == len(want[g])
+        assert first == min(want[g])
+
+
+def test_domain_quota_cap_and_determinism(spark, sf_dir):
+    """At most N docs per source, the kept set is identical across two
+    runs (no RNG), and every source with >= N docs is filled exactly."""
+    from collections import Counter
+
+    from kafka_streams_tcp_reconciliation_spark.plans.pipeline import _QUOTA_PER_SOURCE
+
+    rows1 = QUERIES["domain_quota_sample"](spark, sf_dir).collect()
+    rows2 = QUERIES["domain_quota_sample"](spark, sf_dir).collect()
+    assert {(r.doc_id, r.source) for r in rows1} == {
+        (r.doc_id, r.source) for r in rows2
+    }
+    per_source = Counter(r.source for r in rows1)
+    assert all(n <= _QUOTA_PER_SOURCE for n in per_source.values())
+    totals = Counter(
+        r.source
+        for r in load_table(spark, sf_dir, "documents").select("source").collect()
+    )
+    for src, total in totals.items():
+        assert per_source[src] == min(total, _QUOTA_PER_SOURCE)
+
+
+def test_unigram_logprob_matches_python_rederivation(spark, sf_dir):
+    """Mean NLL per doc equals a plain-Python recomputation of the same
+    integer micro-nat pipeline (corpus-trained unigram LM)."""
+    import math as _math
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    vocab: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for r in docs:
+        terms = [t for t in r.text.split(" ") if t]
+        per_doc[r.doc_id] = Counter(terms)
+        vocab.update(terms)
+    tot = sum(vocab.values())
+    logp_micro = {
+        t: int(round(_math.log(c / tot) * 1_000_000)) for t, c in vocab.items()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_nll_micro)
+        for r in QUERIES["unigram_logprob_score"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, tf in per_doc.items():
+        n_tokens = sum(tf.values())
+        total_micro = sum(c * logp_micro[t] for t, c in tf.items())
+        mean_nll = (-total_micro) // n_tokens
+        assert got[doc_id] == (n_tokens, mean_nll), doc_id
