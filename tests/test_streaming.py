@@ -238,3 +238,33 @@ def test_decontaminate_stream_converges(spark, sf_dir, tmp_path_factory):
     )
     want = all_queries()["decontaminate_train_eval"](spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_lm_score_stream_converges(spark, sf_dir, tmp_path_factory):
+    """Streaming unigram-LM scoring (stateless stream-static broadcast
+    join against the offline-trained vocab) over an ordered replay
+    produces exactly the batch unigram_logprob_score result when the
+    per-token micro-nat rows are aggregated consumer-side."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.decontam import (
+        chunked_text_stream,
+    )
+    from kafka_streams_tcp_reconciliation_spark.streaming.lm_score import (
+        lm_score_stream,
+        vocab_logprob_table,
+    )
+
+    chunks = str(tmp_path_factory.mktemp("lmchunks"))
+    feed = chunked_text_stream(spark, sf_dir, chunks, n_chunks=4)
+    hits = run_stream(
+        spark, lm_score_stream(feed, vocab_logprob_table(spark, sf_dir)),
+        "append", "t_lmscore",
+    )
+    got = (
+        hits.groupby("doc_id")
+        .agg(n_tokens=("logp_micro", "count"), total=("logp_micro", "sum"))
+        .reset_index()
+    )
+    got["mean_nll_micro"] = (-got["total"]) // got["n_tokens"]
+    got = got.drop(columns=["total"])
+    want = all_queries()["unigram_logprob_score"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
