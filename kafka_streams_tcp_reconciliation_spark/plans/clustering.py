@@ -18,7 +18,7 @@ strong value-hash check despite being "non-SQL-shaped" operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
@@ -258,3 +258,175 @@ def similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign, equi-join on cell id, WindowGroupLimit top-k) with the probe
     count widened."""
     return ivf_topk_frame(spark, sf_dir, _N_PROBE)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance (the 100 TB ANN memory plan)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_SUBDIM = 8  # dims per subspace (8 x 8 = 64)
+_PQ_K = 16  # codewords per subspace -> 4-bit codes
+_PQ_QUERIES = 4
+_PQ_TOPK = 10
+
+
+def _pq_duck_sqd(sv: str, cv: str) -> str:
+    """DuckDB: ordered-fold squared L2 between two 8-dim double lists."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform(range(1, {_PQ_SUBDIM} + 1),"
+        f" pq_i -> (CAST({sv}[pq_i] AS DOUBLE) - CAST({cv}[pq_i] AS DOUBLE))"
+        f" * (CAST({sv}[pq_i] AS DOUBLE) - CAST({cv}[pq_i] AS DOUBLE)))),"
+        f" (pq_a, pq_v) -> pq_a + pq_v)"
+    )
+
+
+_PQ_ORACLE = f"""
+    WITH ms AS (SELECT unnest(range({_PQ_M})) AS m),
+    cb AS (
+        SELECT m, vec_id AS j,
+               embedding[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS cv
+        FROM embeddings, ms WHERE vec_id < {_PQ_K}
+    ),
+    sub AS (
+        SELECT vec_id, m,
+               embedding[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS sv
+        FROM embeddings, ms
+    ),
+    enc AS (
+        SELECT vec_id, m, j AS code
+        FROM (
+            SELECT s.vec_id, s.m, c.j,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY CAST(round(1000000 * ({_pq_duck_sqd('s.sv', 'c.cv')}))
+                                AS BIGINT), c.j
+                   ) AS rn
+            FROM sub s JOIN cb c ON s.m = c.m
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT s.vec_id AS query_id, s.m, c.j,
+               CAST(round(1000000 * ({_pq_duck_sqd('s.sv', 'c.cv')}))
+                    AS BIGINT) AS dmicro
+        FROM sub s JOIN cb c ON s.m = c.m
+        WHERE s.vec_id < {_PQ_QUERIES}
+    ),
+    scored AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               CAST(sum(l.dmicro) AS BIGINT) AS adc_micro
+        FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.j
+        WHERE e.vec_id != l.query_id
+        GROUP BY l.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_micro, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_micro, neighbor_id
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@register("similarity_pq_adc", oracle=_PQ_ORACLE)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (X3, the FAISS-IVFPQ memory plan): the corpus is compressed to
+    {_PQ_M} 4-bit codes per vector ({_PQ_M}×log2({_PQ_K}) = 32 bits vs
+    64×32 for raw floats — a 64× memory cut), queries score candidates
+    through a per-query lookup table of subspace distances instead of
+    touching raw vectors. THE technique that lets a 100 TB vector corpus
+    live in cluster RAM.
+
+    Codebooks here are deterministic init-only (codeword j of subspace m
+    = subvector m of corpus vector j, the same "first-k vectors" init as
+    ``kmeans_embeddings``); production training plugs the per-subspace
+    Lloyd loop from that query into the same plan with no shape change.
+
+    Scale shape: the codebook ({_PQ_M}×{_PQ_K}×{_PQ_SUBDIM} doubles) is
+    driver-resident and inlined as literals, so ENCODING is a
+    shuffle-free narrow map (128 eight-dim folds per row, JVM codegen);
+    the encoded corpus carries 4 bytes/vector. Queries broadcast with
+    their {_PQ_M}×{_PQ_K} integer LUTs; scoring a candidate is {_PQ_M}
+    array lookups + integer adds — no floating arithmetic per pair. One
+    shuffle total (the per-query top-k window).
+
+    Determinism: subspace distances are ordered folds rounded ONCE to
+    integer micro-units; ADC sums of {_PQ_M} BIGINTs commute exactly, so
+    ranking ties break identically ((adc_micro, neighbor_id)) on both
+    engines. The oracle re-derives encoding + LUT relationally from the
+    same codebook construction — an independent path to the same ints.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+
+    cb_rows = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", F.expr("transform(embedding, pq_x -> CAST(pq_x AS DOUBLE))").alias("e"))
+        .collect()
+    )
+    # codebook[m][j] = 8-dim codeword (double literals, exact repr round-trip)
+    codebook = {
+        (m, int(r.vec_id)): [float(v) for v in r.e[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]]
+        for r in cb_rows
+        for m in range(_PQ_M)
+    }
+
+    def sqd_lit(m: int, j: int) -> str:
+        lit = "array({})".format(
+            ", ".join(f"CAST({v!r} AS DOUBLE)" for v in codebook[(m, j)])
+        )
+        off = m * _PQ_SUBDIM + 1
+        return (
+            f"aggregate(zip_with(slice(embedding, {off}, {_PQ_SUBDIM}), {lit},"
+            f" (pq_x, pq_c) -> (CAST(pq_x AS DOUBLE) - pq_c)"
+            f" * (CAST(pq_x AS DOUBLE) - pq_c)),"
+            f" CAST(0 AS DOUBLE), (pq_a, pq_v) -> pq_a + pq_v)"
+        )
+
+    def dmicro_lit(m: int, j: int) -> str:
+        return f"CAST(round(1000000 * ({sqd_lit(m, j)})) AS BIGINT)"
+
+    # encode: codes[m] = argmin_j dmicro(m, j), ties to lowest j
+    code_exprs = []
+    for m in range(_PQ_M):
+        structs = ", ".join(
+            f"struct({dmicro_lit(m, j)} AS d, {j} AS j)" for j in range(_PQ_K)
+        )
+        code_exprs.append(f"array_min(array({structs})).j")
+    enc = emb.select(
+        "vec_id", F.expr("array({})".format(", ".join(code_exprs))).alias("codes")
+    )
+
+    # queries ride with their flattened M x K integer LUTs
+    lut_entries = ", ".join(
+        dmicro_lit(m, j) for m in range(_PQ_M) for j in range(_PQ_K)
+    )
+    q = (
+        emb.filter(F.col("vec_id") < _PQ_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(f"array({lut_entries})").alias("lut"),
+        )
+    )
+
+    adc = F.expr(
+        f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0 AS BIGINT),"
+        f" (pa_a, pa_m) -> pa_a"
+        f" + element_at(lut, pa_m * {_PQ_K} + element_at(codes, pa_m + 1) + 1))"
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+    )
