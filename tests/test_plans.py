@@ -231,3 +231,14 @@ def test_unigram_logprob_total_broadcast(spark, sf_dir):
     plan = plan_of(QUERIES["unigram_logprob_score"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_shape(spark, sf_dir):
+    """PQ-ADC: encoding must be a narrow map (codebook inlined as
+    literals — no join or exchange feeding the encode projection),
+    queries+LUTs must broadcast (nested-loop against the encoded scan),
+    and the per-query top-k must run as WindowGroupLimit."""
+    plan = plan_of(QUERIES["similarity_pq_adc"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
