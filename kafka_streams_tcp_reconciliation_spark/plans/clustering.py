@@ -282,6 +282,79 @@ def _pq_duck_sqd(sv: str, cv: str) -> str:
     )
 
 
+def _pq_collect_codebook(emb: DataFrame) -> dict[tuple[int, int], list[float]]:
+    """Driver-resident codebook: codeword (m, j) = subvector m of corpus
+    vector j (deterministic init-only, the kmeans_embeddings convention).
+    O(K·DIM) doubles collected — corpus-size independent."""
+    rows = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, pq_x -> CAST(pq_x AS DOUBLE))").alias("e"),
+        )
+        .collect()
+    )
+    return {
+        (m, int(r.vec_id)): [
+            float(v) for v in r.e[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+        ]
+        for r in rows
+        for m in range(_PQ_M)
+    }
+
+
+def _pq_sqd_lit(
+    codebook: dict[tuple[int, int], list[float]], vec_col: str, m: int, j: int
+) -> str:
+    """Spark SQL: ordered-fold squared L2 between subvector m of a vector
+    column and the literal codeword (m, j) — same fold order as
+    ``_pq_duck_sqd``; float repr round-trips exactly."""
+    lit = "array({})".format(
+        ", ".join(f"CAST({v!r} AS DOUBLE)" for v in codebook[(m, j)])
+    )
+    off = m * _PQ_SUBDIM + 1
+    return (
+        f"aggregate(zip_with(slice({vec_col}, {off}, {_PQ_SUBDIM}), {lit},"
+        f" (pq_x, pq_c) -> (CAST(pq_x AS DOUBLE) - pq_c)"
+        f" * (CAST(pq_x AS DOUBLE) - pq_c)),"
+        f" CAST(0 AS DOUBLE), (pq_a, pq_v) -> pq_a + pq_v)"
+    )
+
+
+def _pq_dmicro_lit(codebook, vec_col: str, m: int, j: int) -> str:
+    return f"CAST(round(1000000 * ({_pq_sqd_lit(codebook, vec_col, m, j)})) AS BIGINT)"
+
+
+def _pq_codes_expr(codebook, vec_col: str) -> str:
+    """codes[m] = argmin_j dmicro(m, j), ties to lowest j — a narrow map."""
+    code_exprs = []
+    for m in range(_PQ_M):
+        structs = ", ".join(
+            f"struct({_pq_dmicro_lit(codebook, vec_col, m, j)} AS d, {j} AS j)"
+            for j in range(_PQ_K)
+        )
+        code_exprs.append(f"array_min(array({structs})).j")
+    return "array({})".format(", ".join(code_exprs))
+
+
+def _pq_lut_expr(codebook, vec_col: str) -> str:
+    """Flattened M x K integer LUT of subspace distances for a query row."""
+    return "array({})".format(
+        ", ".join(
+            _pq_dmicro_lit(codebook, vec_col, m, j)
+            for m in range(_PQ_M)
+            for j in range(_PQ_K)
+        )
+    )
+
+
+_PQ_ADC_EXPR = (
+    f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0 AS BIGINT),"
+    f" (pa_a, pa_m) -> pa_a"
+    f" + element_at(lut, pa_m * {_PQ_K} + element_at(codes, pa_m + 1) + 1))"
+)
+
+
 _PQ_ORACLE = f"""
     WITH ms AS (SELECT unnest(range({_PQ_M})) AS m),
     cb AS (
@@ -360,62 +433,16 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     same codebook construction — an independent path to the same ints.
     """
     emb = scale_out(load_table(spark, sf_dir, "embeddings"))
-
-    cb_rows = (
-        emb.filter(F.col("vec_id") < _PQ_K)
-        .select("vec_id", F.expr("transform(embedding, pq_x -> CAST(pq_x AS DOUBLE))").alias("e"))
-        .collect()
-    )
-    # codebook[m][j] = 8-dim codeword (double literals, exact repr round-trip)
-    codebook = {
-        (m, int(r.vec_id)): [float(v) for v in r.e[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]]
-        for r in cb_rows
-        for m in range(_PQ_M)
-    }
-
-    def sqd_lit(m: int, j: int) -> str:
-        lit = "array({})".format(
-            ", ".join(f"CAST({v!r} AS DOUBLE)" for v in codebook[(m, j)])
-        )
-        off = m * _PQ_SUBDIM + 1
-        return (
-            f"aggregate(zip_with(slice(embedding, {off}, {_PQ_SUBDIM}), {lit},"
-            f" (pq_x, pq_c) -> (CAST(pq_x AS DOUBLE) - pq_c)"
-            f" * (CAST(pq_x AS DOUBLE) - pq_c)),"
-            f" CAST(0 AS DOUBLE), (pq_a, pq_v) -> pq_a + pq_v)"
-        )
-
-    def dmicro_lit(m: int, j: int) -> str:
-        return f"CAST(round(1000000 * ({sqd_lit(m, j)})) AS BIGINT)"
-
-    # encode: codes[m] = argmin_j dmicro(m, j), ties to lowest j
-    code_exprs = []
-    for m in range(_PQ_M):
-        structs = ", ".join(
-            f"struct({dmicro_lit(m, j)} AS d, {j} AS j)" for j in range(_PQ_K)
-        )
-        code_exprs.append(f"array_min(array({structs})).j")
+    codebook = _pq_collect_codebook(emb)
     enc = emb.select(
-        "vec_id", F.expr("array({})".format(", ".join(code_exprs))).alias("codes")
+        "vec_id", F.expr(_pq_codes_expr(codebook, "embedding")).alias("codes")
     )
-
     # queries ride with their flattened M x K integer LUTs
-    lut_entries = ", ".join(
-        dmicro_lit(m, j) for m in range(_PQ_M) for j in range(_PQ_K)
+    q = emb.filter(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(_pq_lut_expr(codebook, "embedding")).alias("lut"),
     )
-    q = (
-        emb.filter(F.col("vec_id") < _PQ_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.expr(f"array({lut_entries})").alias("lut"),
-        )
-    )
-
-    adc = F.expr(
-        f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0 AS BIGINT),"
-        f" (pa_a, pa_m) -> pa_a"
-        f" + element_at(lut, pa_m * {_PQ_K} + element_at(codes, pa_m + 1) + 1))"
-    )
+    adc = F.expr(_PQ_ADC_EXPR)
     scored = (
         enc.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -428,5 +455,156 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ: cell-pruned candidate generation, code-compressed scoring
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = f"""
+    WITH ms AS (SELECT unnest(range({_PQ_M})) AS m),
+    cb AS (
+        SELECT m, vec_id AS j,
+               embedding[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS cv
+        FROM embeddings, ms WHERE vec_id < {_PQ_K}
+    ),
+    sub AS (
+        SELECT vec_id, label, m,
+               embedding[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS sv
+        FROM embeddings, ms
+    ),
+    enc AS (
+        SELECT vec_id, label, m, j AS code
+        FROM (
+            SELECT s.vec_id, s.label, s.m, c.j,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY CAST(round(1000000 * ({_pq_duck_sqd('s.sv', 'c.cv')}))
+                                AS BIGINT), c.j
+                   ) AS rn
+            FROM sub s JOIN cb c ON s.m = c.m
+        ) WHERE rn = 1
+    ),
+    cent AS (
+        SELECT label, array_agg(cval ORDER BY pos) AS centroid
+        FROM (
+            SELECT label, pos,
+                   round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS cval
+            FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {_PQ_QUERIES}
+    ),
+    assign AS (
+        SELECT query_id, label FROM (
+            SELECT q.query_id, cent.label,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({sim.duck_cosine_expr("q.qv", "cent.centroid")}, 6) DESC,
+                                cent.label
+                   ) AS rn
+            FROM q, cent
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT s.vec_id AS query_id, s.m, c.j,
+               CAST(round(1000000 * ({_pq_duck_sqd('s.sv', 'c.cv')}))
+                    AS BIGINT) AS dmicro
+        FROM sub s JOIN cb c ON s.m = c.m
+        WHERE s.vec_id < {_PQ_QUERIES}
+    ),
+    scored AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id, e.label,
+               CAST(sum(l.dmicro) AS BIGINT) AS adc_micro
+        FROM enc e
+        JOIN assign a ON e.label = a.label
+        JOIN lut l ON l.query_id = a.query_id
+                  AND e.m = l.m AND e.code = l.j
+        WHERE e.vec_id != l.query_id
+        GROUP BY l.query_id, e.vec_id, e.label
+    )
+    SELECT query_id, neighbor_id, label, adc_micro, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_micro, neighbor_id
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@register("similarity_ivf_pq", oracle=_IVFPQ_ORACLE)
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (X3 capstone — the full FAISS serving plan): coarse cells
+    prune the candidate set to ~1/n_cells of the corpus, and the
+    survivors are scored from their 4-bit PQ codes through the query's
+    integer LUT — no raw vector is touched after encoding. This is the
+    composition that serves billion-vector corpora from RAM: IVF bounds
+    the scan, PQ bounds the bytes.
+
+    Scale shape: the encoded corpus (4 bytes + cell id per vector) is
+    the ONLY corpus-sized relation; queries join it by cell id (equi-join
+    — partition the corpus by cell to make it local) carrying their
+    {_PQ_M}×{_PQ_K} LUTs broadcast; scoring is integer lookups + adds;
+    one shuffle for the per-query top-k. Cell assignment reuses the IVF
+    centroid convention (per-`label` means, rounded(6)); codebooks the
+    deterministic init-only PQ convention. All distances round once to
+    integer micro-units so ADC sums and rank ties are engine-exact.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    codebook = _pq_collect_codebook(emb)
+    enc = emb.select(
+        "vec_id",
+        "label",
+        F.expr(_pq_codes_expr(codebook, "embedding")).alias("codes"),
+    )
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cval))),"
+                " cs_s -> cs_s.cval)"
+            ).alias("centroid")
+        )
+    )
+    q = emb.filter(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(_pq_lut_expr(codebook, "embedding")).alias("lut"),
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(
+        F.round(sim.cosine_expr("qv", "centroid"), 6).desc(), F.col("label").asc()
+    )
+    assign = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= 1)
+        .select("query_id", "lut", F.col("label").alias("probe_label"))
+    )
+    scored = (
+        enc.join(
+            F.broadcast(assign),
+            (F.col("label") == F.col("probe_label"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.expr(_PQ_ADC_EXPR).alias("adc_micro"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= _PQ_TOPK)
     )
