@@ -167,3 +167,69 @@ def test_unigram_logprob_matches_python_rederivation(spark, sf_dir):
         total_micro = sum(c * logp_micro[t] for t, c in tf.items())
         mean_nll = (-total_micro) // n_tokens
         assert got[doc_id] == (n_tokens, mean_nll), doc_id
+
+
+def test_pq_adc_matches_numpy_rederivation(spark, sf_dir):
+    """PQ encode + ADC top-k equals an independent numpy implementation:
+    same init-only codebooks, micro-unit rounding, argmin tie-breaks, and
+    (adc, neighbor_id) ranking."""
+    import numpy as np
+
+    from kafka_streams_tcp_reconciliation_spark.plans.clustering import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_QUERIES,
+        _PQ_SUBDIM,
+        _PQ_TOPK,
+    )
+
+    emb = {
+        int(r.vec_id): np.asarray([float(v) for v in r.embedding])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    # codebook[m][j] = subvector m of vector j
+    cb = {
+        (m, j): emb[j][m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+        for j in range(_PQ_K)
+        for m in range(_PQ_M)
+    }
+
+    def dmicro(sv, cv) -> int:
+        # left-fold sum in position order, like both engines
+        acc = 0.0
+        for d in ((sv - cv) * (sv - cv)):
+            acc += d
+        return int(round(1_000_000 * acc))
+
+    def codes(v):
+        out = []
+        for m in range(_PQ_M):
+            sv = v[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+            out.append(
+                min(range(_PQ_K), key=lambda j: (dmicro(sv, cb[(m, j)]), j))
+            )
+        return out
+
+    enc = {vid: codes(v) for vid, v in emb.items()}
+    want = {}
+    for qid in range(_PQ_QUERIES):
+        lut = {
+            (m, j): dmicro(
+                emb[qid][m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM], cb[(m, j)]
+            )
+            for m in range(_PQ_M)
+            for j in range(_PQ_K)
+        }
+        scored = sorted(
+            (sum(lut[(m, c[m])] for m in range(_PQ_M)), vid)
+            for vid, c in enc.items()
+            if vid != qid
+        )
+        for rank, (adc, vid) in enumerate(scored[:_PQ_TOPK], start=1):
+            want[(qid, vid)] = (adc, rank)
+
+    got = {
+        (int(r.query_id), int(r.neighbor_id)): (int(r.adc_micro), int(r.rank))
+        for r in QUERIES["similarity_pq_adc"](spark, sf_dir).collect()
+    }
+    assert got == want
