@@ -297,17 +297,25 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH value_by_part AS (
       SELECT l_partkey AS partkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS vc
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
       JOIN region   ON n_regionkey = r_regionkey
       WHERE r_name = 'ASIA'
       GROUP BY 1
+    ),
+    thr AS (
+      SELECT CAST(sum(vc) AS HUGEINT) AS sum_vc,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM value_by_part
     )
-    SELECT partkey, value
-    FROM value_by_part
-    WHERE value > (SELECT round(avg(value) * 2, 2) FROM value_by_part)
+    SELECT partkey,
+           CAST((vc + 50) // 100 AS DOUBLE) / 100.0 AS value
+    FROM value_by_part, thr
+    WHERE CAST(vc AS HUGEINT) * n > 2 * sum_vc
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,32 +324,48 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The threshold (2× the average per-part value — scale-invariant, unlike
     TPC-H's fixed fraction-of-total, which vacuously empties as the part
     count grows) is a 1-row aggregate broadcast-cross-joined to the
-    per-part values — no collect, no single-partition window. Both sides
-    are rounded to cents before the comparison so the engines agree on
-    borderline parts.
+    per-part values — no collect, no single-partition window.
+
+    Money arithmetic is EXACT-INTEGER end to end: prices and discounts
+    are 2-decimal, so each line's revenue is an integer number of
+    10⁻⁴-dollar units and the per-part/corpus sums commute in any
+    aggregation/partitioning order — a float sum re-associated
+    differently flipped one part by a cent at the sf0.1 rounding
+    boundary (637327.075), the classic non-deterministic-at-scale bug.
+    The threshold predicate is pure integer (vc·n > 2·Σvc, widened to
+    decimal/HUGEINT against overflow at 100 TB row counts), and the
+    displayed value rounds to cents in integer arithmetic
+    ((vc+50) div 100 — HALF_UP): engines also disagree on float
+    ``round()`` at representation boundaries (Spark rounds the shortest
+    decimal repr, DuckDB the binary value), so no float ever reaches a
+    round or a comparison. The one remaining float op is the final
+    cents/100 display division of identical integers — bit-identical
+    everywhere.
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    unit_rev = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * CAST(round((1 - l_discount) * 100) AS BIGINT)"
+    )
     value_by_part = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("value")
-        )
+        .agg(F.sum(unit_rev).alias("vc"))
     )
     threshold = value_by_part.agg(
-        F.round(F.avg("value") * 2, 2).alias("threshold")
+        F.sum("vc").cast("decimal(38,0)").alias("sum_vc"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
     )
+    value = F.expr("CAST((vc + 50) DIV 100 AS DOUBLE) / 100.0")
     return (
         value_by_part.join(F.broadcast(threshold))
-        .filter(F.col("value") > F.col("threshold"))
-        .select("partkey", "value")
+        .filter(F.col("vc").cast("decimal(38,0)") * F.col("n") > 2 * F.col("sum_vc"))
+        .select("partkey", value.alias("value"))
     )
 
 
