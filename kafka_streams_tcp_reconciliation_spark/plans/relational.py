@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_streams_tcp_reconciliation_spark.functions import money as mny
 from kafka_streams_tcp_reconciliation_spark.operators.ktable import latest_by_key
 from kafka_streams_tcp_reconciliation_spark.plans import register
 from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
@@ -27,16 +28,16 @@ from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
 
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                       AS sum_qty,
-           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 6)                                       AS avg_qty,
-           round(avg(l_extendedprice), 6)                                  AS avg_price,
-           round(avg(l_discount), 6)                                       AS avg_disc,
-           count(*)                                                        AS count_order
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           {mny.duck_money2(f"sum({mny.rev_units()})", 100)}      AS sum_disc_price,
+           {mny.duck_money2(f"sum({mny.charge_units()})", 10000)} AS sum_charge,
+           round(avg(l_quantity), 6)      AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6)      AS avg_disc,
+           count(*)                       AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -48,17 +49,27 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plans this as parquet scan (filter pushed to the reader,
     ReadSchema pruned to 7 columns) → partial HashAggregate → single
     shuffle on (l_returnflag, l_linestatus) → final HashAggregate.
+
+    The disc-price and charge sums live on sub-cent grids (10⁻⁴/10⁻⁶
+    dollars), so they run in exact integer units and round to cents in
+    integer arithmetic (functions/money.py) — a float sum re-associated
+    differently between engines (or cluster layouts) can flip a cent at
+    a half-cent boundary. Quantity (integer) and base price (cent-grid)
+    sums cannot sit on a rounding boundary and stay plain float sums.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.expr(
+                mny.spark_money2(f"sum({mny.rev_units()})", 100)
+            ).alias("sum_disc_price"),
+            F.expr(
+                mny.spark_money2(f"sum({mny.charge_units()})", 10000)
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -69,9 +80,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q3_top_revenue_orders",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {mny.duck_money2(f"sum({mny.rev_units()})", 100)} AS revenue,
            strftime(o_orderdate, '%Y-%m-%d')                 AS order_date,
            o_orderpriority
     FROM customer
@@ -101,9 +112,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr(mny.spark_money2(f"sum({mny.rev_units()})", 100)).alias(
+                "revenue"
+            )
         )
         .select(
             "o_orderkey",
@@ -120,7 +131,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -155,11 +166,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.expr('CAST(((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT))) + 50) DIV 100 AS DOUBLE) / 100.0').alias("revenue"))
     )
 
 
@@ -443,7 +450,7 @@ def ktable_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_forecast",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((l_discount) * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -466,8 +473,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-            .alias("revenue"),
+            F.expr('CAST(((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((l_discount) * 100) AS BIGINT))) + 50) DIV 100 AS DOUBLE) / 100.0').alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -477,7 +483,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(((sum(CAST(round((l.l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -512,9 +518,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr('CAST(((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT))) + 50) DIV 100 AS DOUBLE) / 100.0').alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -600,10 +604,10 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue_ratio",
     oracle="""
     SELECT round(
-               100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                THEN l.l_extendedprice * (1 - l.l_discount)
-                                ELSE 0 END)
-               / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+               100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                     THEN CAST(round((l.l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                                     ELSE 0 END) AS DOUBLE)
+               / CAST(sum(CAST(round((l.l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE), 4)
                AS promo_pct
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -616,7 +620,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension join; the date filter pushes to the fact scan."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_u = F.expr('CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)')
     return (
         lineitem.filter(
             (F.col("l_shipdate") >= "1997-06-01")
@@ -626,8 +630,12 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev_u).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).cast("double")
+                / F.sum(rev_u).cast("double"),
                 4,
             ).alias("promo_pct")
         )
@@ -637,7 +645,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT CAST(((sum(CAST(round((l.l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l.l_discount) * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -674,9 +682,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.expr('CAST(((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT))) + 50) DIV 100 AS DOUBLE) / 100.0').alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

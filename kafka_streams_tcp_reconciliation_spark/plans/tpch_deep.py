@@ -119,7 +119,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name                                      AS supp_nation,
            n2.n_name                                      AS cust_nation,
            CAST(year(l_shipdate) AS BIGINT)               AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
     FROM supplier
     JOIN lineitem  ON s_suppkey = l_suppkey
     JOIN orders    ON o_orderkey = l_orderkey
@@ -167,11 +167,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.expr('CAST(((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT))) + 50) DIV 100 AS DOUBLE) / 100.0').alias("revenue"))
     )
 
 
@@ -179,11 +175,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           round(round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END), 2)
-                 / round(sum(volume), 2), 6) AS mkt_share
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN vu ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(vu) AS DOUBLE), 6) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS BIGINT)        AS o_year,
-             l_extendedprice * (1 - l_discount)       AS volume,
+             CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)                                  AS vu,
              n2.n_name                                AS nation
       FROM part
       JOIN lineitem  ON p_partkey = l_partkey
@@ -223,7 +219,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vu = F.expr('CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)')
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(part, li.l_partkey == part.p_partkey)
@@ -235,11 +231,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
-                F.round(
-                    F.sum(F.when(F.col("nation") == "NATION_3", volume).otherwise(0.0)),
-                    2,
-                )
-                / F.round(F.sum(volume), 2),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", vu).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).cast("double")
+                / F.sum(vu).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -249,12 +246,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(CAST(sign(sum(au)) AS BIGINT) * ((abs(sum(au)) + 50) // 100) AS DOUBLE) / 100.0 AS sum_profit
     FROM (
       SELECT n_name                                AS nation,
              CAST(year(o_orderdate) AS BIGINT)     AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - 0.6 * p_retailprice * l_quantity  AS amount
+             CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT) - 60 * CAST(round((p_retailprice) * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)                            AS au
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -276,9 +273,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # exact 1e-4-dollar units; cost = 0.6*retail*qty = 60*retail_cents*qty units
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(part, li.l_partkey == part.p_partkey)
@@ -288,7 +283,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            F.expr('CAST(CAST(sign(sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT) - 60 * CAST(round((p_retailprice) * 100) AS BIGINT) * CAST(l_quantity AS BIGINT))) AS BIGINT) * ((abs(sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT) - 60 * CAST(round((p_retailprice) * 100) AS BIGINT) * CAST(l_quantity AS BIGINT))) + 50) DIV 100) AS DOUBLE) / 100.0').alias(
+                "sum_profit"
+            )
+        )
     )
 
 
@@ -444,15 +443,15 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS ru
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY 1
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, CAST(((ru) + 50) // 100 AS DOUBLE) / 100.0 AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE ru = (SELECT max(ru) FROM revenue)
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,16 +466,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+        F.expr("CAST(sum({}) AS BIGINT)".format('CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)')).alias("ru")
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    max_rev = revenue.agg(F.max("ru").alias("max_ru"))
     return (
         revenue.join(F.broadcast(max_rev))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .filter(F.col("ru") == F.col("max_ru"))
         .join(supp, F.col("supplier_no") == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr('CAST(((ru) + 50) DIV 100 AS DOUBLE) / 100.0').alias("total_revenue"),
+        )
     )
 
 
