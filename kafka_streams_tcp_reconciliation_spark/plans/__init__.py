@@ -42,6 +42,7 @@ _PLAN_MODULES = (
     "pipeline",
     "clustering",
     "curation",
+    "governance",
 )
 
 

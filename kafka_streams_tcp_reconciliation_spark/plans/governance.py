@@ -1,0 +1,498 @@
+"""Data-governance and statistics queries (SURVEY.md §2.11 extensions).
+
+A 100 TB training-data pipeline is as much about *trusting* the data as
+transforming it. This module adds the governance layer a production corpus
+build runs before and after the heavy operators in ``plans/llm.py`` /
+``plans/pipeline.py``:
+
+- contract auditing (null/domain/referential/uniqueness checks),
+- distribution profiling (histograms, correlation/moment statistics),
+- change-history modelling (SCD2 validity intervals from an event log),
+- rolling engagement (trailing-24h distinct users, the streaming-friendly
+  fan-out formulation),
+- semantic dedup (SemDeDup-style: cluster first, then compare only within
+  a cluster — arXiv:2303.09540's recipe for making near-dup detection
+  sub-quadratic at corpus scale).
+
+Every query follows the house rules (SURVEY.md §5.2): identical aliases in
+the Spark plan and the DuckDB oracle, floats rounded the same on both
+sides or kept exact-integer (see ``functions/money.py``), timestamps
+surfaced as strings with explicit microsecond formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
+from kafka_streams_tcp_reconciliation_spark.plans import register
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table, scale_out
+
+_TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_US_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+_ORDER_STATUSES = "'O', 'F', 'P'"
+_EVENT_TYPES = "'view', 'click', 'purchase', 'signup', 'error'"
+
+
+# --- data-quality contract audit ------------------------------------------
+
+
+@register(
+    "dq_audit_contracts",
+    oracle=f"""
+    SELECT 'orders_rows' AS check_name, count(*) AS n FROM orders
+    UNION ALL
+    SELECT 'orders_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_orphan_custkey', count(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_dup_orderkey', count(*) FROM (
+        SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+    )
+    UNION ALL
+    SELECT 'orders_status_out_of_domain', count(*)
+    FROM orders WHERE o_orderstatus NOT IN ({_ORDER_STATUSES})
+    UNION ALL
+    SELECT 'orders_price_out_of_range', count(*)
+    FROM orders WHERE o_totalprice <= 0 OR o_totalprice > 1000000
+    UNION ALL
+    SELECT 'lineitem_rows', count(*) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_dup_orderkey_linenumber', count(*) FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+    )
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range', count(*)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1
+    UNION ALL
+    SELECT 'lineitem_nonpositive_quantity', count(*)
+    FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'events_rows', count(*) FROM events
+    UNION ALL
+    SELECT 'events_type_out_of_domain', count(*)
+    FROM events WHERE event_type NOT IN ({_EVENT_TYPES})
+    UNION ALL
+    SELECT 'events_ts_out_of_range', count(*)
+    FROM events WHERE ts < TIMESTAMP '2024-01-01'
+                   OR ts >= TIMESTAMP '2025-01-01'
+    """,
+)
+def dq_audit_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit: one row per data-quality check, with the violation
+    count (plus raw row counts so the result always carries nonzero values
+    to hash).
+
+    Scale: every check is a single pruned column scan + map-side-combinable
+    aggregate; the referential check is a broadcast anti-join against the
+    customer dim (BROADCAST_TABLES); the uniqueness checks shuffle only the
+    candidate key. No check materializes violating rows — counts only —
+    so the audit output is O(#checks) regardless of table size. On a real
+    lakehouse these run as one pass per table; Catalyst prunes each scan
+    to the single column the check touches (``ReadSchema`` in .explain).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"), F.col("n"))
+
+    def cnt(df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n"))
+
+    orphans = orders.join(
+        F.broadcast(customer),
+        orders["o_custkey"] == customer["c_custkey"],
+        "left_anti",
+    )
+    dup_orders = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    dup_lines = (
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    checks = [
+        one("orders_rows", cnt(orders)),
+        one("orders_null_custkey", cnt(orders.filter(F.col("o_custkey").isNull()))),
+        one("orders_orphan_custkey", cnt(orphans)),
+        one("orders_dup_orderkey", cnt(dup_orders)),
+        one(
+            "orders_status_out_of_domain",
+            cnt(orders.filter(~F.col("o_orderstatus").isin("O", "F", "P"))),
+        ),
+        one(
+            "orders_price_out_of_range",
+            cnt(
+                orders.filter(
+                    (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 1000000)
+                )
+            ),
+        ),
+        one("lineitem_rows", cnt(lineitem)),
+        one("lineitem_dup_orderkey_linenumber", cnt(dup_lines)),
+        one(
+            "lineitem_discount_out_of_range",
+            cnt(
+                lineitem.filter(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+                )
+            ),
+        ),
+        one(
+            "lineitem_nonpositive_quantity",
+            cnt(lineitem.filter(F.col("l_quantity") <= 0)),
+        ),
+        one("events_rows", cnt(events)),
+        one(
+            "events_type_out_of_domain",
+            cnt(
+                events.filter(
+                    ~F.col("event_type").isin(
+                        "view", "click", "purchase", "signup", "error"
+                    )
+                )
+            ),
+        ),
+        one(
+            "events_ts_out_of_range",
+            cnt(
+                events.filter(
+                    (F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-01 00:00:00'"))
+                    | (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2025-01-01 00:00:00'"))
+                )
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+# --- distribution profiling: equi-width histogram -------------------------
+
+_HIST_WIDTH = 25_000
+_HIST_BUCKETS = 20
+
+
+@register(
+    "histogram_order_totals",
+    oracle=f"""
+    SELECT bucket_lo,
+           count(*) AS n_orders,
+           min(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS min_price,
+           max(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS max_price
+    FROM (
+        SELECT o_totalprice,
+               least({_HIST_BUCKETS - 1},
+                     CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT))
+               * {_HIST_WIDTH} AS bucket_lo
+        FROM orders
+    )
+    GROUP BY bucket_lo
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals ($25k buckets, top bucket
+    open-ended) — the profiling pass a pipeline runs to pick salting /
+    range-partition boundaries before a heavy job.
+
+    Scale: bucket id is a narrow per-row expression; the aggregate is
+    map-side combinable into at most ``_HIST_BUCKETS`` groups, so the
+    shuffle carries O(buckets × partitions) rows no matter the input
+    size. Min/max go through exact cents (``functions/money.py``) so the
+    displayed bounds are bit-identical across engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(_HIST_BUCKETS - 1),
+        F.floor(F.col("o_totalprice") / _HIST_WIDTH).cast("long"),
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select(
+            (bucket * _HIST_WIDTH).alias("bucket_lo"), cents.alias("cents")
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("cents") / 100.0).alias("min_price"),
+            (F.max("cents") / 100.0).alias("max_price"),
+        )
+    )
+
+
+# --- moment / correlation statistics --------------------------------------
+
+
+@register(
+    "stats_corr_lineitem",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_discount), 6)                 AS stddev_discount,
+           round(avg(l_quantity), 6)                         AS avg_qty,
+           count(*)                                          AS n
+    FROM lineitem
+    """,
+)
+def stats_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment profile of lineitem (corr / covariance / stddev) —
+    the statistics a feature-selection or drift-detection pass computes.
+
+    Scale: all five aggregates are single-pass streaming moments with
+    exact partial+final merge (Catalyst's ``corr``/``covar_samp`` use the
+    numerically-stable co-moment update), so one scan, one 1-row result,
+    no shuffle beyond the final merge. Values are continuous (not on a
+    decimal grid), so rounding after the float aggregate cannot sit on a
+    representable half-way boundary — the round(…, k) is cross-engine
+    safe (see functions/money.py for the grid-valued counterexample).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("stddev_discount"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- SCD2 validity intervals from an event log ----------------------------
+
+
+@register(
+    "scd2_purchase_value_history",
+    oracle=f"""
+    SELECT user_id,
+           value,
+           strftime(ts, '{_TS_FMT_US_DUCK}') AS valid_from,
+           strftime(lead(ts) OVER w, '{_TS_FMT_US_DUCK}') AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_purchase_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each purchase's value is
+    valid from its event time until the user's next purchase (open-ended
+    for the latest). The standard CDC-log → SCD2 transform, expressed as
+    one ``lead`` window.
+
+    Scale: one shuffle on ``user_id``; per-key state is a single row of
+    lookahead (Spark's WindowExec streams the frame). The (ts, event_id)
+    ordering makes interval boundaries deterministic under same-timestamp
+    events. Microsecond-formatted strings keep the interval endpoints
+    bit-identical across engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "value",
+        F.date_format("ts", _TS_FMT_US).alias("valid_from"),
+        F.date_format(nxt, _TS_FMT_US).alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("is_current"),
+    )
+
+
+# --- rolling trailing-24h distinct users ----------------------------------
+
+_ROLL_HOURS = 24
+_EPOCH_NTZ = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+_EPOCH_DUCK = "TIMESTAMP '2024-01-01 00:00:00'"
+
+
+@register(
+    "rolling_active_users_24h",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT DISTINCT
+               datediff('hour', {_EPOCH_DUCK}, date_trunc('hour', ts)) AS hb,
+               user_id
+        FROM events
+    ),
+    observed AS (SELECT DISTINCT hb FROM hourly),
+    contrib AS (
+        SELECT hourly.hb + k.k AS target_hb, user_id
+        FROM hourly, (SELECT unnest(range({_ROLL_HOURS})) AS k) k
+    )
+    SELECT strftime({_EPOCH_DUCK} + INTERVAL 1 HOUR * target_hb,
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(DISTINCT user_id) AS active_users
+    FROM contrib JOIN observed ON observed.hb = contrib.target_hb
+    GROUP BY target_hb
+    """,
+)
+def rolling_active_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour distinct active users, evaluated at every observed
+    hour — the rolling-engagement KPI (DAU over a sliding day).
+
+    Formulated as a hopping-window fan-out rather than a RANGE window:
+    dedup to (hour, user) pairs first (the only cardinality reducer that
+    preserves DISTINCT semantics), then each pair contributes to the 24
+    hours it keeps the user "active" for, then count-distinct per target
+    hour. Scale: the fan-out happens AFTER the dedup, so it is 24× the
+    *unique pair* count, not 24× the raw event count; both joins key on
+    integer hour buckets; the semi-join against observed hours prunes the
+    ragged tail. This is exactly the shape the streaming twin maintains
+    incrementally (``streaming/windows.py`` hopping composition).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.expr(
+                f"timestampdiff(HOUR, {_EPOCH_NTZ}, date_trunc('hour', ts))"
+            ).alias("hb"),
+            "user_id",
+        )
+        .distinct()
+    )
+    observed = hourly.select("hb").distinct()
+    contrib = (
+        hourly.select(
+            "hb",
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_ROLL_HOURS - 1))).alias("k"),
+        )
+        .select((F.col("hb") + F.col("k")).alias("target_hb"), "user_id")
+    )
+    return (
+        contrib.join(observed, contrib["target_hb"] == observed["hb"], "left_semi")
+        .groupBy("target_hb")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .select(
+            F.date_format(
+                F.expr(f"timestampadd(HOUR, target_hb, {_EPOCH_NTZ})"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            "active_users",
+        )
+    )
+
+
+# --- SemDeDup-style clustered semantic dedup ------------------------------
+
+_SEM_K = 8  # seed centroids (vec_id < K); K scales with corpus size
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cv
+        FROM embeddings WHERE vec_id < {_SEM_K}
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({sim.duck_cosine_expr("e.embedding", "cent.cv")}, 6)
+                                DESC, cent.cid
+                   ) AS rn
+            FROM embeddings e, cent
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT ax.cid,
+               x.vec_id AS a_id, y.vec_id AS b_id,
+               round({sim.duck_cosine_expr("x.embedding", "y.embedding")}, 6) AS cosine
+        FROM embeddings x
+        JOIN assign ax ON x.vec_id = ax.vec_id
+        JOIN assign ay ON ay.cid = ax.cid AND ay.vec_id > ax.vec_id
+        JOIN embeddings y ON y.vec_id = ay.vec_id
+    ),
+    top_pair AS (
+        SELECT cid, a_id, b_id, cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cid ORDER BY cosine DESC, a_id, b_id
+            ) AS rn FROM pairs
+        ) WHERE rn = 1
+    ),
+    sizes AS (SELECT cid, count(*) AS n_members FROM assign GROUP BY cid)
+    SELECT sizes.cid, n_members, a_id, b_id, cosine AS top_cosine
+    FROM sizes JOIN top_pair ON top_pair.cid = sizes.cid
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (arXiv:2303.09540): assign every
+    embedding to its nearest seed centroid, then look for near-duplicates
+    only WITHIN a cluster. Reports per-cluster size and the most similar
+    intra-cluster pair (the pair a thresholded variant would drop first).
+
+    Scale: the assignment is a broadcast of K centroids against a single
+    corpus scan (linear, no shuffle of the corpus); the pair stage
+    shuffles once on cluster id and is quadratic only within a cluster —
+    SemDeDup's contract is that K grows with corpus size so cluster
+    cardinality stays bounded (~N/K docs each). The per-cluster top-1 is
+    a WindowGroupLimit: each partition keeps one candidate row per
+    cluster before the final shuffle. Cosines are rounded to 6 before
+    every rank so tiebreaks agree across engines.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    cent = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SEM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            F.round(sim.cosine_expr("embedding", "cv"), 6).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    left = assign.select(
+        "cid", F.col("vec_id").alias("a_id"), F.col("embedding").alias("av")
+    )
+    right = assign.select(
+        "cid", F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv")
+    )
+    pairs = (
+        left.join(right, "cid")
+        .filter(F.col("b_id") > F.col("a_id"))
+        .select(
+            "cid",
+            "a_id",
+            "b_id",
+            F.round(sim.cosine_expr("av", "bv"), 6).alias("cosine"),
+        )
+    )
+    w_top = Window.partitionBy("cid").orderBy(
+        F.col("cosine").desc(), F.col("a_id").asc(), F.col("b_id").asc()
+    )
+    top_pair = (
+        pairs.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select("cid", "a_id", "b_id", F.col("cosine").alias("top_cosine"))
+    )
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return sizes.join(top_pair, "cid")

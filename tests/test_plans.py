@@ -242,3 +242,53 @@ def test_pq_adc_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_dq_audit_referential_check_broadcasts(spark, sf_dir):
+    """The orphan-custkey referential check must be a broadcast anti-join
+    against the customer dim — never a shuffle of the fact table just to
+    count violations."""
+    plan = plan_of(QUERIES["dq_audit_contracts"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_histogram_single_exchange(spark, sf_dir):
+    """Equi-width histogram: bucket id is a narrow per-row expression, so
+    the whole query is scan → partial agg → ONE exchange (of at most
+    #buckets × #partitions rows) → final agg."""
+    plan = plan_of(QUERIES["histogram_order_totals"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """SCD2 build is one shuffle on user_id feeding one streaming window
+    (lead) — no join, no second exchange."""
+    plan = plan_of(QUERIES["scd2_purchase_value_history"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_shape(spark, sf_dir):
+    """SemDeDup: centroid assignment must broadcast the K seed vectors
+    against one corpus scan (nested-loop of a tiny relation), the
+    intra-cluster pair stage must join on cluster id (equi-join — never a
+    corpus×corpus CartesianProduct), and the per-cluster top pair must
+    run as WindowGroupLimit."""
+    plan = plan_of(QUERIES["dedup_semantic_clusters"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_rolling_active_users_fanout_after_dedup(spark, sf_dir):
+    """The 24× hour fan-out (explode) must sit ABOVE the (hour, user)
+    dedup aggregate, so it multiplies unique pairs, not raw events; the
+    observed-hours prune is a broadcast semi-join on the integer bucket."""
+    plan = plan_of(QUERIES["rolling_active_users_24h"](spark, sf_dir))
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    gen = plan.index("Generate explode")
+    # a HashAggregate (the pair dedup) must appear below (later in the
+    # printed tree than) the Generate node
+    assert "HashAggregate" in plan[gen:]
