@@ -43,6 +43,7 @@ _PLAN_MODULES = (
     "clustering",
     "curation",
     "governance",
+    "sequences",
 )
 
 

@@ -1,0 +1,303 @@
+"""Sequence / temporal analytics over the event log (SURVEY.md §2.9 depth).
+
+The reference's domain is ordered per-key event streams; this module adds
+the sequence-shaped analytics a product or telemetry team runs on top of
+the windowing core in ``plans/events.py``:
+
+- session path mining (which ordered journeys happen, how often),
+- first-order transition matrix (the Markov view of the same journeys),
+- calendar gap-filling / resampling (dense hourly series from sparse
+  events — the feature-store prerequisite),
+- robust outlier detection (median/MAD — immune to the heavy tails that
+  poison the z-score variant in ``plans/analytics.py``).
+
+House rules as everywhere (SURVEY.md §5.2): identical aliases both sides,
+deterministic tiebreaks (ts, event_id), floats rounded identically or kept
+exact, timestamps surfaced as formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.plans import register
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+_GAP_MIN = 30  # session gap, minutes — same knob as session_window_stats
+
+
+# --- session path mining ---------------------------------------------------
+
+
+@register(
+    "session_event_paths",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '{_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path,
+           count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users
+    FROM paths GROUP BY path
+    """,
+)
+def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: sessionize on a 30-minute inactivity gap, then
+    count each ordered event-type journey ("view>click>purchase") across
+    sessions and users.
+
+    Scale: ONE shuffle on user_id feeds both stacked windows (gap flag +
+    running session id — same sort order, Catalyst reuses the exchange
+    and sort); the path build is a per-(user, session) aggregate that
+    collects only event-type tokens (bytes per event, not rows), and the
+    final path rollup is map-side combinable. Path cardinality is bounded
+    by journey diversity, not event count. Ordering inside the path is
+    (ts, event_id) — deterministic under same-timestamp events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (F.col("ts") - F.lag("ts").over(w)) >= F.expr(
+        f"INTERVAL {_GAP_MIN} MINUTES"
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.lag("ts").over(w).isNull() | gap_ok, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# --- first-order transition matrix ----------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS to_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM counts
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences:
+    for each (from, to) event-type pair, the transition count and its
+    row-normalized probability.
+
+    Scale: lag() is one shuffle on user_id with O(1) per-row state; the
+    count rollup collapses to at most |types|² groups map-side, so the
+    normalizing window runs over a matrix-sized (not event-sized)
+    relation. The probability divide happens once per matrix cell —
+    continuous value, round(…, 6) is cross-engine safe.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_row), 6).alias("p"),
+    )
+
+
+# --- calendar gap-fill / resample -----------------------------------------
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+_EPOCH_DUCK = "TIMESTAMP '2024-01-01 00:00:00'"
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT datediff('hour', {_EPOCH_DUCK}, date_trunc('hour', min(ts))) AS lo,
+               datediff('hour', {_EPOCH_DUCK}, date_trunc('hour', max(ts))) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(range(lo, hi + 1)) AS hb FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+        SELECT datediff('hour', {_EPOCH_DUCK}, date_trunc('hour', ts)) AS hb,
+               event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime({_EPOCH_DUCK} + INTERVAL 1 HOUR * spine.hb,
+                    '{_TS_FMT_DUCK}') AS window_start,
+           types.event_type,
+           coalesce(c, 0) AS n_events
+    FROM spine
+    CROSS JOIN types
+    LEFT JOIN counts ON counts.hb = spine.hb
+                    AND counts.event_type = types.event_type
+    """,
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event log to a DENSE hourly series per event type:
+    every hour between the global min and max gets a row, zero-filled
+    where no events landed — the gap-filling pass a feature store or
+    forecasting job needs before lag-based features.
+
+    Scale: the raw counts collapse map-side to (hour, type) granularity
+    BEFORE any join; the spine (hours × types) is generated from a 1-row
+    bounds aggregate — its size is calendar-bounded (8.8k rows/year/type),
+    so the fill join is a broadcast of spine-sized relations regardless of
+    event volume. No event-sized relation crosses a second exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hb = F.expr(f"timestampdiff(HOUR, {_EPOCH_NTZ}, date_trunc('hour', ts))")
+    counts = (
+        ev.select(hb.alias("hb"), "event_type")
+        .groupBy("hb", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = ev.agg(
+        F.expr(f"timestampdiff(HOUR, {_EPOCH_NTZ}, date_trunc('hour', min(ts)))").alias(
+            "lo"
+        ),
+        F.expr(f"timestampdiff(HOUR, {_EPOCH_NTZ}, date_trunc('hour', max(ts)))").alias(
+            "hi"
+        ),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hb")
+    )
+    types = ev.select("event_type").distinct()
+    dense = spine.crossJoin(types)
+    return (
+        dense.join(F.broadcast(counts), ["hb", "event_type"], "left")
+        .select(
+            F.date_format(
+                F.expr(f"timestampadd(HOUR, hb, {_EPOCH_NTZ})"), _TS_FMT
+            ).alias("window_start"),
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+# --- robust (median/MAD) outlier detection --------------------------------
+
+_MAD_K = 1.4826  # consistency constant: MAD × k estimates σ under normality
+_MAD_Z = 3.0
+
+
+@register(
+    "events_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, med,
+               quantile_cont(abs(e.value - med), 0.5) AS mad
+        FROM events e JOIN med ON e.event_type = med.event_type
+        GROUP BY e.event_type, med
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - mad.med) / ({_MAD_K} * mad.mad), 6) AS robust_z
+    FROM events e JOIN mad ON e.event_type = mad.event_type
+    WHERE abs((e.value - mad.med) / ({_MAD_K} * mad.mad)) > {_MAD_Z}
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers: flag events whose value deviates from the
+    type median by more than 3 robust sigmas (1.4826 × MAD). Unlike the
+    z-score twin (``value_zscore_outliers``), the median/MAD scale is not
+    dragged by the outliers it is trying to find.
+
+    Scale: two aggregate passes (median, then median-of-deviations), each
+    collapsing to |types| rows, then the tiny stats relation broadcasts
+    back onto the scan for the flag filter — event-sized data shuffles on
+    event_type twice (the exact-percentile shuffles) and never joins
+    shuffled. Exact interpolated percentiles cross-check between engines
+    (proven by ``percentile_value_by_user``); the robust_z divide is
+    continuous, so round(…, 6) is boundary-safe.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    rz = (F.col("value") - F.col("med")) / (_MAD_K * F.col("mad"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > _MAD_Z)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )

@@ -292,3 +292,40 @@ def test_rolling_active_users_fanout_after_dedup(spark, sf_dir):
     # a HashAggregate (the pair dedup) must appear below (later in the
     # printed tree than) the Generate node
     assert "HashAggregate" in plan[gen:]
+
+
+def test_session_paths_shares_one_sort(spark, sf_dir):
+    """Both stacked windows (gap flag + running session id) sort by the
+    same (user_id, ts, event_id) key — the plan must contain ONE sort and
+    reuse the user_id exchange, not re-shuffle between windows."""
+    plan = plan_of(QUERIES["session_event_paths"](spark, sf_dir))
+    assert plan.count("Exchange") == 2  # user_id shuffle + final path rollup
+    assert plan.count("Sort") == 1
+
+
+def test_transition_matrix_normalizes_matrix_not_events(spark, sf_dir):
+    """The row-normalizing window must run AFTER the (from,to) count
+    rollup — over a |types|² relation — never over the event-sized
+    sequence; and nothing sort-merge-joins."""
+    plan = plan_of(QUERIES["event_transition_matrix"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    # lag window (event-sized) + normalize window (matrix-sized) only
+    assert plan.count("Window") == 2
+
+
+def test_gapfill_joins_are_broadcast(spark, sf_dir):
+    """The dense-spine fill must broadcast: spine × types is a nested-loop
+    of calendar-bounded relations and the counts join a BroadcastHashJoin —
+    no event-sized relation may shuffle into a sort-merge join."""
+    plan = plan_of(QUERIES["events_gapfill_hourly"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_mad_outliers_stats_broadcast_back(spark, sf_dir):
+    """Both stats relations (median, then median+MAD) are |types|-sized
+    and must broadcast back onto the event scan — two BroadcastHashJoins,
+    zero sort-merge joins."""
+    plan = plan_of(QUERIES["events_mad_outliers"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
