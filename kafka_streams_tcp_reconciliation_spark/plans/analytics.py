@@ -453,3 +453,46 @@ def filter_like_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.col("text").like("%spark%") & F.col("text").rlike("join|merge")
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           first_value(o_totalprice) OVER w                  AS first_price,
+           last_value(o_totalprice)  OVER w_full             AS last_price,
+           nth_value(o_totalprice, 2) OVER w_full            AS second_price,
+           round(cume_dist() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+           ), 6)                                             AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-positional window functions (F1 completeness:
+    first_value / last_value / nth_value / cume_dist): each order sees the
+    customer's first, latest, and second order price plus its own price's
+    cumulative distribution within the customer.
+
+    Scale: one shuffle on o_custkey; the unbounded-following frame is a
+    per-key full-frame scan (WindowExec buffers one customer's orders —
+    bounded by per-key cardinality, not table size). Ties broken by
+    (o_orderdate, o_orderkey); prices surface raw (no arithmetic), only
+    cume_dist — a ratio of ranks, continuous-safe — is rounded.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cd = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+        F.round(F.cume_dist().over(w_cd), 6).alias("price_cume_dist"),
+    )

@@ -1,0 +1,154 @@
+"""Streaming twins of the sequence analytics in ``plans/sequences.py``
+(SURVEY.md §2.9 T2 — arbitrary stateful processing).
+
+Two per-key FSMs over ``applyInPandasWithState``:
+
+- ``transition_stream``: the incremental form of
+  ``event_transition_matrix`` — per-user state is just the LAST event
+  (type, ts, id); each micro-batch emits the (from, to) transition pairs
+  it completes, including the one that spans the batch boundary. O(1)
+  state per key; the downstream count is a plain windowless rollup of the
+  emitted pairs.
+
+- ``rolling_distinct_stream``: the incremental form of
+  ``rolling_active_users_24h`` — events fan out (statelessly) to the 24
+  hour-buckets they keep the user active for; per-bucket state is the set
+  of users seen so far, and each batch re-emits the bucket's running
+  distinct count (monotone, so the LAST emission per bucket is the
+  answer). Exact distinct requires user-set state per bucket — the same
+  memory the batch count-distinct shuffles; at 100 TB swap the set for an
+  HLL sketch (``approx_count_distinct`` keeps this same topology) when
+  ±2% is acceptable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_ROLL_HOURS = 24
+_EPOCH_NTZ = "TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+
+TRANSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+    ]
+)
+
+TRANSITION_STATE = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def transition_stream(events: DataFrame) -> DataFrame:
+    """Per-user incremental transition extraction: emits one (from, to)
+    row per consecutive event pair, carrying the last event across
+    micro-batches in state.
+
+    The processor is a closure so cloudpickle ships it by value (foreign
+    drivers don't have this package on executor sys.path).
+    """
+
+    def fsm(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts_us, last_eid, last_type = state.get
+        else:
+            last_ts_us, last_eid, last_type = None, None, None
+        rows: list[dict[str, Any]] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                if last_type is not None:
+                    rows.append(
+                        {
+                            "user_id": user_id,
+                            "from_type": last_type,
+                            "to_type": r.event_type,
+                        }
+                    )
+                last_ts_us = int(pd.Timestamp(r.ts).value // 1000)
+                last_eid = int(r.event_id)
+                last_type = r.event_type
+        if last_type is not None:
+            state.update((last_ts_us, last_eid, last_type))
+        yield pd.DataFrame(rows, columns=["user_id", "from_type", "to_type"])
+
+    return (
+        events.select("user_id", "event_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fsm,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=TRANSITION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+ROLLING_SCHEMA = T.StructType(
+    [
+        T.StructField("target_hb", T.LongType()),
+        T.StructField("active_users", T.LongType()),
+    ]
+)
+
+ROLLING_STATE = T.StructType(
+    [T.StructField("seen_users", T.ArrayType(T.LongType()))]
+)
+
+
+def rolling_distinct_stream(events: DataFrame) -> DataFrame:
+    """Incremental trailing-24h distinct users: stateless 24× fan-out to
+    hour buckets, then a per-bucket user-set union in state; each batch
+    re-emits the running count (monotone — take the last per bucket)."""
+    fan = (
+        events.select(
+            F.expr(
+                f"timestampdiff(HOUR, {_EPOCH_NTZ}, date_trunc('hour', ts))"
+            ).alias("hb"),
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_ROLL_HOURS - 1))).alias("k"),
+        )
+        .select((F.col("hb") + F.col("k")).alias("target_hb"), "user_id")
+    )
+
+    def fsm(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (target_hb,) = key
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in batches:
+            seen.update(int(u) for u in pdf["user_id"])
+        state.update((sorted(seen),))
+        yield pd.DataFrame(
+            {"target_hb": [int(target_hb)], "active_users": [len(seen)]}
+        )
+
+    return fan.groupBy("target_hb").applyInPandasWithState(
+        fsm,
+        outputStructType=ROLLING_SCHEMA,
+        stateStructType=ROLLING_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -268,3 +268,48 @@ def test_lm_score_stream_converges(spark, sf_dir, tmp_path_factory):
     got = got.drop(columns=["total"])
     want = all_queries()["unigram_logprob_score"](spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_transition_stream_converges(spark, sf_dir, event_stream):
+    """Incremental transition extraction: counting the emitted (from, to)
+    pairs reproduces the batch transition matrix exactly, including the
+    pairs that span micro-batch boundaries (carried in per-user state)."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.sequences import transition_stream
+
+    got = run_stream(spark, transition_stream(event_stream), "append", "t_trans")
+    got_counts = (
+        got.groupby(["from_type", "to_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    want = (
+        all_queries()["event_transition_matrix"](spark, sf_dir)
+        .toPandas()[["from_type", "to_type", "n"]]
+    )
+    got_counts["n"] = got_counts["n"].astype(want["n"].dtype)
+    pd.testing.assert_frame_equal(canon(got_counts), canon(want))
+
+
+def test_rolling_distinct_stream_converges(spark, sf_dir, event_stream):
+    """Incremental trailing-24h distinct users: the LAST emission per hour
+    bucket (counts are monotone across batches) equals the batch
+    rolling-DAU query on the observed hours."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.sequences import (
+        rolling_distinct_stream,
+    )
+
+    got = run_stream(
+        spark, rolling_distinct_stream(event_stream), "append", "t_rolldau"
+    )
+    # monotone running counts: keep the max per bucket
+    last = got.groupby("target_hb", as_index=False)["active_users"].max()
+    want = all_queries()["rolling_active_users_24h"](spark, sf_dir).toPandas()
+    # map batch window_start strings back to hour buckets for the compare
+    epoch = pd.Timestamp("2024-01-01 00:00:00")
+    want["target_hb"] = (
+        (pd.to_datetime(want["window_start"]) - epoch) / pd.Timedelta(hours=1)
+    ).astype("int64")
+    merged = want.merge(last, on="target_hb", how="left", suffixes=("_b", "_s"))
+    assert (merged["active_users_b"] == merged["active_users_s"]).all(), (
+        merged[merged["active_users_b"] != merged["active_users_s"]].head()
+    )
