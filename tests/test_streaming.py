@@ -313,3 +313,14 @@ def test_rolling_distinct_stream_converges(spark, sf_dir, event_stream):
     assert (merged["active_users_b"] == merged["active_users_s"]).all(), (
         merged[merged["active_users_b"] != merged["active_users_s"]].head()
     )
+
+
+def test_asof_enrich_stream_matches_batch(spark, sf_dir, event_stream):
+    """J9 incremental: the O(1)-state as-of carry emits exactly the batch
+    as-of join's rows, including enrichments whose click arrived in an
+    earlier micro-batch than the purchase."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.asof import asof_enrich_stream
+
+    got = run_stream(spark, asof_enrich_stream(event_stream), "append", "t_asof")
+    want = all_queries()["asof_last_click_before_purchase"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(got), canon(want))
