@@ -357,3 +357,133 @@ def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, array(0.5, 0.95), 1000)").alias("approx_p"),
         F.expr("percentile(value, array(0.5, 0.95))").alias("exact_p"),
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (the inverse of `pivot_orders_status`): the four
+    lineitem measures go long — one (measure, val) row each — the shape
+    feature stores and metric pipelines ingest.
+
+    Scale: `stack` is a narrow 1→4 generate (no shuffle, no join — the
+    UNION-ALL oracle formulation would scan the table 4 times; stack
+    scans once). Values surface raw, no arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        """stack(4,
+            'quantity', l_quantity,
+            'extendedprice', l_extendedprice,
+            'discount', l_discount,
+            'tax', l_tax) AS (measure, val)""",
+    )
+
+
+@register(
+    "part_pair_cooccurrence",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair_counts AS (
+        SELECT a.l_partkey AS a_partkey, b.l_partkey AS b_partkey,
+               count(*) AS n_both
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ),
+    part_counts AS (SELECT l_partkey, count(*) AS n FROM op GROUP BY l_partkey),
+    total AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op)
+    SELECT a_partkey, b_partkey, n_both,
+           round(CAST(n_both AS DOUBLE) * n_orders
+                 / (ca.n * cb.n), 6) AS lift
+    FROM pair_counts
+    JOIN part_counts ca ON ca.l_partkey = a_partkey
+    JOIN part_counts cb ON cb.l_partkey = b_partkey
+    CROSS JOIN total
+    """,
+)
+def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every pair of parts appearing in
+    the same order, the co-order count and its lift (observed / expected
+    under independence) — association mining's first pass.
+
+    Scale: the self-join keys on l_orderkey, so fan-out is bounded by
+    order size squared (~4 lines/order → ~8 pairs), never corpus²; the
+    pair rollup is map-side combinable; per-part counts are a
+    |parts|-sized relation broadcast onto the pairs, and the order total
+    is a 1-row broadcast. Lift is a continuous ratio — round(…, 6) is
+    boundary-safe.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("a_partkey"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("b_partkey"))
+    pair_counts = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a_partkey") < F.col("b_partkey"))
+        .groupBy("a_partkey", "b_partkey")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    part_counts = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    total = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    ca = part_counts.select(
+        F.col("l_partkey").alias("a_partkey"), F.col("n").alias("n_a")
+    )
+    cb = part_counts.select(
+        F.col("l_partkey").alias("b_partkey"), F.col("n").alias("n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(ca), "a_partkey")
+        .join(F.broadcast(cb), "b_partkey")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a_partkey",
+            "b_partkey",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register("hll_user_sketch_rollup")
+def hll_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (A6 at warehouse scale): per-event-type
+    Datasketches HLL sketches of the user population, unioned into an
+    'ALL' row WITHOUT rescanning — the additive-cube pattern that lets a
+    100 TB daily job persist per-partition sketches and answer any
+    rollup by sketch union (HLL union is lossless, so the merged
+    estimate is bit-identical to a direct whole-table sketch; locked by
+    `tests/test_extended.py`). Sketch estimates are engine-specific →
+    rows-only driver check + accuracy/merge-consistency tests.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    typed = per_type.select(
+        F.col("event_type").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("ALL").alias("scope"), "approx_users")
+    return typed.unionByName(merged)

@@ -31,3 +31,33 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
             assert abs(approx - exact) / denom < 0.05, (
                 f"{r.event_type}: approx {approx} vs exact {exact}"
             )
+
+
+def test_hll_sketch_rollup_merge_is_lossless(spark, sf_dir):
+    """The 'ALL' row (union of per-type sketches) must equal a direct
+    whole-table sketch estimate EXACTLY — HLL union is lossless — and
+    every estimate must sit within 5% of the exact cardinality."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_tcp_reconciliation_spark.plans import all_queries
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+    out = {
+        r["scope"]: r["approx_users"]
+        for r in all_queries()["hll_user_sketch_rollup"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    assert out["ALL"] == direct
+    exact_all = ev.select("user_id").distinct().count()
+    assert abs(out["ALL"] - exact_all) / exact_all < 0.05
+    exact_by_type = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, exact in exact_by_type.items():
+        assert abs(out[t] - exact) / exact < 0.05, (t, out[t], exact)
