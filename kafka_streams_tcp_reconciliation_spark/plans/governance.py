@@ -496,3 +496,119 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return sizes.join(top_pair, "cid")
+
+
+# --- ANALYZE-style column profile -----------------------------------------
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           count(*) - count(o_orderkey)     AS n_nulls,
+           count(DISTINCT o_orderkey)       AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile: null count, distinct count, min/max
+    per column (stringified for a uniform schema) — the statistics a
+    cost-based optimizer or a data catalog collects.
+
+    Scale: all four columns profile in ONE scan — the per-column
+    aggregates compute side by side in a single HashAggregate (the
+    UNION-ALL oracle formulation scans 4×), then pivot to long form via
+    a tiny literal stack. count(DISTINCT) over multiple columns expands
+    to Spark's single-pass multi-distinct plan; for columns where exact
+    NDV is not worth the expand, swap in approx_count_distinct
+    (`hll_user_sketch_rollup` shows the sketch path).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            e
+            for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+            for e in (
+                F.count(c).alias(f"nn_{c}"),
+                F.count_distinct(c).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            )
+        ],
+    )
+    return stats.selectExpr(
+        """stack(4,
+            'o_orderkey', n_rows - nn_o_orderkey, nd_o_orderkey,
+                mn_o_orderkey, mx_o_orderkey,
+            'o_custkey', n_rows - nn_o_custkey, nd_o_custkey,
+                mn_o_custkey, mx_o_custkey,
+            'o_orderstatus', n_rows - nn_o_orderstatus, nd_o_orderstatus,
+                mn_o_orderstatus, mx_o_orderstatus,
+            'o_orderpriority', n_rows - nn_o_orderpriority, nd_o_orderpriority,
+                mn_o_orderpriority, mx_o_orderpriority
+        ) AS (col_name, n_nulls, n_distinct, min_val, max_val)"""
+    )
+
+
+# --- equal-frequency (decile) binning -------------------------------------
+
+
+@register(
+    "decile_binning_prices",
+    oracle="""
+    SELECT decile,
+           count(*) AS n_orders,
+           min(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS lo_price,
+           max(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS hi_price
+    FROM (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    GROUP BY decile
+    """,
+)
+def decile_binning_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning: decile boundaries of order totals — the
+    equi-depth complement of `histogram_order_totals` (equi-width), used
+    for quantile features and range-partition boundary picking.
+
+    Scale: ntile over a global ORDER BY is a single-partition sort at
+    the limit — correct here because the output is 10 rows and the sort
+    input is the (price, key) projection only. At 100 TB swap the exact
+    global ntile for approx percentile boundaries (the engine carries
+    both: `approx_percentile_value`) and keep this exact form for
+    partition-local binning. Tie order (price, orderkey) fixes bin
+    membership deterministically; bounds surface as exact cents.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select(
+            cents.alias("cents"), F.ntile(10).over(w).cast("long").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("cents") / 100.0).alias("lo_price"),
+            (F.max("cents") / 100.0).alias("hi_price"),
+        )
+    )

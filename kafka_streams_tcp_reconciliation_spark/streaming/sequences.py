@@ -152,3 +152,83 @@ def rolling_distinct_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SCD2_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("valid_from", T.StringType()),
+        T.StructField("valid_to", T.StringType()),
+    ]
+)
+
+SCD2_STATE = T.StructType(
+    [
+        T.StructField("open_ts_us", T.LongType()),
+        T.StructField("open_event_id", T.LongType()),
+        T.StructField("open_value", T.DoubleType()),
+    ]
+)
+
+
+def _fmt_us(ts_us: int) -> str:
+    # always 6 fraction digits — str() would drop '.000000', diverging from
+    # the batch twin's %f formatting on whole-second timestamps
+    return pd.Timestamp(ts_us * 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Incremental SCD2 maintenance (the streaming twin of
+    ``scd2_purchase_value_history``): per-user state holds the OPEN
+    interval (latest purchase); each newer purchase CLOSES it — emitting
+    the finished validity row — and becomes the new open interval.
+
+    Append mode emits exactly the closed intervals; the still-open row
+    per user lives in state (queryable via the state-store reader,
+    `tests/test_streaming_sink.py`). O(1) state per key — the same
+    footprint as the as-of carry.
+    """
+
+    def fsm(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        open_ts_us, open_eid, open_val = (
+            state.get if state.exists else (None, None, None)
+        )
+        rows: list[dict[str, Any]] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                ts_us = int(pd.Timestamp(r.ts).value // 1000)
+                if open_ts_us is not None:
+                    rows.append(
+                        {
+                            "user_id": user_id,
+                            "value": float(open_val),
+                            "valid_from": _fmt_us(open_ts_us),
+                            "valid_to": _fmt_us(ts_us),
+                        }
+                    )
+                open_ts_us, open_eid, open_val = ts_us, int(r.event_id), float(r.value)
+        if open_ts_us is not None:
+            state.update((open_ts_us, open_eid, open_val))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "value", "valid_from", "valid_to"]
+        )
+
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fsm,
+            outputStructType=SCD2_SCHEMA,
+            stateStructType=SCD2_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -324,3 +324,15 @@ def test_asof_enrich_stream_matches_batch(spark, sf_dir, event_stream):
     got = run_stream(spark, asof_enrich_stream(event_stream), "append", "t_asof")
     want = all_queries()["asof_last_click_before_purchase"](spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_scd2_stream_emits_closed_intervals(spark, sf_dir, event_stream):
+    """Incremental SCD2: the emitted (closed) validity intervals equal the
+    batch SCD2 rows with a non-null valid_to; the still-open rows stay in
+    state."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.sequences import scd2_stream
+
+    got = run_stream(spark, scd2_stream(event_stream), "append", "t_scd2")
+    want = all_queries()["scd2_purchase_value_history"](spark, sf_dir).toPandas()
+    want = want[want["valid_to"].notna()].drop(columns=["is_current"])
+    pd.testing.assert_frame_equal(canon(got), canon(want))
