@@ -449,11 +449,25 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster before the final shuffle. Cosines are rounded to 6 before
     every rank so tiebreaks agree across engines.
     """
-    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    # Self-dots are computed ONCE per vector (and once per centroid) and
+    # carried; every cosine downstream is then a single 64-d fold instead
+    # of three. sqrt(selfdot_a * selfdot_b) multiplies the SAME doubles the
+    # inline form would, so results (and the rounded tiebreaks) are
+    # bit-identical to the oracle's inline cosine — and the pair stage,
+    # the engine's hottest HOF loop, drops ~3× of its flops.
+    emb = scale_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.expr(sim.dot_expr("embedding", "embedding")).alias("sd"),
+    )
     cent = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < _SEM_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            F.expr(sim.dot_expr("embedding", "embedding")).alias("csd"),
+        )
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("cos_c").desc(), F.col("cid").asc()
@@ -463,18 +477,29 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
+            "sd",
             "cid",
-            F.round(sim.cosine_expr("embedding", "cv"), 6).alias("cos_c"),
+            F.round(
+                F.expr(sim.dot_expr("embedding", "cv"))
+                / F.sqrt(F.col("sd") * F.col("csd")),
+                6,
+            ).alias("cos_c"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+        .select("vec_id", "embedding", "sd", "cid")
     )
     left = assign.select(
-        "cid", F.col("vec_id").alias("a_id"), F.col("embedding").alias("av")
+        "cid",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("av"),
+        F.col("sd").alias("a_sd"),
     )
     right = assign.select(
-        "cid", F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv")
+        "cid",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("bv"),
+        F.col("sd").alias("b_sd"),
     )
     pairs = (
         left.join(right, "cid")
@@ -483,7 +508,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             "a_id",
             "b_id",
-            F.round(sim.cosine_expr("av", "bv"), 6).alias("cosine"),
+            F.round(
+                F.expr(sim.dot_expr("av", "bv"))
+                / F.sqrt(F.col("a_sd") * F.col("b_sd")),
+                6,
+            ).alias("cosine"),
         )
     )
     w_top = Window.partitionBy("cid").orderBy(
