@@ -487,3 +487,55 @@ def hll_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("ALL").alias("scope"), "approx_users")
     return typed.unionByName(merged)
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS a_partkey, b.l_partkey AS b_partkey
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    degrees AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT a_partkey AS node FROM edges
+            UNION ALL
+            SELECT b_partkey FROM edges
+        ) GROUP BY node
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM degrees GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph (edges = part
+    pairs co-ordered >= 2 times) — the first diagnostic a graph pipeline
+    runs before committing to an algorithm (connected components and
+    PageRank upstream assume no pathological hub).
+
+    Scale: edges derive from the order-bounded self-join (see
+    `part_pair_cooccurrence`); the degree count is one shuffle of the
+    edge list keyed by node (each edge contributes two map-side rows);
+    the final histogram collapses to O(max degree) groups map-side. No
+    adjacency materialization.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("a_partkey"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("b_partkey"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a_partkey") < F.col("b_partkey"))
+        .groupBy("a_partkey", "b_partkey")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    nodes = edges.select(F.col("a_partkey").alias("node")).unionAll(
+        edges.select(F.col("b_partkey").alias("node"))
+    )
+    degrees = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return degrees.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -301,3 +301,63 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 6).alias("robust_z"),
         )
     )
+
+
+# --- point-in-time (feature-store) join -----------------------------------
+
+
+@register(
+    "pit_click_purchase_context",
+    oracle="""
+    SELECT click_id, user_id, ctx_purchase_id, ctx_value
+    FROM (
+        SELECT c.event_id AS click_id,
+               c.user_id,
+               p.event_id AS ctx_purchase_id,
+               p.value    AS ctx_value,
+               row_number() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY p.ts DESC, p.event_id DESC
+               ) AS rn
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts <= c.ts
+        WHERE c.event_type = 'click'
+    )
+    WHERE rn = 1
+    """,
+)
+def pit_click_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (the feature-store lookup): each click is
+    enriched with the user's purchase state AS OF the click's event time
+    — no leakage from future purchases. The inverse direction of
+    ``asof_last_click_before_purchase``, composed from the same
+    union-and-carry operator.
+
+    Scale: one shuffle on user_id, single ordered pass, O(1) carry state
+    — the quadratic join+rank in the oracle is the semantics spec, not
+    the plan. This is how training-feature extraction must read mutable
+    state at 100 TB (joining the current dimension row would leak).
+    """
+    from kafka_streams_tcp_reconciliation_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "ts",
+        "ts",
+        right_value_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("asof_event_id").alias("ctx_purchase_id"),
+        F.col("asof_value").alias("ctx_value"),
+    )
