@@ -496,3 +496,39 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
         F.round(F.cume_dist().over(w_cd), 6).alias("price_cume_dist"),
     )
+
+
+@register(
+    "null_semantics_funcs",
+    oracle="""
+    SELECT event_id,
+           nullif(event_type, 'error')                    AS type_or_null,
+           coalesce(nullif(event_type, 'error'), 'n/a')   AS type_filled,
+           (nullif(event_type, 'error')
+            IS NOT DISTINCT FROM 'purchase')              AS is_purchase_nullsafe,
+           CASE WHEN value > 100 THEN value END           AS big_value,
+           ifnull(CASE WHEN value > 100 THEN value END,
+                  -1.0)                                   AS big_value_filled
+    FROM events
+    """,
+)
+def null_semantics_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling semantics (§2.8 conditional depth): nullif /
+    coalesce / ifnull and null-safe equality (Spark `<=>` ≡ SQL
+    IS NOT DISTINCT FROM) — the trap corner of SQL three-valued logic,
+    pinned cross-engine.
+
+    Scale: narrow per-row expressions, no shuffle; value doubles surface
+    raw (no arithmetic, bit-identical across engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    type_or_null = F.expr("nullif(event_type, 'error')")
+    big_value = F.when(F.col("value") > 100, F.col("value"))
+    return ev.select(
+        "event_id",
+        type_or_null.alias("type_or_null"),
+        F.coalesce(type_or_null, F.lit("n/a")).alias("type_filled"),
+        type_or_null.eqNullSafe(F.lit("purchase")).alias("is_purchase_nullsafe"),
+        big_value.alias("big_value"),
+        F.ifnull(big_value, F.lit(-1.0)).alias("big_value_filled"),
+    )

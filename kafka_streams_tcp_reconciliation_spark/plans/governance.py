@@ -88,13 +88,15 @@ def dq_audit_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (plus raw row counts so the result always carries nonzero values
     to hash).
 
-    Scale: every check is a single pruned column scan + map-side-combinable
-    aggregate; the referential check is a broadcast anti-join against the
-    customer dim (BROADCAST_TABLES); the uniqueness checks shuffle only the
-    candidate key. No check materializes violating rows — counts only —
-    so the audit output is O(#checks) regardless of table size. On a real
-    lakehouse these run as one pass per table; Catalyst prunes each scan
-    to the single column the check touches (``ReadSchema`` in .explain).
+    Scale: ALL predicate checks on a table fuse into ONE scan — a single
+    multi-count aggregate (conditional sums, map-side combinable) whose
+    1-row result stacks to long form. Only checks that genuinely need
+    another topology stand alone: referential integrity (broadcast
+    anti-join against the customer dim, BROADCAST_TABLES) and key
+    uniqueness (a groupBy shuffling just the candidate key). No check
+    materializes violating rows — counts only — so the audit output is
+    O(#checks) regardless of table size: 3 table scans + 1 anti-join +
+    2 key aggregates for 13 checks.
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -107,6 +109,55 @@ def dq_audit_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cnt(df: DataFrame) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n"))
 
+    def viol(pred) -> F.Column:
+        return F.sum(F.when(pred, 1).otherwise(0))
+
+    orders_scan = orders.agg(
+        F.count(F.lit(1)).alias("orders_rows"),
+        viol(F.col("o_custkey").isNull()).alias("orders_null_custkey"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "orders_status_out_of_domain"
+        ),
+        viol(
+            (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 1000000)
+        ).alias("orders_price_out_of_range"),
+    ).selectExpr(
+        """stack(4,
+            'orders_rows', orders_rows,
+            'orders_null_custkey', orders_null_custkey,
+            'orders_status_out_of_domain', orders_status_out_of_domain,
+            'orders_price_out_of_range', orders_price_out_of_range
+        ) AS (check_name, n)"""
+    )
+    lineitem_scan = lineitem.agg(
+        F.count(F.lit(1)).alias("lineitem_rows"),
+        viol(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("lineitem_discount_out_of_range"),
+        viol(F.col("l_quantity") <= 0).alias("lineitem_nonpositive_quantity"),
+    ).selectExpr(
+        """stack(3,
+            'lineitem_rows', lineitem_rows,
+            'lineitem_discount_out_of_range', lineitem_discount_out_of_range,
+            'lineitem_nonpositive_quantity', lineitem_nonpositive_quantity
+        ) AS (check_name, n)"""
+    )
+    events_scan = events.agg(
+        F.count(F.lit(1)).alias("events_rows"),
+        viol(
+            ~F.col("event_type").isin("view", "click", "purchase", "signup", "error")
+        ).alias("events_type_out_of_domain"),
+        viol(
+            (F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-01 00:00:00'"))
+            | (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2025-01-01 00:00:00'"))
+        ).alias("events_ts_out_of_range"),
+    ).selectExpr(
+        """stack(3,
+            'events_rows', events_rows,
+            'events_type_out_of_domain', events_type_out_of_domain,
+            'events_ts_out_of_range', events_ts_out_of_range
+        ) AS (check_name, n)"""
+    )
     orphans = orders.join(
         F.broadcast(customer),
         orders["o_custkey"] == customer["c_custkey"],
@@ -122,61 +173,15 @@ def dq_audit_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > 1)
     )
-    checks = [
-        one("orders_rows", cnt(orders)),
-        one("orders_null_custkey", cnt(orders.filter(F.col("o_custkey").isNull()))),
+    out = orders_scan
+    for part in (
         one("orders_orphan_custkey", cnt(orphans)),
         one("orders_dup_orderkey", cnt(dup_orders)),
-        one(
-            "orders_status_out_of_domain",
-            cnt(orders.filter(~F.col("o_orderstatus").isin("O", "F", "P"))),
-        ),
-        one(
-            "orders_price_out_of_range",
-            cnt(
-                orders.filter(
-                    (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 1000000)
-                )
-            ),
-        ),
-        one("lineitem_rows", cnt(lineitem)),
+        lineitem_scan,
         one("lineitem_dup_orderkey_linenumber", cnt(dup_lines)),
-        one(
-            "lineitem_discount_out_of_range",
-            cnt(
-                lineitem.filter(
-                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
-                )
-            ),
-        ),
-        one(
-            "lineitem_nonpositive_quantity",
-            cnt(lineitem.filter(F.col("l_quantity") <= 0)),
-        ),
-        one("events_rows", cnt(events)),
-        one(
-            "events_type_out_of_domain",
-            cnt(
-                events.filter(
-                    ~F.col("event_type").isin(
-                        "view", "click", "purchase", "signup", "error"
-                    )
-                )
-            ),
-        ),
-        one(
-            "events_ts_out_of_range",
-            cnt(
-                events.filter(
-                    (F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-01 00:00:00'"))
-                    | (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2025-01-01 00:00:00'"))
-                )
-            ),
-        ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
+        events_scan,
+    ):
+        out = out.unionByName(part)
     return out
 
 
