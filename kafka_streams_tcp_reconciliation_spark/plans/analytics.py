@@ -532,3 +532,44 @@ def null_semantics_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         big_value.alias("big_value"),
         F.ifnull(big_value, F.lit(-1.0)).alias("big_value_filled"),
     )
+
+
+@register(
+    "range_frame_weekly_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+           ) / 100.0 AS trailing_7d_total
+    FROM orders
+    """,
+)
+def range_frame_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame (F3 completeness — the ROWS-frame
+    queries count positions; this one bounds the frame by TIME): each
+    order sees the customer's trailing-7-day order total, including all
+    same-date peers regardless of row position.
+
+    Scale: one shuffle on o_custkey, one streaming frame pass per key —
+    WindowExec's range frame advances two pointers monotonically, O(n)
+    per key. The sum runs in exact cents (frame membership is identical
+    across engines since the bound is date arithmetic, and integer sums
+    are order-free — see functions/money.py).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        (
+            F.expr(
+                """sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+                   )"""
+            )
+            / 100.0
+        ).alias("trailing_7d_total"),
+    )
