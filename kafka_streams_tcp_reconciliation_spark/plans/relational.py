@@ -686,3 +686,46 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+_SQL_REVENUE_BY_NATION = """
+    SELECT n.n_name AS nation,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+               / CAST(10000.0 AS DOUBLE) AS revenue
+    FROM {li} l
+    JOIN {ord} o ON l.l_orderkey = o.o_orderkey
+    JOIN {cust} c ON o.o_custkey = c.c_custkey
+    JOIN {nat} n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql_revenue_by_nation",
+    oracle=_SQL_REVENUE_BY_NATION.format(
+        li="lineitem", ord="orders", cust="customer", nat="nation"
+    ),
+)
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-authored entry path: the ONE query text runs on both engines —
+    tables registered as temp views, the plan built by ``spark.sql``
+    rather than the DataFrame DSL (proving the engine's SQL surface is
+    the same Catalyst plan space; the reference's DSL-only lifecycle is
+    SURVEY §3.1, this is the analog of adding a SQL front end to it).
+
+    Scale: identical to the DSL star joins — customer/nation broadcast
+    (BROADCAST_TABLES hint comes free from their size), revenue summed
+    in exact 10⁻⁴-dollar integers (functions/money.py contract).
+    """
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlrev_{t}")
+    return spark.sql(
+        _SQL_REVENUE_BY_NATION.format(
+            li="sqlrev_lineitem",
+            ord="sqlrev_orders",
+            cust="sqlrev_customer",
+            nat="sqlrev_nation",
+        )
+    )

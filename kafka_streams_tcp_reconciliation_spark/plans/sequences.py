@@ -361,3 +361,61 @@ def pit_click_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id").alias("ctx_purchase_id"),
         F.col("asof_value").alias("ctx_value"),
     )
+
+
+# --- exponentially time-decayed aggregate ---------------------------------
+
+_EWMA_TAU_S = 86_400  # decay time-constant: 1 day
+
+
+@register(
+    "ewma_value_by_user",
+    oracle=f"""
+    WITH anchored AS (
+        SELECT user_id, value,
+               date_diff('microseconds', ts,
+                         max(ts) OVER (PARTITION BY user_id)) AS age_us
+        FROM events
+    )
+    SELECT user_id,
+           round(sum(value * exp(-age_us / ({_EWMA_TAU_S}.0 * 1e6)))
+                 / sum(exp(-age_us / ({_EWMA_TAU_S}.0 * 1e6))), 6)
+               AS ewma_value,
+           count(*) AS n_events
+    FROM anchored
+    GROUP BY user_id
+    """,
+)
+def ewma_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed mean of `value` per user (1-day decay
+    constant, anchored at each user's latest event): recent activity
+    dominates — the recency-weighted profile feature a ranking or
+    anomaly model consumes.
+
+    Formulated as commutative weighted sums (sum w·v / sum w with
+    w = exp(-age/τ)) rather than the sequential EWMA recurrence, so it
+    is one shuffle (the max-ts window and the aggregate share the
+    user_id exchange) and needs no ordered pass; round(…, 6) absorbs
+    summation-order ulps (weights are continuous — no boundary risk).
+    Ages are exact integer MICROSECONDS on both sides (DuckDB's
+    date_diff counts boundary crossings, Spark counts complete units —
+    they agree only at the native µs precision), so the exp() arguments
+    are identical doubles across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    age_us = F.expr("timestampdiff(MICROSECOND, ts, max_ts)")
+    weight = F.exp(-age_us / F.lit(_EWMA_TAU_S * 1e6))
+    return (
+        ev.select(
+            "user_id", "value", "ts", F.max("ts").over(w_user).alias("max_ts")
+        )
+        .select("user_id", "value", weight.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("w")) / F.sum("w"), 6
+            ).alias("ewma_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
