@@ -93,3 +93,43 @@ def hopping_window_stream(
             "total_value",
         )
     )
+
+
+def chained_hourly_daily_stream(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """W1 chained: TWO stacked windowed aggregations in one streaming
+    query — hourly counts re-aggregated into daily rollups via
+    ``window_time()`` (the event-time column a finished window exposes).
+    Spark 3.5+ multi-stateful-operator support; the Kafka Streams analog
+    is a windowed store feeding a second aggregation through a
+    repartition topic, here it is one watermark domain end to end.
+
+    Append mode: a daily row emits once its day closes under the
+    watermark — the KS `suppress(untilWindowCloses)` semantics at the
+    outer level too.
+    """
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("d.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

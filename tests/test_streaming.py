@@ -336,3 +336,47 @@ def test_scd2_stream_emits_closed_intervals(spark, sf_dir, event_stream):
     want = all_queries()["scd2_purchase_value_history"](spark, sf_dir).toPandas()
     want = want[want["valid_to"].notna()].drop(columns=["is_current"])
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_chained_hourly_daily_stream_converges(spark, sf_dir, event_stream):
+    """Chained windowed aggregations (hourly → daily in ONE streaming
+    query): every day that closes under the final watermark emits exactly
+    the batch daily rollup; the still-open tail day stays in state."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+    from kafka_streams_tcp_reconciliation_spark.streaming.windows import (
+        chained_hourly_daily_stream,
+    )
+
+    got = run_stream(
+        spark, chained_hourly_daily_stream(event_stream), "append", "t_chain"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    # batch daily rollup computed the same two-level way (sum of rounded
+    # hourly sums, matching the stream's intermediate rounding)
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    want_all = (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", F.col("w.start")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+        .toPandas()
+    )
+    emitted_days = set(got["day"])
+    assert emitted_days, "no day closed under the watermark — replay broken"
+    want = want_all[want_all["day"].isin(emitted_days)]
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+    # the final (open) day must NOT have emitted
+    assert want_all["day"].max() not in emitted_days
