@@ -646,3 +646,113 @@ def decile_binning_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("cents") / 100.0).alias("hi_price"),
         )
     )
+
+
+# --- chi-square independence (drift detection) ----------------------------
+
+
+@register(
+    "chisq_type_by_daypart",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type,
+               CAST(floor(extract(hour FROM ts) / 6) AS BIGINT) AS daypart,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT obs.*,
+               sum(o) OVER (PARTITION BY event_type) AS row_total,
+               sum(o) OVER (PARTITION BY daypart)    AS col_total,
+               sum(o) OVER ()                        AS grand
+        FROM obs
+    )
+    SELECT round(sum(pow(o - row_total * col_total / CAST(grand AS DOUBLE), 2)
+                     / (row_total * col_total / CAST(grand AS DOUBLE))), 6)
+               AS chi2,
+           count(*) AS n_cells,
+           CAST(max(grand) AS BIGINT) AS n_events
+    FROM margins
+    """,
+)
+def chisq_type_by_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic between event type and 6-hour
+    daypart — the drift/seasonality detector a monitoring pipeline runs
+    on categorical distributions (a large chi2 means the type mix moves
+    with time of day).
+
+    Scale: the contingency table collapses map-side to |types|×4 cells;
+    every window (row/column/grand totals) runs over that matrix-sized
+    relation, never the event stream. One event-sized shuffle total. The
+    statistic is a continuous sum of ratios — round(…, 6) is
+    boundary-safe.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "event_type",
+            F.floor(F.hour("ts") / 6).cast("long").alias("daypart"),
+        )
+        .groupBy("event_type", "daypart")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("daypart")
+    w_all = Window.partitionBy()
+    margins = obs.select(
+        "o",
+        F.sum("o").over(w_row).alias("row_total"),
+        F.sum("o").over(w_col).alias("col_total"),
+        F.sum("o").over(w_all).alias("grand"),
+    )
+    expected = F.col("row_total") * F.col("col_total") / F.col("grand").cast(
+        "double"
+    )
+    return margins.agg(
+        F.round(
+            F.sum(F.pow(F.col("o") - expected, 2) / expected), 6
+        ).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("grand").alias("n_events"),
+    )
+
+
+# --- key-skew diagnostic --------------------------------------------------
+
+
+@register(
+    "skew_profile_lineitem_orderkey",
+    oracle="""
+    WITH sizes AS (
+        SELECT l_orderkey, count(*) AS rows_per_key
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT count(*)                                   AS n_keys,
+           max(rows_per_key)                          AS max_rows,
+           round(avg(rows_per_key), 6)                AS avg_rows,
+           round(quantile_cont(rows_per_key, 0.99), 6) AS p99_rows,
+           round(max(rows_per_key) / avg(rows_per_key), 6) AS skew_ratio
+    FROM sizes
+    """,
+)
+def skew_profile_lineitem_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew profile: per-key row counts summarized to
+    max / avg / p99 and the skew ratio — the diagnostic that decides
+    whether a key needs salting (`operators/skew.py`) or AQE skew-join
+    splitting before a 100 TB shuffle is attempted.
+
+    Scale: one shuffle keyed by the candidate key with map-side combine
+    (the per-key count), then a global 1-row summary; the exact p99 over
+    key sizes shuffles only the |keys|-sized relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("rows_per_key"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("rows_per_key").alias("max_rows"),
+        F.round(F.avg("rows_per_key"), 6).alias("avg_rows"),
+        F.round(F.expr("percentile(rows_per_key, 0.99)"), 6).alias("p99_rows"),
+        F.round(
+            F.max("rows_per_key") / F.avg("rows_per_key"), 6
+        ).alias("skew_ratio"),
+    )
