@@ -756,3 +756,46 @@ def skew_profile_lineitem_orderkey(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("rows_per_key") / F.avg("rows_per_key"), 6
         ).alias("skew_ratio"),
     )
+
+
+# --- regression / boolean aggregate completeness --------------------------
+
+
+@register(
+    "stats_regression_lineitem",
+    oracle="""
+    SELECT round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           CAST(count_if(l_discount > 0.05) AS BIGINT)            AS n_high_disc,
+           bool_and(l_quantity > 0)                              AS all_qty_pos,
+           bool_or(l_discount = 0)                               AS any_zero_disc
+    FROM lineitem
+    """,
+)
+def stats_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression and boolean aggregates (§2.4 completeness):
+    OLS slope/intercept/R² of price against quantity plus count_if /
+    bool_and / bool_or — the one-pass fit a drift monitor or a quick
+    EDA cell computes.
+
+    Scale: all seven are single-pass streaming aggregates with exact
+    partial+final merge (regr_* ride the same co-moment machinery as
+    corr) — one scan, 1-row output. Regression outputs are continuous;
+    round(…, k) is boundary-safe.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias(
+            "slope"
+        ),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        F.expr("regr_count(l_extendedprice, l_quantity)").cast("long").alias("n"),
+        F.expr("count_if(l_discount > 0.05)").alias("n_high_disc"),
+        F.expr("bool_and(l_quantity > 0)").alias("all_qty_pos"),
+        F.expr("bool_or(l_discount = 0)").alias("any_zero_disc"),
+    )
