@@ -755,3 +755,37 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_nll_micro"),
         )
     )
+
+
+@register(
+    "sample_weighted_by_size",
+    oracle=f"""
+    WITH mx AS (SELECT max(n_chars) AS max_chars FROM documents)
+    SELECT doc_id, lang, n_chars
+    FROM documents, mx
+    WHERE ({_DUCK_DOC_HASH} % 10000) * max_chars < n_chars * 10000
+    """,
+)
+def sample_weighted_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size (PPS) sampling: each document is
+    kept with probability n_chars / max(n_chars) — the upsample-the-long-
+    tail primitive behind mixture reweighting, with NO RNG: the coin is
+    the deterministic doc-id hash, so the sample is reproducible,
+    auditable, and identical in the oracle.
+
+    The inclusion test is pure integer arithmetic
+    (hash%10k · max < n_chars · 10k) — no float probability, no
+    floor/rounding drift between engines. Scale: the global max is a
+    1-row broadcast onto a narrow per-row filter; one scan, no shuffle
+    of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("max_chars"))
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.expr(_SPARK_DOC_HASH) % 10000) * F.col("max_chars")
+            < F.col("n_chars") * 10000
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
