@@ -145,3 +145,70 @@ def test_rocksdb_state_store_provider_runs_stateful_query(spark, sf_dir, tmp_pat
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_transition_fsm_state_survives_restart(spark, sf_dir, tmp_path):
+    """Kill-and-resume for the sequence FSM: run the transition stream
+    over the first half of the replay, stop, add the remaining chunks,
+    and restart FROM THE SAME CHECKPOINT. The per-user last-event state
+    must be restored — the combined emissions equal the batch transition
+    matrix, including every pair that SPANS the restart boundary (those
+    are only correct if state survived)."""
+    import shutil
+
+    from kafka_streams_tcp_reconciliation_spark.plans import all_queries
+    from kafka_streams_tcp_reconciliation_spark.streaming.sequences import (
+        transition_stream,
+    )
+    from kafka_streams_tcp_reconciliation_spark.streaming.source import (
+        chunked_event_stream,
+        event_stream_from_dir,
+    )
+
+    chunk_dir = str(tmp_path / "chunks")
+    chunked_event_stream(spark, sf_dir, chunk_dir, n_chunks=4)  # writes chunks
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+    sink = IdempotentBatchSink(out)
+
+    def run() -> None:
+        # memory sink cannot recover from a checkpoint; the idempotent
+        # foreachBatch parquet sink is the restart-capable path
+        s = event_stream_from_dir(spark, str(in_dir / "chunk_*"))
+        q = (
+            transition_stream(s)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    for c in ("chunk_01", "chunk_02"):
+        shutil.copytree(f"{chunk_dir}/{c}", in_dir / c)
+    run()
+    n_first = len(spark.read.parquet(f"{out}/data").toPandas())
+
+    for c in ("chunk_03", "chunk_04"):
+        shutil.copytree(f"{chunk_dir}/{c}", in_dir / c)
+    run()
+    delivered = spark.read.parquet(f"{out}/data").toPandas()
+    assert n_first and len(delivered) > n_first
+
+    combined = (
+        delivered.groupby(["from_type", "to_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    want = (
+        all_queries()["event_transition_matrix"](spark, sf_dir)
+        .toPandas()[["from_type", "to_type", "n"]]
+    )
+    combined["n"] = combined["n"].astype(want["n"].dtype)
+    c = combined.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    w = want.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(c, w)
