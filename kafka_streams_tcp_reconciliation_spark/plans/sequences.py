@@ -419,3 +419,93 @@ def ewma_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --- windowed funnel attribution ------------------------------------------
+
+_ATTR_WINDOW = "1 hour"
+_ATTR_WINDOW_DUCK = "INTERVAL '1 hour'"
+
+
+@register(
+    "funnel_attribution_windowed",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+               c.event_id AS click_id, c.ts AS c_ts,
+               row_number() OVER (
+                   PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+               ) AS rn
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+    ),
+    st1 AS (
+        SELECT * FROM s1 WHERE rn = 1 AND p_ts - c_ts <= {_ATTR_WINDOW_DUCK}
+    ),
+    s2 AS (
+        SELECT st1.purchase_id, st1.user_id, st1.click_id, st1.c_ts,
+               v.event_id AS view_id, v.ts AS v_ts,
+               row_number() OVER (
+                   PARTITION BY st1.purchase_id
+                   ORDER BY v.ts DESC, v.event_id DESC
+               ) AS rn2
+        FROM st1
+        JOIN events v
+          ON v.user_id = st1.user_id AND v.event_type = 'view'
+         AND v.ts <= st1.c_ts
+    )
+    SELECT purchase_id, user_id, click_id, view_id
+    FROM s2 WHERE rn2 = 1 AND c_ts - v_ts <= {_ATTR_WINDOW_DUCK}
+    """,
+)
+def funnel_attribution_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch funnel attribution: each purchase attributes to the
+    LATEST click at or before it (within 1 hour), which attributes to
+    the LATEST view at or before THAT click (within 1 hour) — strict
+    last-touch: if the last touch is outside its window the purchase
+    drops out (no falling back to an older in-window touch).
+
+    Implemented as TWO composed as-of joins (union-and-carry — one
+    shuffle each), with the window applied as a post-filter on the
+    carried timestamp. The oracle states the same semantics with nested
+    rank subqueries (quadratic — the spec, not the plan). Streaming twin
+    `streaming/sequences.funnel_attribution_stream`: ONE per-user FSM
+    with three O(1) state slots.
+    """
+    from kafka_streams_tcp_reconciliation_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    win = F.expr(f"INTERVAL {_ATTR_WINDOW}")
+    s1 = (
+        asof_join(p, c, ["user_id"], "ts", "ts",
+                  right_value_cols=["event_id", "ts"], tiebreak="event_id")
+        .filter(F.col("ts") - F.col("asof_ts") <= win)
+        .select(
+            "user_id",
+            "purchase_id",
+            F.col("asof_event_id").alias("click_id"),
+            F.col("asof_ts").alias("ts"),  # probe ts for stage 2 = click ts
+        )
+    )
+    return (
+        asof_join(s1, v, ["user_id"], "ts", "ts",
+                  right_value_cols=["event_id", "ts"], tiebreak="event_id")
+        .filter(F.col("ts") - F.col("asof_ts") <= win)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.col("asof_event_id").alias("view_id"),
+        )
+    )

@@ -232,3 +232,95 @@ def scd2_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("purchase_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("click_id", T.LongType()),
+        T.StructField("view_id", T.LongType()),
+    ]
+)
+
+FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("view_ts_us", T.LongType()),
+        T.StructField("view_id", T.LongType()),
+        T.StructField("click_ts_us", T.LongType()),
+        T.StructField("click_id", T.LongType()),
+        T.StructField("click_view_ts_us", T.LongType()),
+        T.StructField("click_view_id", T.LongType()),
+    ]
+)
+
+_ATTR_WINDOW_US = 3_600_000_000  # 1 hour, matches the batch twin
+
+
+def funnel_attribution_stream(events: DataFrame) -> DataFrame:
+    """Incremental last-touch funnel attribution (the streaming twin of
+    ``funnel_attribution_windowed``): one per-user FSM with three O(1)
+    state slots — latest view, latest click, and the view that was
+    latest WHEN that click happened (snapshotted at click time, because
+    by purchase time a newer view may have displaced it). A purchase
+    emits iff its click is within the window and that click's snapshot
+    view is within the click's window — strict last-touch, identical to
+    the two chained as-of joins."""
+
+    def fsm(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            v_ts, v_id, c_ts, c_id, cv_ts, cv_id = state.get
+        else:
+            v_ts = v_id = c_ts = c_id = cv_ts = cv_id = None
+        rows: list[dict[str, Any]] = []
+        for pdf in batches:
+            pdf = pdf.assign(
+                __side=pdf["event_type"].map({"view": 0, "click": 1, "purchase": 2})
+            )
+            # views before clicks before purchases at equal ts — the
+            # union-and-carry sort order of the batch operator
+            pdf = pdf.sort_values(["ts", "__side", "event_id"])
+            for r in pdf.itertuples(index=False):
+                ts_us = int(pd.Timestamp(r.ts).value // 1000)
+                if r.event_type == "view":
+                    v_ts, v_id = ts_us, int(r.event_id)
+                elif r.event_type == "click":
+                    c_ts, c_id = ts_us, int(r.event_id)
+                    cv_ts, cv_id = v_ts, v_id  # snapshot last view NOW
+                elif r.event_type == "purchase":
+                    if (
+                        c_id is not None
+                        and ts_us - c_ts <= _ATTR_WINDOW_US
+                        and cv_id is not None
+                        and c_ts - cv_ts <= _ATTR_WINDOW_US
+                    ):
+                        rows.append(
+                            {
+                                "purchase_id": int(r.event_id),
+                                "user_id": user_id,
+                                "click_id": c_id,
+                                "view_id": cv_id,
+                            }
+                        )
+        state.update((v_ts, v_id, c_ts, c_id, cv_ts, cv_id))
+        yield pd.DataFrame(
+            rows, columns=["purchase_id", "user_id", "click_id", "view_id"]
+        )
+
+    return (
+        events.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fsm,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

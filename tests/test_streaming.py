@@ -380,3 +380,17 @@ def test_chained_hourly_daily_stream_converges(spark, sf_dir, event_stream):
     pd.testing.assert_frame_equal(canon(got), canon(want))
     # the final (open) day must NOT have emitted
     assert want_all["day"].max() not in emitted_days
+
+
+def test_funnel_attribution_stream_matches_batch(spark, sf_dir, event_stream):
+    """Last-touch funnel FSM (view→click→purchase with snapshot-at-click
+    state) emits exactly the batch two-stage as-of attribution."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.sequences import (
+        funnel_attribution_stream,
+    )
+
+    got = run_stream(
+        spark, funnel_attribution_stream(event_stream), "append", "t_funnel"
+    )
+    want = all_queries()["funnel_attribution_windowed"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(got), canon(want))
