@@ -324,3 +324,24 @@ def funnel_attribution_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def rolling_dau_hll_stream(
+    events: DataFrame,
+    watermark: str = "25 hours",
+) -> DataFrame:
+    """The documented 100 TB scale path for rolling distinct users: a
+    native hopping-window aggregation (24h window, 1h slide) with
+    HyperLogLog++ cardinality instead of the exact user-set FSM.
+    Constant ~KB state per open window versus O(users) — the trade is
+    ±2% error (rsd=0.02). Update mode emits refinements; the final row
+    per window is the estimate."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "24 hours", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .select(
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "approx_users",
+        )
+    )

@@ -394,3 +394,29 @@ def test_funnel_attribution_stream_matches_batch(spark, sf_dir, event_stream):
     )
     want = all_queries()["funnel_attribution_windowed"](spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_rolling_dau_hll_stream_accuracy(spark, sf_dir, event_stream):
+    """The HLL hopping-window DAU (constant state) lands within 5% of the
+    exact batch rolling-DAU on every fully-observed window."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.sequences import (
+        rolling_dau_hll_stream,
+    )
+
+    got = run_stream(
+        spark, rolling_dau_hll_stream(event_stream), "update", "t_dauhll"
+    )
+    # update mode re-emits refinements — keep the max (counts only grow)
+    last = got.groupby("window_end", as_index=False)["approx_users"].max()
+    want = all_queries()["rolling_active_users_24h"](spark, sf_dir).toPandas()
+    # batch rows are window STARTS of trailing windows = hopping window END
+    # minus 1h; align on the trailing-window anchor hour
+    epoch = pd.Timestamp("2024-01-01")
+    want["anchor"] = pd.to_datetime(want["window_start"])
+    last["anchor"] = pd.to_datetime(last["window_end"]) - pd.Timedelta(hours=1)
+    merged = want.merge(last, on="anchor")
+    assert len(merged) > 100
+    rel = (merged["approx_users"] - merged["active_users"]).abs() / merged[
+        "active_users"
+    ]
+    assert (rel < 0.05).all(), merged[rel >= 0.05].head()
