@@ -573,3 +573,43 @@ def range_frame_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("trailing_7d_total"),
     )
+
+
+@register(
+    "topk_with_ties_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(rank() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC
+               ) AS BIGINT) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+)
+def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH ties (F4 variant): rank() keeps every order tied at the
+    boundary — the correct semantics when "top 3 prices" means price
+    levels, not arbitrary tie-broken rows (`window_topk_orders_per_customer`
+    is the row_number variant). Ranking on exact cents so tie groups are
+    bit-identical across engines.
+
+    Scale: same WindowGroupLimit plan as the row_number form — partition-
+    local rank pruning keeps ~k rows per key per partition before the
+    shuffle (ties can exceed k; the limit is rank-aware).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(cents.desc())
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
