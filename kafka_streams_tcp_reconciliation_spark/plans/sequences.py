@@ -509,3 +509,144 @@ def funnel_attribution_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof_event_id").alias("view_id"),
         )
     )
+
+
+# --- growth analytics: acquisition, churn, latency ------------------------
+
+
+@register(
+    "cumulative_new_users_daily",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, strftime(date_trunc('day', min(ts)), '%Y-%m-%d') AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT day, count(*) AS new_users FROM first_seen GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def cumulative_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-acquisition curve: per day, the count of users seen for the
+    FIRST time, plus the running cumulative total — the growth chart
+    every product review starts with.
+
+    Scale: first-seen collapses to one row per user (map-side combinable
+    min), the daily rollup to one row per day; the running total windows
+    over the day-sized relation only. The global-order cumulative window
+    is a single partition of O(days) rows — calendar-bounded, never
+    data-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            F.date_format(F.date_trunc("day", "first_ts"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+    )
+    daily = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+_CHURN_DAYS = 7
+
+
+@register(
+    "churned_users",
+    oracle=f"""
+    WITH horizon AS (SELECT max(ts) AS max_ts FROM events),
+    last_seen AS (
+        SELECT user_id, max(ts) AS last_ts, count(*) AS lifetime_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+           lifetime_events
+    FROM last_seen, horizon
+    WHERE last_ts < max_ts - INTERVAL '{_CHURN_DAYS} days'
+    """,
+)
+def churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn detection: users with NO activity in the trailing
+    {7}-day window of the observed data — the retention complement of
+    `rolling_active_users_24h`.
+
+    Scale: per-user last-seen is one map-side-combinable aggregate; the
+    data horizon is a 1-row broadcast; the churn test is a narrow filter
+    on the |users|-sized relation. Anchoring on max(ts) (not wall clock)
+    keeps the query deterministic and replayable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("max_ts"))
+    last_seen = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("lifetime_events")
+    )
+    return (
+        last_seen.crossJoin(F.broadcast(horizon))
+        .filter(
+            F.col("last_ts")
+            < F.col("max_ts") - F.expr(f"INTERVAL {_CHURN_DAYS} DAYS")
+        )
+        .select(
+            "user_id",
+            F.date_format("last_ts", _TS_FMT + ".SSSSSS").alias("last_seen"),
+            "lifetime_events",
+        )
+    )
+
+
+@register(
+    "fulfillment_latency_histogram",
+    oracle="""
+    SELECT latency_days, count(*) AS n_orders
+    FROM (
+        SELECT CAST(date_diff('day', o.o_orderdate, max(l.l_shipdate))
+                    AS BIGINT) AS latency_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    )
+    GROUP BY latency_days
+    """,
+)
+def fulfillment_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency distribution: days from order date to
+    the LAST line shipment, histogrammed — the operational-SLA view of
+    the orders↔lineitem join.
+
+    Scale: the join keys on l_orderkey (the natural co-partition key —
+    bucketed layouts make it exchange-free, `sources/bucketing.py`);
+    per-order max is map-side combinable; the histogram collapses to
+    O(distinct latencies) groups. Day arithmetic on date-truncated
+    values — integer on both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.expr("timestampdiff(DAY, o_orderdate, last_ship)")
+            .cast("long")
+            .alias("latency_days")
+        )
+    )
+    return per_order.groupBy("latency_days").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
