@@ -158,3 +158,65 @@ def asof_join(
         F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_value_cols
     ]
     return out.select(*keep)
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    radius_seconds: int,
+    how: str = "inner",
+    left_alias: str = "l",
+    right_alias: str = "r",
+) -> DataFrame:
+    """KEYLESS time-range join: pair every left row with every right row
+    whose timestamp lies in [left.ts - radius, left.ts + radius] (inclusive),
+    with no equi-key at all — the shape Spark would otherwise plan as a
+    BroadcastNestedLoopJoin / cartesian product, O(|L|·|R|).
+
+    Implementation: the classic bucketed range join. Time is floored into
+    buckets of width = radius; the PROBE (left) side is exploded into the
+    three buckets its window can touch {b-1, b, b+1}, the BUILD (right)
+    side keeps its single home bucket, and the join becomes an equi-join
+    on the bucket id with the exact interval bound re-checked after. Each
+    qualifying pair matches on exactly ONE bucket (the right row's home
+    bucket), so no dedup pass is needed. With ``how="left"`` the 3×
+    explosion surfaces an unmatched left row as three null-padded rows —
+    callers aggregate per left key (the normal use) or dedup.
+
+    Scale: cost is O(|L|·3 + |R|) shuffle rows on an int64 key + true
+    candidates — data-density-bounded instead of |L|·|R|. Bucket hot spots
+    (a traffic spike) are ordinary shuffle skew: AQE skew-join splits them.
+    Refer to output columns via the aliases (default ``l.…`` / ``r.…``).
+    """
+    if radius_seconds <= 0:
+        raise ValueError("radius_seconds must be positive")
+    width_us = radius_seconds * 1_000_000
+
+    def bucket_of(col: str) -> Column:
+        # NTZ-safe epoch; integer `div` (not float floor) so a timestamp
+        # 1 µs from a bucket boundary can never round into the wrong
+        # bucket. Positive epochs only, where `div` == floor.
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" {col}) div {width_us}"
+        )
+
+    bucket = "__bucket"
+    l_b = left.withColumn(
+        bucket,
+        F.explode(
+            F.array(bucket_of(left_ts) - 1, bucket_of(left_ts), bucket_of(left_ts) + 1)
+        ),
+    )
+    r_b = right.withColumn(bucket, bucket_of(right_ts))
+
+    lts = F.col(f"{left_alias}.{left_ts}")
+    rts = F.col(f"{right_alias}.{right_ts}")
+    cond = (
+        (F.col(f"{left_alias}.{bucket}") == F.col(f"{right_alias}.{bucket}"))
+        & (rts >= lts - F.expr(f"INTERVAL {radius_seconds} SECONDS"))
+        & (rts <= lts + F.expr(f"INTERVAL {radius_seconds} SECONDS"))
+    )
+    return l_b.alias(left_alias).join(r_b.alias(right_alias), cond, how)

@@ -32,18 +32,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Registration order doubles as the driver's correctness-check order (the
+# verify pass caps at the first N registered queries). Front-load the modules
+# whose queries have never had a driver CORRECTNESS row — llm + tpch_deep +
+# extended + clustering + curation is exactly 50 queries — so every query
+# accumulates a driver-scale proof across rounds; the back modules stay
+# covered by the local differential suite (tests/test_oracle_differential.py),
+# which runs the identical comparison at sf0.001 and sf0.01.
 _PLAN_MODULES = (
+    "llm",
+    "tpch_deep",
+    "extended",
+    "clustering",
+    "curation",
+    "advanced",
+    "pipeline",
+    "governance",
+    "sequences",
     "relational",
     "analytics",
     "events",
-    "llm",
-    "extended",
-    "tpch_deep",
-    "pipeline",
-    "clustering",
-    "curation",
-    "governance",
-    "sequences",
 )
 
 

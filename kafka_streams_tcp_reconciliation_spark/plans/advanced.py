@@ -1,0 +1,547 @@
+"""Advanced relational / retrieval operators (SURVEY.md §2.11 round-2 depth).
+
+Operator families the Kafka Streams DSL cannot express but a 100 TB
+analytics engine needs, each with the scale-correct Spark formulation and a
+bit-exact DuckDB oracle:
+
+- ``range_join_coactivity`` — KEYLESS time-range join (bucketed; the naive
+  plan is a cartesian product),
+- ``concurrent_sessions_hourly`` — interval-overlap concurrency via bounded
+  fan-out (no global sweep state),
+- ``skyline_parts_by_brand`` — groupwise Pareto frontier (skyline operator),
+- ``snapshot_diff_orders`` — full-snapshot reconciliation diff
+  (added / removed / changed with per-column change list),
+- ``bigram_lift_topk`` — adjacent-pair mining with exact-integer lift
+  (one BPE-style merge-candidate round),
+- ``setsim_prefix_jaccard_join`` — set-similarity join with prefix
+  filtering (PPJoin-family pruning; Xiao et al., WWW'08 — public
+  algorithm, re-derived for DataFrame form).
+
+House rules as everywhere (SURVEY.md §5.2): identical aliases both sides,
+deterministic tiebreaks, ratio arithmetic kept on exact int64 products cast
+to double for ONE final division (bit-identical across engines), timestamps
+surfaced as formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.operators.joins import bucketed_range_join
+from kafka_streams_tcp_reconciliation_spark.plans import register
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_GAP_MIN = 30  # session gap, minutes — same knob as session_window_stats
+_COACT_RADIUS_S = 300  # ±5 minutes
+_SETSIM_TAU = 0.9
+
+
+# --- keyless bucketed time-range join ---------------------------------------
+
+
+@register(
+    "range_join_coactivity",
+    oracle=f"""
+    SELECT p.event_id,
+           count(DISTINCT CASE WHEN o.user_id <> p.user_id
+                               THEN o.user_id END) AS n_coactive_users
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN events o
+      ON o.ts BETWEEN p.ts - INTERVAL '{_COACT_RADIUS_S} seconds'
+                  AND p.ts + INTERVAL '{_COACT_RADIUS_S} seconds'
+    GROUP BY p.event_id
+    """,
+)
+def range_join_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless time-range join: for every purchase, how many DISTINCT other
+    users had any event within ±5 minutes (site-wide co-activity — no
+    shared key between the two sides).
+
+    Scale: the naive plan is a BroadcastNestedLoopJoin over |purchases| ×
+    |events|; ``operators/joins.bucketed_range_join`` turns it into an
+    equi-shuffle on a 5-minute int64 bucket (probe side exploded into the
+    3 touchable buckets, build side single home bucket), so cost is bounded
+    by event density per window, not |L|·|R|. Left-join + conditional
+    distinct count keeps zero-co-activity purchases in the result.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    others = ev.select(
+        F.col("user_id").alias("o_user"), F.col("ts").alias("o_ts")
+    )
+    joined = bucketed_range_join(
+        purchases, others, "ts", "o_ts", _COACT_RADIUS_S, how="left",
+        left_alias="p", right_alias="o",
+    )
+    return joined.groupBy(F.col("p.event_id").alias("event_id")).agg(
+        F.count_distinct(
+            F.when(F.col("o.o_user") != F.col("p.user_id"), F.col("o.o_user"))
+        ).alias("n_coactive_users")
+    )
+
+
+# --- interval-overlap concurrency -------------------------------------------
+
+
+@register(
+    "concurrent_sessions_hourly",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '{_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+        FROM sessions GROUP BY user_id, session_id
+    ),
+    hours AS (
+        SELECT user_id,
+               unnest(generate_series(date_trunc('hour', s_start),
+                                      date_trunc('hour', s_end),
+                                      INTERVAL 1 HOUR)) AS h
+        FROM spans
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users
+    FROM hours GROUP BY hour
+    """,
+)
+def concurrent_sessions_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap concurrency: how many user sessions (30-min gap
+    sessionization) overlap each hour of the calendar.
+
+    Scale: the textbook answer is a global start/+1 end/−1 sweep — a
+    single-partition running sum that cannot distribute. This formulation
+    explodes each session interval into the hour buckets it covers
+    (fan-out bounded by session length, here single digits) and counts per
+    bucket: every stage is a keyed shuffle with map-side combine. The
+    session build reuses the stacked-window single-shuffle shape of
+    ``session_event_paths``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (F.col("ts") - F.lag("ts").over(w)) >= F.expr(
+        f"INTERVAL {_GAP_MIN} MINUTES"
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | gap_ok, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    hours = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s_start")),
+                F.date_trunc("hour", F.col("s_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h"),
+    )
+    return hours.groupBy(
+        F.date_format("h", _TS_FMT).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# --- groupwise skyline (Pareto frontier) ------------------------------------
+
+
+@register(
+    "skyline_parts_by_brand",
+    oracle="""
+    WITH pts AS (
+        SELECT p_brand, p_retailprice AS price, p_size AS size,
+               count(*) AS n_parts
+        FROM part GROUP BY p_brand, p_retailprice, p_size
+    )
+    SELECT p_brand, price, size, n_parts
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.p_brand = p.p_brand
+          AND q.price <= p.price AND q.size >= p.size
+          AND (q.price < p.price OR q.size > p.size)
+    )
+    """,
+)
+def skyline_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groupwise skyline: per brand, the Pareto frontier of parts under
+    (minimize retail price, maximize size) — no other part of the brand is
+    both cheaper-or-equal AND larger-or-equal with one strict.
+
+    Scale: the oracle's NOT-EXISTS is the quadratic dominance definition
+    (an intentionally INDEPENDENT formulation — real verification power).
+    The Spark plan is the O(n log n) sort-based skyline: distinct points,
+    keep the max size per (brand, price), then a running max-size over
+    strictly-cheaper points; a point survives iff it strictly beats that
+    running max. Both windows partition by brand — no global sort, and
+    frontier extraction is one shuffle on the brand key.
+    """
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy(
+        "p_brand",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    per_price = pts.withColumn(
+        "__mx", F.max("size").over(Window.partitionBy("p_brand", "price"))
+    ).filter(F.col("size") == F.col("__mx"))
+    w_prev = (
+        Window.partitionBy("p_brand")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = per_price.withColumn("__prev", F.max("size").over(w_prev)).filter(
+        F.col("__prev").isNull() | (F.col("size") > F.col("__prev"))
+    )
+    return sky.select("p_brand", "price", "size", "n_parts")
+
+
+# --- snapshot reconciliation diff -------------------------------------------
+
+# The "new" snapshot is DERIVED deterministically from orders so both
+# engines rebuild the identical pair of tables: orderkey % 97 == 0 rows are
+# deleted; % 13 == 0 rows get price += 10.0 and status 'X' (exact double
+# add — no rounding divergence surface); % 89 == 0 rows are additionally
+# cloned with key + 100000000 (inserts).
+_DIFF_B_SQL = """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_custkey, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice,
+               o_custkey, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 89 = 0
+"""
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH b AS ({_DIFF_B_SQL})
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL THEN NULL
+                ELSE concat_ws(',',
+                     CASE WHEN a.o_orderstatus <> b.o_orderstatus
+                          THEN 'o_orderstatus' END,
+                     CASE WHEN a.o_totalprice <> b.o_totalprice
+                          THEN 'o_totalprice' END,
+                     CASE WHEN a.o_custkey <> b.o_custkey
+                          THEN 'o_custkey' END)
+           END AS changed_cols
+    FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_orderstatus <> b.o_orderstatus
+       OR a.o_totalprice <> b.o_totalprice
+       OR a.o_custkey <> b.o_custkey
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation diff — the batch analogue of the reference's
+    changelog semantics: given yesterday's and today's full table snapshots,
+    emit added / removed / changed keys with the list of changed columns
+    (the input a CDC or SCD2 pipeline needs when no changelog exists).
+
+    Scale: one full-outer sort-merge join on the primary key; column
+    comparison is narrow per-row JVM work. At 100 TB both snapshots would
+    be bucketed by key, making the join exchange-free.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders
+    b_updated = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(10.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    b_inserted = orders.filter(F.col("o_orderkey") % 89 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    b = b_updated.select(orders.columns).unionByName(
+        b_inserted.select(orders.columns)
+    )
+
+    aj, bj = a.alias("a"), b.alias("b")
+    ak, bk = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    diff_status = F.col("a.o_orderstatus") != F.col("b.o_orderstatus")
+    diff_price = F.col("a.o_totalprice") != F.col("b.o_totalprice")
+    diff_cust = F.col("a.o_custkey") != F.col("b.o_custkey")
+    joined = aj.join(bj, ak == bk, "full_outer")
+    return joined.filter(
+        ak.isNull() | bk.isNull() | diff_status | diff_price | diff_cust
+    ).select(
+        F.coalesce(ak, bk).alias("o_orderkey"),
+        F.when(ak.isNull(), F.lit("added"))
+        .when(bk.isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        F.when(ak.isNull() | bk.isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.when(diff_status, F.lit("o_orderstatus")),
+                F.when(diff_price, F.lit("o_totalprice")),
+                F.when(diff_cust, F.lit("o_custkey")),
+            )
+        )
+        .alias("changed_cols"),
+    )
+
+
+# --- adjacent-pair mining (one BPE merge-candidate round) -------------------
+
+
+@register(
+    "bigram_lift_topk",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    pairs AS (
+        SELECT unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)])   AS w2
+        FROM t WHERE len(toks) >= 2
+    ),
+    bi AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY w1, w2),
+    uni AS (
+        SELECT w, count(*) AS n_w
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ),
+    tot AS (SELECT sum(n_w) AS n1, (SELECT sum(n_pair) FROM bi) AS np FROM uni)
+    SELECT b.w1, b.w2, b.n_pair,
+           CAST(b.n_pair * t.n1 * t.n1 AS DOUBLE)
+             / CAST(t.np * u1.n_w * u2.n_w AS DOUBLE) AS lift
+    FROM bi b
+    CROSS JOIN tot t
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    ORDER BY b.n_pair DESC, b.w1, b.w2
+    LIMIT 100
+    """,
+)
+def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent word-pair mining — one round of BPE-style merge-candidate
+    scoring: count every adjacent token pair across the corpus and rank the
+    top 100 by count with exact-integer lift
+    (n_pair·N₁²) / (N_pairs·n_w1·n_w2).
+
+    Scale: pair generation is NARROW (zip of two array slices — no
+    positional self-join shuffle); pair and unigram counts are map-side
+    combinable groupBys. The unigram join is broadcast here; at open-web
+    vocabulary (>10⁸ types) it becomes a pair of shuffle joins on the
+    token — noted, not silently assumed. Lift stays on int64 products with
+    ONE final double division, so both engines produce identical bits.
+    Ties broken (n_pair desc, w1, w2) — a deterministic top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("toks"))
+    n = F.size("toks")
+    pairs = toks.filter(n >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot = uni.agg(F.sum("n_w").alias("n1")).crossJoin(
+        bi.agg(F.sum("n_pair").alias("np"))
+    )
+    out = (
+        bi.join(F.broadcast(tot))
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (
+                (F.col("n_pair") * F.col("n1") * F.col("n1")).cast("double")
+                / (F.col("np") * F.col("n_w1") * F.col("n_w2")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("n_pair").desc(), "w1", "w2").limit(100)
+
+
+# --- set-similarity join with prefix filtering (PPJoin family) --------------
+
+
+@register(
+    "setsim_prefix_jaccard_join",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, lang, source,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+    dfreq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+    ranked AS (
+        SELECT t.doc_id, t.lang, t.source, t.w,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w)
+                   AS rn
+        FROM tok t JOIN dfreq d ON d.w = t.w
+    ),
+    prefix AS (
+        SELECT r.doc_id, r.lang, r.source, r.w
+        FROM ranked r JOIN sz s ON s.doc_id = r.doc_id
+        WHERE r.rn <= s.n_tok - CAST(ceil({_SETSIM_TAU} * s.n_tok) AS BIGINT) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.w = b.w AND a.doc_id < b.doc_id
+    ),
+    overlap AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS ov
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.doc_a
+        JOIN tok tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT o.doc_a, o.doc_b,
+           round(CAST(o.ov AS DOUBLE)
+                 / CAST(sa.n_tok + sb.n_tok - o.ov AS DOUBLE), 6) AS jaccard
+    FROM overlap o
+    JOIN sz sa ON sa.doc_id = o.doc_a
+    JOIN sz sb ON sb.doc_id = o.doc_b
+    WHERE CAST(o.ov AS DOUBLE)
+          / CAST(sa.n_tok + sb.n_tok - o.ov AS DOUBLE) >= {_SETSIM_TAU}
+    """,
+)
+def setsim_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (PPJoin-family,
+    Xiao et al. WWW'08 — public algorithm): document pairs in the same
+    (lang, source) ingestion block with token Jaccard ≥ 0.9, generating
+    candidates only from each document's prefix — its
+    (|d| − ⌈τ·|d|⌉ + 1) globally-rarest tokens — since two sets sharing
+    no prefix token cannot reach overlap ⌈τ·|d|⌉.
+
+    Versus the full inverted-index join (``dedup_ngram_jaccard``): the
+    index holds only prefix tokens, rarest-first, so on a natural long-tail
+    vocabulary candidate fan-out collapses (stop-word buckets never enter
+    the index). This synthetic corpus is a SMALL-vocabulary word soup where
+    every "rare" token still has df in the thousands — prefix filtering
+    alone degenerates to all-pairs — so the candidate join also blocks on
+    (lang, source): the incremental within-ingestion-batch dedup semantics
+    (cross-batch near-dups are the MinHash-LSH family's job). The global
+    token ordering is (df, token) via a per-document window over a df-join
+    — NO vocabulary-sized global sort. Verification is an exact overlap
+    count on candidates only. The oracle mirrors the pipeline
+    stage-for-stage; a property test separately checks the prefix filter
+    loses no true pair vs brute force.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(dfreq, "w").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "w")),
+    )
+    plen = (
+        F.col("n_tok")
+        - F.ceil(F.lit(_SETSIM_TAU) * F.col("n_tok")).cast("long")
+        + 1
+    )
+    prefix = (
+        ranked.join(sz, "doc_id")
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "lang", "source", "w")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "w")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "w")
+    overlap = (
+        cand.join(ta, "doc_a").join(tb, ["doc_b", "w"]).groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("sa"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("sb"))
+    jac = F.col("ov").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("ov")
+    ).cast("double")
+    return (
+        overlap.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _SETSIM_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,154 @@
+"""Properties + plan shapes of the advanced operator block
+(plans/advanced.py): keyless bucketed range join, interval concurrency,
+skyline, snapshot diff, bigram mining, prefix-filtered set-similarity join.
+
+Each check is an INDEPENDENT re-derivation (plain Python brute force) or a
+physical-plan assertion — complementing the DuckDB differential, which for
+the mirrored pipelines can't catch a filter that's wrong the same way on
+both sides.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.operators.joins import bucketed_range_join
+from kafka_streams_tcp_reconciliation_spark.plans import all_queries
+from kafka_streams_tcp_reconciliation_spark.plans.advanced import _SETSIM_TAU
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+QUERIES = all_queries()
+
+
+def test_bucketed_range_join_no_nested_loop(spark, sf_dir):
+    """The keyless range join must plan as an equi-join on the bucket id —
+    never a BroadcastNestedLoopJoin / CartesianProduct (the O(|L|·|R|)
+    plans Spark picks for a raw interval predicate)."""
+    plan = QUERIES["range_join_coactivity"](spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bucketed_range_join_matches_naive(spark, sf_dir):
+    """Inner bucketed range join == brute-force theta join, pair for pair
+    (checks both no-miss — a pair whose buckets misalign — and no-dup —
+    a pair matched in two buckets)."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts")
+    )
+    radius_s = 120
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in bucketed_range_join(
+            left, right, "l_ts", "r_ts", radius_s
+        ).select("l.l_id", "r.r_id").collect()
+    )
+    lrows = [(r.l_id, r.l_ts) for r in left.collect()]
+    rrows = [(r.r_id, r.r_ts) for r in right.collect()]
+    want = sorted(
+        (li, ri)
+        for (li, lt), (ri, rt) in itertools.product(lrows, rrows)
+        if abs((rt - lt).total_seconds()) <= radius_s
+    )
+    assert got == want
+
+
+def test_setsim_prefix_filter_loses_no_pair(spark, sf_dir):
+    """The PPJoin result must equal BRUTE-FORCE Jaccard over every
+    same-(lang, source) pair — i.e. the prefix filter prunes only pairs
+    that cannot reach τ. (The DuckDB oracle mirrors the filter, so only
+    this test would catch a too-aggressive prefix length.)"""
+    docs = [
+        (r.doc_id, r.lang, r.source, frozenset(r.text.split(" ")))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    by_block: dict[tuple, list] = {}
+    for doc_id, lang, source, toks in docs:
+        by_block.setdefault((lang, source), []).append((doc_id, toks))
+    want = set()
+    for block in by_block.values():
+        block.sort()
+        for (ida, ta), (idb, tb) in itertools.combinations(block, 2):
+            ov = len(ta & tb)
+            if ov and ov / (len(ta) + len(tb) - ov) >= _SETSIM_TAU:
+                want.add((ida, idb))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["setsim_prefix_jaccard_join"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_skyline_is_pareto_frontier(spark, sf_dir):
+    """Every returned point is undominated within its brand, and every
+    undominated point is returned — brute-force dominance re-derivation."""
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_retailprice", "p_size"
+    ).collect()
+    pts: dict[str, dict[tuple, int]] = {}
+    for r in parts:
+        pts.setdefault(r.p_brand, {})
+        key = (r.p_retailprice, r.p_size)
+        pts[r.p_brand][key] = pts[r.p_brand].get(key, 0) + 1
+    want = set()
+    for brand, m in pts.items():
+        for (pr, sz) in m:
+            dominated = any(
+                (qp <= pr and qs >= sz and (qp < pr or qs > sz))
+                for (qp, qs) in m
+            )
+            if not dominated:
+                want.add((brand, pr, sz, m[(pr, sz)]))
+    got = {
+        (r.p_brand, r.price, r.size, r.n_parts)
+        for r in QUERIES["skyline_parts_by_brand"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_snapshot_diff_partitions_are_disjoint_and_complete(spark, sf_dir):
+    """added/removed/changed key sets are disjoint; removed ⊆ %97 keys,
+    added keys all carry the +100000000 clone offset, and every changed
+    row names at least one changed column."""
+    rows = QUERIES["snapshot_diff_orders"](spark, sf_dir).collect()
+    by_type: dict[str, set] = {"added": set(), "removed": set(), "changed": set()}
+    for r in rows:
+        by_type[r.change_type].add(r.o_orderkey)
+        if r.change_type == "changed":
+            assert r.changed_cols, r
+        else:
+            assert r.changed_cols is None, r
+    assert not (by_type["added"] & by_type["removed"])
+    assert not (by_type["added"] & by_type["changed"])
+    assert not (by_type["removed"] & by_type["changed"])
+    assert all(k % 97 == 0 for k in by_type["removed"])
+    assert all(k >= 100000000 and (k - 100000000) % 89 == 0 for k in by_type["added"])
+    assert all(k % 13 == 0 for k in by_type["changed"])
+
+
+def test_concurrent_sessions_cover_every_event_hour(spark, sf_dir):
+    """Each event's hour must be covered by at least one counted session
+    of its user (sessions span their events), and session totals per hour
+    are positive."""
+    out = {
+        r.hour: (r.n_sessions, r.n_users)
+        for r in QUERIES["concurrent_sessions_hourly"](spark, sf_dir).collect()
+    }
+    assert out
+    ev_hours = {
+        r.h
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert ev_hours <= set(out)
+    for n_sessions, n_users in out.values():
+        assert n_sessions >= n_users >= 1
