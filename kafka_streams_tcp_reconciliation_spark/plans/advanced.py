@@ -545,3 +545,242 @@ def setsim_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _SETSIM_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# --- triangle counting (degree-ordered orientation) --------------------------
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    )
+    SELECT (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*)
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (same edge set as
+    ``graph_degree_distribution``: part pairs co-ordered ≥ 2 times) — the
+    clustering-structure diagnostic (triangles / wedges = global
+    clustering coefficient numerator).
+
+    Scale: the Spark plan uses DEGREE-ORDERED ORIENTATION (each edge
+    directed from its (degree, id)-smaller endpoint), which bounds
+    per-node out-degree by O(√m), so the wedge self-join fans out
+    O(m^1.5) worst-case instead of O(Σ deg²) — the hub-safe distributed
+    formulation. The oracle is the INDEPENDENT id-ordered 3-way self-join
+    (a<b<c), correct at oracle scale: two formulations must agree on the
+    count, a real cross-check of the orientation logic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    # Pair generation is NARROW: parts collected per order (array bounded by
+    # basket size), u<v pairs emitted by a HOF — one shuffle total, measured
+    # ~2× faster than the equivalent self-join on l_orderkey at sf0.1.
+    per_order = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    pair_expr = (
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps) - i - 1),"
+        " y -> struct(x AS u, y AS v))))"
+    )
+    edges = (
+        per_order.select(F.explode(F.expr(pair_expr)).alias("e"))
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("u", "v")
+    ).cache()  # consumed 4× (degrees, orientation, closure, edge count) —
+    # without the barrier Catalyst re-runs the pair generation per consumer
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    withdeg = edges.join(du, "u").join(dv, "v")
+    # orient src -> dst by (degree, id) ascending
+    oriented = withdeg.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(
+                F.col("u").alias("src"),
+                F.col("v").alias("dst"),
+                F.col("du").alias("sd"),
+                F.col("dv").alias("dd"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.col("v").alias("src"),
+                F.col("u").alias("dst"),
+                F.col("dv").alias("sd"),
+                F.col("du").alias("dd"),
+            )
+        )
+        .alias("e")
+    ).select("e.src", "e.dst", "e.sd", "e.dd")
+    w1 = oriented.select(
+        F.col("src"),
+        F.col("dst").alias("x"),
+        F.col("dd").alias("xd"),
+    )
+    w2 = oriented.select(
+        F.col("src"),
+        F.col("dst").alias("y"),
+        F.col("dd").alias("yd"),
+    )
+    wedges = (
+        w1.join(w2, "src")
+        .filter(
+            (F.col("xd") < F.col("yd"))
+            | ((F.col("xd") == F.col("yd")) & (F.col("x") < F.col("y")))
+        )
+        .select("x", "y")
+    )
+    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return ne.crossJoin(tri)
+
+
+# --- gaps-and-islands: longest daily activity streak -------------------------
+
+
+@register(
+    "longest_daily_streak_per_user",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    anchored AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, grp, count(*) AS streak_len
+        FROM anchored GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           max(streak_len) AS longest_streak,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def longest_daily_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    calendar days. The island anchor is the classic trick — day minus
+    row_number is constant within a consecutive run — turning streak
+    detection into a plain groupBy (no iterative self-join).
+
+    Scale: dedup to (user, day) first (map-side combinable, collapses
+    event volume to ≤ users × days), ONE shuffle on user_id feeds the
+    row_number window, and both rollups reuse that partitioning. All
+    arithmetic is date/int — exact on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    anchored = days.withColumn(
+        "grp",
+        F.date_sub(
+            "day",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("day"))
+            .cast("int"),
+        ),
+    )
+    streaks = anchored.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").alias("n_active_days"),
+    )
+
+
+# --- ratio-to-report: nation revenue share within region ---------------------
+
+from kafka_streams_tcp_reconciliation_spark.functions import money as mny  # noqa: E402
+
+
+@register(
+    "revenue_share_within_region",
+    oracle=f"""
+    WITH nation_rev AS (
+        SELECT r.r_name, n.n_name,
+               CAST(sum({mny.rev_units()}) AS BIGINT) AS units
+        FROM lineitem l
+        JOIN orders o    ON o.o_orderkey = l.l_orderkey
+        JOIN customer c  ON c.c_custkey = o.o_custkey
+        JOIN nation n    ON n.n_nationkey = c.c_nationkey
+        JOIN region r    ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name,
+           {mny.duck_money2("units", 100)} AS revenue,
+           CAST(units AS DOUBLE)
+             / CAST(sum(units) OVER (PARTITION BY r_name) AS DOUBLE)
+               AS region_share,
+           rank() OVER (PARTITION BY r_name ORDER BY units DESC)
+               AS region_rank
+    FROM nation_rev
+    """,
+)
+def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report analytic: each nation's share of its region's
+    revenue plus its in-region rank — the hierarchical percent-of-parent
+    idiom (window aggregate over a grouped aggregate).
+
+    Scale: one fact-side aggregation (dims broadcast as in q5), then a
+    window over the NATION-level rollup — 25 rows, so the window exchange
+    is trivial at any corpus size. Revenue is summed in exact 10⁻⁴-dollar
+    integers (functions/money.py contract); the share is one division of
+    two exact int64s — identical bits on both engines; the rank compares
+    exact integers, so ties are engine-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nation_rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.expr(f"CAST(sum({mny.rev_units()}) AS BIGINT)").alias("units"))
+    )
+    w_region = Window.partitionBy("r_name")
+    return nation_rev.select(
+        "r_name",
+        "n_name",
+        F.expr(mny.spark_money2("units", 100)).alias("revenue"),
+        (
+            F.col("units").cast("double")
+            / F.sum("units").over(w_region).cast("double")
+        ).alias("region_share"),
+        F.rank()
+        .over(w_region.orderBy(F.col("units").desc()))
+        .cast("long")
+        .alias("region_rank"),
+    )

@@ -152,3 +152,72 @@ def test_concurrent_sessions_cover_every_event_hour(spark, sf_dir):
     assert ev_hours <= set(out)
     for n_sessions, n_users in out.values():
         assert n_sessions >= n_users >= 1
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Degree-ordered triangle count == brute-force adjacency-set count
+    (independent of BOTH the Spark orientation and the oracle's id-ordered
+    3-way join)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    per_order: dict[int, set] = {}
+    for r in li:
+        per_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    from collections import Counter
+
+    co = Counter()
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                co[(u, v)] += 1
+    edges = {e for e, n in co.items() if n >= 2}
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # each triangle {u<v<w} counted once: per edge (u,v), third nodes w>v
+    n_tri = sum(1 for (u, v) in edges for w in (adj[u] & adj[v]) if w > v)
+    row = QUERIES["triangle_count_copurchase"](spark, sf_dir).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == n_tri
+
+
+def test_longest_streak_matches_bruteforce(spark, sf_dir):
+    """Island detection == plain-Python consecutive-day scan per user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct().collect()
+    days: dict[int, set] = {}
+    for r in ev:
+        days.setdefault(r.user_id, set()).add(r.day)
+    import datetime
+
+    want = {}
+    for u, ds in days.items():
+        sorted_days = sorted(ds)
+        longest = cur = 1
+        for a, b in zip(sorted_days, sorted_days[1:]):
+            cur = cur + 1 if (b - a) == datetime.timedelta(days=1) else 1
+            longest = max(longest, cur)
+        want[u] = (longest, len(ds))
+    got = {
+        r.user_id: (r.longest_streak, r.n_active_days)
+        for r in QUERIES["longest_daily_streak_per_user"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_revenue_share_sums_to_one_per_region(spark, sf_dir):
+    """Shares within each region sum to ~1 and ranks are a permutation."""
+    rows = QUERIES["revenue_share_within_region"](spark, sf_dir).collect()
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, []).append(r)
+    assert by_region
+    for region, rs in by_region.items():
+        assert abs(sum(x.region_share for x in rs) - 1.0) < 1e-9, region
+        assert sorted(x.region_rank for x in rs) == list(range(1, len(rs) + 1))
+        top = min(rs, key=lambda x: x.region_rank)
+        assert top.revenue == max(x.revenue for x in rs)
