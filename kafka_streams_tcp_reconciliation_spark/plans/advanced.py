@@ -15,7 +15,19 @@ bit-exact DuckDB oracle:
   (one BPE-style merge-candidate round),
 - ``setsim_prefix_jaccard_join`` — set-similarity join with prefix
   filtering (PPJoin-family pruning; Xiao et al., WWW'08 — public
-  algorithm, re-derived for DataFrame form).
+  algorithm, re-derived for DataFrame form),
+- ``triangle_count_copurchase`` — degree-ordered-orientation triangle
+  counting (hub-safe O(m^1.5) wedge join),
+- ``longest_daily_streak_per_user`` — gaps-and-islands consecutive-day
+  streaks (day − row_number anchor),
+- ``revenue_share_within_region`` — ratio-to-report hierarchical share,
+- ``top_parts_with_other_rollup`` — top-N per group + OTHER rollup,
+- ``temporal_holdout_split`` — leakage-safe last-k-days eval split,
+- ``heavy_hitter_words`` — TWO-PASS Misra-Gries heavy hitters (sketch
+  candidates, exact recount — deterministic, so strong-checkable).
+
+The streaming twin of the keyless range join lives in
+``streaming/range_join.py``.
 
 House rules as everywhere (SURVEY.md §5.2): identical aliases both sides,
 deterministic tiebreaks, ratio arithmetic kept on exact int64 products cast
@@ -583,12 +595,13 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, a real cross-check of the orientation logic.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
     # Pair generation is NARROW: parts collected per order (array bounded by
     # basket size), u<v pairs emitted by a HOF — one shuffle total, measured
     # ~2× faster than the equivalent self-join on l_orderkey at sf0.1.
-    per_order = op.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    # collect_set dedups within the order in the same aggregate, replacing
+    # a separate distinct (saves one full shuffle of the fact scan).
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
     pair_expr = (
         "flatten(transform(ps, (x, i) ->"
@@ -783,4 +796,478 @@ def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w_region.orderBy(F.col("units").desc()))
         .cast("long")
         .alias("region_rank"),
+    )
+
+
+# --- reporting: top-N per group with OTHER rollup ----------------------------
+
+
+@register(
+    "top_parts_with_other_rollup",
+    oracle=f"""
+    WITH part_rev AS (
+        SELECT p.p_brand, p.p_partkey, p.p_name,
+               CAST(sum({mny.rev_units()}) AS BIGINT) AS units
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand, p.p_partkey, p.p_name
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY p_brand ORDER BY units DESC, p_partkey) AS rn
+        FROM part_rev
+    )
+    SELECT p_brand, part_label, revenue, n_parts FROM (
+        SELECT p_brand, p_name AS part_label,
+               {mny.duck_money2("units", 100)} AS revenue,
+               CAST(1 AS BIGINT) AS n_parts
+        FROM ranked WHERE rn <= 3
+        UNION ALL
+        SELECT p_brand, 'OTHER' AS part_label,
+               {mny.duck_money2("sum(units)", 100)} AS revenue,
+               count(*) AS n_parts
+        FROM ranked WHERE rn > 3 GROUP BY p_brand
+    )
+    """,
+)
+def top_parts_with_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting idiom: per brand, the top-3 parts by revenue as named rows
+    plus ONE 'OTHER' row rolling up the remainder — the top-N-plus-other
+    shape every dashboard needs and plain SQL makes awkward.
+
+    Scale: revenue rollup is the usual broadcast-dim aggregate in exact
+    integer units; the rank is a WindowGroupLimit-friendly row_number per
+    brand (deterministic tiebreak p_partkey); head and remainder reuse the
+    same ranked subplan and union. No global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    part_rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(F.expr(f"CAST(sum({mny.rev_units()}) AS BIGINT)").alias("units"))
+    )
+    ranked = part_rev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("p_brand").orderBy(
+                F.col("units").desc(), F.col("p_partkey")
+            )
+        ),
+    ).cache()  # head + remainder branches both consume the ranked rollup
+    head = ranked.filter(F.col("rn") <= 3).select(
+        "p_brand",
+        F.col("p_name").alias("part_label"),
+        F.expr(mny.spark_money2("units", 100)).alias("revenue"),
+        F.lit(1).cast("long").alias("n_parts"),
+    )
+    other = (
+        ranked.filter(F.col("rn") > 3)
+        .groupBy("p_brand")
+        .agg(
+            F.expr(mny.spark_money2("sum(units)", 100)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .select(
+            "p_brand",
+            F.lit("OTHER").alias("part_label"),
+            "revenue",
+            "n_parts",
+        )
+    )
+    return head.unionByName(other)
+
+
+# --- temporal holdout split ---------------------------------------------------
+
+
+@register(
+    "temporal_holdout_split",
+    oracle="""
+    WITH bound AS (
+        SELECT max(ts) - INTERVAL '3 days' AS cutoff FROM events
+    )
+    SELECT CASE WHEN ts < cutoff THEN 'train' ELSE 'eval' END AS split,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events, bound
+    GROUP BY split, event_type
+    """,
+)
+def temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout: the last 3 days of event time become the eval
+    split — the leakage-safe alternative to random splits for anything
+    time-dependent (forecasting, churn, funnel models). Complements the
+    hash-random ``split_train_valid_test``.
+
+    Scale: the cutoff is ONE broadcast scalar (max ts); assignment is a
+    per-row comparison, and the audit rollup is map-side combinable. No
+    data is moved to make the split — downstream writers filter on the
+    same predicate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bound = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("cutoff")
+    )
+    tagged = ev.join(F.broadcast(bound)).withColumn(
+        "split",
+        F.when(F.col("ts") < F.col("cutoff"), F.lit("train")).otherwise(
+            F.lit("eval")
+        ),
+    )
+    return tagged.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("first_ts"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("last_ts"),
+    )
+
+
+# --- two-pass Misra-Gries heavy hitters --------------------------------------
+
+_HH_K = 200  # report words with count > N/k
+
+
+def _make_mg_kernel(k: int):
+    """Factory for the per-partition Misra-Gries mapInPandas kernel.
+
+    The returned generator is a fully self-contained CLOSURE (imports and
+    state all inside) so cloudpickle ships it BY VALUE — executors of a
+    foreign-cwd driver never need this package importable (the same rule
+    every streaming FSM in this repo follows). MG semantics: k counters,
+    one sequential pass; on overflow decrement every counter and drop
+    zeros, so any item with partition count > n_p/(k+1) survives."""
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in dead:
+                        del counters[key]
+                    for key in list(counters):
+                        counters[key] -= 1
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    return mg_partition
+
+
+@register(
+    "heavy_hitter_words",
+    oracle=f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    tot AS (SELECT count(*) AS n FROM w)
+    SELECT word, count(*) AS n_word
+    FROM w, tot
+    GROUP BY word, tot.n
+    HAVING count(*) * {_HH_K} > tot.n
+    """,
+)
+def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: every word with frequency > N/k (k={k}), found with
+    the TWO-PASS Misra-Gries pattern — pass 1 runs an MG(k) summary per
+    partition (constant memory, one sequential scan, Arrow-batched
+    mapInPandas), pass 2 exactly recounts ONLY the candidate union and
+    filters by the true threshold.
+
+    Why this shape at 100 TB: a plain groupBy(word) shuffles the full
+    token stream; here the shuffle carries at most (#partitions × k)
+    candidate rows plus one broadcast of the candidate set back over the
+    scan. The MG guarantee (any item with global count > N/(k·p-margin)
+    survives in ≥1 partition summary) makes pass 2 EXACT, so the result is
+    deterministic and partitioning-independent — which is why a plain
+    GROUP BY ... HAVING oracle can strong-check an approximate-sketch
+    pipeline. Candidate misses are impossible, not just unlikely.
+    """.format(k=_HH_K)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+
+    k = _HH_K
+    candidates = words.mapInPandas(
+        _make_mg_kernel(k), "word string"
+    ).distinct()
+    total = words.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        words.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("n_word") * k > F.col("n"))
+        .select("word", "n_word")
+    )
+
+
+# --- count-min sketch with exact cross-check ---------------------------------
+
+from kafka_streams_tcp_reconciliation_spark.functions import hashing as hsh  # noqa: E402
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # buckets per row
+_CMS_TOPN = 50  # words whose frequency we estimate
+
+
+def _cms_bucket_exprs(word_hash: str) -> list[str]:
+    """The d bucket expressions ((a_k·x + b_k) mod P) mod W — dialect-
+    neutral int64 arithmetic, generated once for BOTH engines from the
+    shared universal family so the sketches cannot drift."""
+    return [
+        f"((({a} * ({word_hash})) + {b}) % {hsh.MOD}) % {_CMS_W}"
+        for a, b in hsh.hash_params(_CMS_D)
+    ]
+
+
+def _cms_oracle_sql() -> str:
+    x = hsh.duck_poly_hash("word")
+    buckets = _cms_bucket_exprs("wx")
+    cell_rows = "\nUNION ALL\n".join(
+        f"SELECT {k} AS k, {b} AS bucket FROM wh" for k, b in enumerate(buckets)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT word, n_exact, {k} AS k, {b} AS bucket FROM exact"
+        for k, b in enumerate(buckets)
+    )
+    return f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    wh AS (SELECT word, {x} AS wx FROM w),
+    keyed AS ({cell_rows}),
+    cells AS (SELECT k, bucket, count(*) AS cell_n FROM keyed GROUP BY k, bucket),
+    exact AS (
+        SELECT word, min(wx) AS wx, count(*) AS n_exact FROM wh GROUP BY word
+        ORDER BY n_exact DESC, word LIMIT {_CMS_TOPN}
+    ),
+    probes AS ({probe_rows}),
+    est AS (
+        SELECT p.word, p.n_exact, min(c.cell_n) AS cms_est
+        FROM probes p
+        JOIN cells c ON c.k = p.k AND c.bucket = p.bucket
+        GROUP BY p.word, p.n_exact
+    )
+    SELECT word, n_exact, cms_est FROM est
+    """
+
+
+@register("count_min_word_frequencies", oracle=_cms_oracle_sql())
+def count_min_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: d={d} universal-hash rows × w={w} buckets over the
+    token stream, then point-estimate the top-{n} words and surface the
+    exact count next to the estimate (CMS guarantees est ≥ exact; the
+    property test asserts it).
+
+    Why strong-checkable: the sketch is DETERMINISTIC — both engines build
+    the identical d×w cell table from the shared polynomial/universal hash
+    family (functions/hashing.py), so the DuckDB oracle rebuilds the same
+    sketch bit-for-bit, the same trick the MinHash/SimHash oracles use.
+
+    Scale: the cell table is the whole shuffle — ≤ d·w rows regardless of
+    corpus size (THE point of CMS at 100 TB: frequency telemetry with
+    constant memory); probes broadcast the candidate set. All hash math is
+    JVM-side int64 inside whole-stage codegen, no UDFs.
+    """.format(d=_CMS_D, w=_CMS_W, n=_CMS_TOPN)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    wh = words.select(
+        "word", F.expr(hsh.spark_poly_hash("word")).alias("wx")
+    )
+    buckets = _cms_bucket_exprs("wx")
+    keyed = wh.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.expr(b).cast("long").alias("bucket")
+                    )
+                    for k, b in enumerate(buckets)
+                ]
+            )
+        ).alias("kb")
+    ).select("kb.k", "kb.bucket")
+    cells = keyed.groupBy("k", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
+    exact = (
+        wh.groupBy("word")
+        .agg(F.min("wx").alias("wx"), F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "word")
+        .limit(_CMS_TOPN)
+    )
+    probes = exact.select(
+        "word",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.expr(b).cast("long").alias("bucket")
+                    )
+                    for k, b in enumerate(buckets)
+                ]
+            )
+        ).alias("kb"),
+    ).select("word", "n_exact", "kb.k", "kb.bucket")
+    return (
+        F.broadcast(probes)
+        .join(cells, ["k", "bucket"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("cell_n").alias("cms_est"))
+        .select("word", "n_exact", "cms_est")
+    )
+
+
+# --- sessionized bounce rate --------------------------------------------------
+
+
+@register(
+    "daily_bounce_rate",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '{_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT user_id, session_id,
+               CAST(min(ts) AS DATE) AS day, count(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS bounce_rate
+    FROM spans GROUP BY day
+    """,
+)
+def daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized bounce rate: per calendar day (of session start), the
+    share of sessions containing exactly one event — the standard
+    engagement KPI on top of gap sessionization.
+
+    Scale: same single user_id shuffle as the other session queries; the
+    daily rollup is date-bounded. The rate is one division of two exact
+    int64 counts — identical bits on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (F.col("ts") - F.lag("ts").over(w)) >= F.expr(
+        f"INTERVAL {_GAP_MIN} MINUTES"
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | gap_ok, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").cast("date").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return spans.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.cast("long").alias("n_bounce"),
+        (bounce.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "bounce_rate"
+        ),
+    )
+
+
+# --- chunked payload reassembly (multimodal ingest path) ----------------------
+
+_N_CHUNKS = 3
+
+
+@register(
+    "chunk_reassembly_integrity",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id, i AS chunk_id,
+               substring(text,
+                         CAST((i * length(text)) / {_N_CHUNKS} AS BIGINT) + 1,
+                         CAST(((i + 1) * length(text)) / {_N_CHUNKS} AS BIGINT)
+                           - CAST((i * length(text)) / {_N_CHUNKS} AS BIGINT))
+                   AS chunk
+        FROM documents, (SELECT unnest(range(0, {_N_CHUNKS})) AS i)
+    ),
+    reassembled AS (
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               md5(string_agg(chunk, '' ORDER BY chunk_id)) AS payload_md5
+        FROM chunks GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.n_chunks, r.payload_md5,
+           r.payload_md5 = md5(d.text) AS intact
+    FROM reassembled r JOIN documents d ON d.doc_id = r.doc_id
+    """,
+)
+def chunk_reassembly_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-payload reassembly — the multimodal ingest path: large
+    payloads arrive as ordered chunks (here {n} deterministic substring
+    thirds standing in for binary parts, since the corpus carries no true
+    binary column); reassemble per asset and verify integrity against the
+    source checksum.
+
+    Scale: ONE shuffle on the asset key; chunks concatenate inside the
+    aggregate (bytes per asset, bounded by payload size); the checksum
+    join is by primary key. This is the plumbing a blob-ingest pipeline
+    needs before any decode (functions/multimodal.py) can run.
+    """.format(n=_N_CHUNKS)
+    docs = load_table(spark, sf_dir, "documents")
+    n = _N_CHUNKS
+    chunk_struct = F.expr(
+        f"transform(sequence(0, {n - 1}), i -> struct(i AS chunk_id,"
+        f" substring(text, CAST((i * length(text)) / {n} AS BIGINT) + 1,"
+        f" CAST(((i + 1) * length(text)) / {n} AS BIGINT)"
+        f" - CAST((i * length(text)) / {n} AS BIGINT)) AS chunk))"
+    )
+    chunks = docs.select(
+        "doc_id", F.explode(chunk_struct).alias("c")
+    ).select("doc_id", "c.chunk_id", "c.chunk")
+    reassembled = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                "",
+            )
+        ).alias("payload_md5"),
+    )
+    src = docs.select("doc_id", F.md5("text").alias("src_md5"))
+    return reassembled.join(src, "doc_id").select(
+        "doc_id",
+        "n_chunks",
+        "payload_md5",
+        (F.col("payload_md5") == F.col("src_md5")).alias("intact"),
     )

@@ -221,3 +221,113 @@ def test_revenue_share_sums_to_one_per_region(spark, sf_dir):
         assert sorted(x.region_rank for x in rs) == list(range(1, len(rs) + 1))
         top = min(rs, key=lambda x: x.region_rank)
         assert top.revenue == max(x.revenue for x in rs)
+
+
+def test_heavy_hitters_match_bruteforce(spark, sf_dir):
+    """Two-pass MG output == plain-Python exact counts filtered at N/k —
+    the no-missed-candidate guarantee, end to end."""
+    from collections import Counter
+
+    from kafka_streams_tcp_reconciliation_spark.plans.advanced import _HH_K
+
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    counts = Counter(w for t in texts for w in t.split(" "))
+    n = sum(counts.values())
+    want = {w: c for w, c in counts.items() if c * _HH_K > n}
+    got = {
+        r.word: r.n_word
+        for r in QUERIES["heavy_hitter_words"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_misra_gries_kernel_guarantee():
+    """The MG kernel never evicts an item whose true count exceeds
+    len(stream)/k — adversarial interleaving of one heavy item with a
+    churn of singletons."""
+    import pandas as pd
+
+    from kafka_streams_tcp_reconciliation_spark.plans.advanced import (
+        _make_mg_kernel,
+    )
+
+    k = 5
+    stream = []
+    for i in range(400):
+        stream.append("heavy" if i % 3 == 0 else f"noise_{i}")
+    out = list(_make_mg_kernel(k)(iter([pd.DataFrame({"word": stream})])))
+    survivors = set(out[0]["word"])
+    assert "heavy" in survivors  # count ~134 > 400/5
+
+
+def test_top_other_rollup_is_a_partition(spark, sf_dir):
+    """Per brand: ≤3 named head rows + one OTHER row; n_parts totals the
+    brand's distinct sold parts; OTHER revenue is never negative."""
+    rows = QUERIES["top_parts_with_other_rollup"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sold = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("p_brand", "p_partkey")
+        .distinct()
+        .groupBy("p_brand")
+        .count()
+        .collect()
+    )
+    want_n = {r.p_brand: r["count"] for r in sold}
+    by_brand: dict[str, list] = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, []).append(r)
+    assert set(by_brand) == set(want_n)
+    for brand, rs in by_brand.items():
+        named = [r for r in rs if r.part_label != "OTHER"]
+        other = [r for r in rs if r.part_label == "OTHER"]
+        assert len(named) <= 3 and len(other) <= 1
+        assert sum(r.n_parts for r in rs) == want_n[brand]
+        assert all(r.revenue >= 0 for r in rs)
+
+
+def test_temporal_holdout_covers_everything(spark, sf_dir):
+    """Split counts partition the event log and the eval span is ≤ 3 days."""
+    import datetime
+
+    rows = QUERIES["temporal_holdout_split"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    fmt = "%Y-%m-%d %H:%M:%S"
+    eval_rows = [r for r in rows if r.split == "eval"]
+    assert eval_rows
+    first = min(datetime.datetime.strptime(r.first_ts, fmt) for r in eval_rows)
+    last = max(datetime.datetime.strptime(r.last_ts, fmt) for r in eval_rows)
+    assert last - first <= datetime.timedelta(days=3)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min property: estimate ≥ exact for every probed word, and the
+    estimate of the top word equals its exact count when its cells are
+    uncontended enough (sanity: est is finite and ≥ 1)."""
+    rows = QUERIES["count_min_word_frequencies"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.n_exact >= 1, r
+
+
+def test_chunk_reassembly_all_intact(spark, sf_dir):
+    """Every document reassembles to its source checksum with the expected
+    chunk count."""
+    rows = QUERIES["chunk_reassembly_integrity"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert all(r.intact for r in rows)
+    assert all(r.n_chunks == 3 for r in rows)
+
+
+def test_bounce_rate_is_a_valid_share(spark, sf_dir):
+    """0 ≤ bounce ≤ sessions and the rate is their exact quotient."""
+    rows = QUERIES["daily_bounce_rate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_bounce <= r.n_sessions
+        assert r.bounce_rate == r.n_bounce / r.n_sessions

@@ -269,3 +269,57 @@ def test_training_shards_layout_and_roundtrip(spark, sf_dir, tmp_path):
     ids1 = sorted(r.doc_id for r in spark.read.parquet(path).select("doc_id").collect())
     ids2 = sorted(r.doc_id for r in spark.read.parquet(path2).select("doc_id").collect())
     assert ids1 == ids2
+
+
+def test_hive_partition_pruning(spark, sf_dir, tmp_path):
+    """Writing day-partitioned parquet and filtering one day must prune the
+    scan to that partition's files (PartitionFilters reach the file index;
+    a scan that lists every partition is wrong at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    one_day = back.select(F.min("day")).first()[0]
+    pruned = back.filter(F.col("day") == F.lit(one_day))
+    # inputFiles() reports the UNPRUNED relation — read the files the scan
+    # actually touched instead
+    files = [
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files, "pruned scan lost its files"
+    assert all(f"day={one_day}" in f for f in files), files[:3]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # row-level sanity: pruned read == full-read filter
+    assert pruned.count() == ev.filter(F.to_date("ts") == F.lit(one_day)).count()
+
+
+def test_schema_evolution_mergeschema(spark, sf_dir, tmp_path):
+    """Parquet schema evolution: a shard written later with an added column
+    merges with the old shards (mergeSchema) and backfills nulls — the
+    append-only corpus lifecycle at 100 TB."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").limit(100)
+    path = str(tmp_path / "orders_evolving")
+    v1 = orders.select("o_orderkey", "o_totalprice")
+    v1.write.parquet(path + "/batch=1")
+    v2 = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.lit("2024-Q1").alias("ingest_tag"),
+    )
+    v2.write.parquet(path + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {
+        "o_orderkey", "o_totalprice", "ingest_tag", "batch"
+    }
+    assert merged.count() == 200
+    old_rows = merged.filter(F.col("batch") == 1)
+    assert old_rows.filter(F.col("ingest_tag").isNull()).count() == 100
+    new_rows = merged.filter(F.col("batch") == 2)
+    assert new_rows.filter(F.col("ingest_tag") == "2024-Q1").count() == 100

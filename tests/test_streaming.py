@@ -420,3 +420,44 @@ def test_rolling_dau_hll_stream_accuracy(spark, sf_dir, event_stream):
         "active_users"
     ]
     assert (rel < 0.05).all(), merged[rel >= 0.05].head()
+
+
+def test_keyless_range_join_stream_matches_batch(spark, sf_dir, event_stream):
+    """Streaming keyless bucketed range join converges to the batch pair
+    set: every (purchase, other-user event within ±5 min) pair, exactly
+    once, across micro-batch boundaries."""
+    from kafka_streams_tcp_reconciliation_spark.operators.joins import (
+        bucketed_range_join,
+    )
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+    from kafka_streams_tcp_reconciliation_spark.streaming.range_join import (
+        coactivity_pairs_stream,
+    )
+    from pyspark.sql import functions as F
+
+    got = run_stream(
+        spark,
+        coactivity_pairs_stream(event_stream),
+        "append",
+        "t_range_join",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("user_id").alias("p_user"),
+    )
+    others = ev.select(
+        F.col("event_id").alias("o_id"),
+        F.col("ts").alias("o_ts"),
+        F.col("user_id").alias("o_user"),
+    )
+    want = (
+        bucketed_range_join(purchases, others, "p_ts", "o_ts", 300)
+        .filter(F.col("o_user") != F.col("p_user"))
+        .select("p_id", "o_id")
+        .toPandas()
+    )
+    got_pairs = sorted(map(tuple, got[["p_id", "o_id"]].values.tolist()))
+    want_pairs = sorted(map(tuple, want.values.tolist()))
+    assert got_pairs == want_pairs
