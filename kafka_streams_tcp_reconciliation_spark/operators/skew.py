@@ -76,3 +76,34 @@ def salted_broadcast_left(
     """Hot-key join remedy #1: broadcast the small side — no shuffle of
     the big (skewed) side at all."""
     return big.join(F.broadcast(small), list(on), how)
+
+
+def salted_replicate_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key join remedy #2 — both sides too big to broadcast: salt the
+    SKEWED side (crc32 of its whole row % n), REPLICATE the other side
+    across all n salt values (explode of a literal range), and equi-join
+    on (keys..., salt). A key holding K rows spreads over min(K, n)
+    reducers at the cost of n× duplicating the other side's shuffle — the
+    classic trade when AQE's skew split isn't available (e.g. a
+    non-shuffle-boundary join or a deliberately pinned plan).
+
+    Result is row-identical to the plain join: every skewed row meets each
+    matching other row exactly once (at its own salt).
+    """
+    keys = list(on)
+    salt = F.abs(
+        F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in skewed.columns]))
+        % n_salts
+    ).alias("__salt")
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    out = left.join(right, keys + ["__salt"], how)
+    return out.drop("__salt")

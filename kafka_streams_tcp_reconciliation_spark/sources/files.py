@@ -111,3 +111,35 @@ def write_training_shards(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_text(df: DataFrame, path: str, column: str = "text") -> None:
+    """One-column plain-text sink (spark.write.text): each row one line —
+    the rawest interchange format a corpus pipeline meets."""
+    df.select(F.col(column).cast("string").alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-per-row text source; one `value: string` column."""
+    return spark.read.text(path)
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Opaque-blob source (format="binaryFile"): one row per file with
+    (path, modificationTime, length, content: binary) — the ingest door
+    for image/audio/video payloads before `functions/multimodal.py`
+    decode kernels run.
+
+    Scale: binaryFile is a real FileFormat — the file index prunes on
+    pathGlobFilter, rows stream as whole files (so partition sizing is by
+    file count; pack small assets into larger archives upstream), and
+    `content` stays opaque bytes until an Arrow-batched kernel touches it.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

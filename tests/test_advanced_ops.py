@@ -331,3 +331,32 @@ def test_bounce_rate_is_a_valid_share(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_bounce <= r.n_sessions
         assert r.bounce_rate == r.n_bounce / r.n_sessions
+
+
+def test_partitioning_invariance_of_sketch_ops(spark, sf_dir):
+    """Results of the sketch/candidate-generation ops must not depend on
+    the physical partitioning — rerunning under a different
+    spark.sql.shuffle.partitions (and thus different partition boundaries
+    for the MG pass, LSH buckets, and prefix join) yields identical rows.
+    This is the 1000-executor invariant: a cluster re-layout must never
+    change an answer."""
+    names = [
+        "heavy_hitter_words",
+        "count_min_word_frequencies",
+        "setsim_prefix_jaccard_join",
+        "dedup_minhash_lsh",
+    ]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n_part in ("5", orig):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name in names:
+                rows = sorted(
+                    map(tuple, QUERIES[name](spark, sf_dir).collect())
+                )
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name}: result depends on partitioning"

@@ -168,3 +168,39 @@ def test_zorder_layout_prunes_on_secondary_column(spark, sf_dir, tmp_path):
     assert n_lin == n_z == 8
     assert hit_lin >= 6, "linear layout unexpectedly clustered v_int"
     assert hit_z < hit_lin, (hit_z, hit_lin)
+
+
+def test_salted_replicate_join_matches_plain(spark, sf_dir):
+    """Big-big skew-join remedy: salted-replicate join is row-identical to
+    the plain join on a key where one value owns half the rows."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_tcp_reconciliation_spark.operators.skew import (
+        salted_replicate_join,
+    )
+
+    # synthesize skew: fold 60% of orders onto one customer key
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 5 < 3, F.lit(7)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = (
+        orders.join(customer, "o_custkey")
+        .groupBy("o_custkey")
+        .count()
+        .collect()
+    )
+    salted = (
+        salted_replicate_join(orders, customer, ["o_custkey"], n_salts=8)
+        .groupBy("o_custkey")
+        .count()
+        .collect()
+    )
+    assert sorted((r.o_custkey, r["count"]) for r in plain) == sorted(
+        (r.o_custkey, r["count"]) for r in salted
+    )

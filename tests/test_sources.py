@@ -323,3 +323,42 @@ def test_schema_evolution_mergeschema(spark, sf_dir, tmp_path):
     assert old_rows.filter(F.col("ingest_tag").isNull()).count() == 100
     new_rows = merged.filter(F.col("batch") == 2)
     assert new_rows.filter(F.col("ingest_tag") == "2024-Q1").count() == 100
+
+
+def test_text_roundtrip(spark, sf_dir, tmp_path):
+    """Plain-text sink/source: line-per-row, content preserved."""
+    from kafka_streams_tcp_reconciliation_spark.sources.files import read_text, write_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_txt")
+    write_text(docs, path)
+    back = read_text(spark, path)
+    assert back.columns == ["value"]
+    a = sorted(r.text for r in docs.select("text").collect())
+    b = sorted(r.value for r in back.collect())
+    assert a == b
+
+
+def test_binaryfile_source_roundtrip(spark, sf_dir, tmp_path):
+    """binaryFile source: opaque blobs come back byte-identical with the
+    file metadata columns, and pathGlobFilter prunes the listing."""
+    import os
+
+    blob_dir = tmp_path / "blobs"
+    os.makedirs(blob_dir)
+    payloads = {
+        "a.img": b"\x89FAKEPNG\x00\x01" * 40,
+        "b.img": b"RIFFfakewav" * 25,
+        "c.txt": b"not a blob",
+    }
+    for name, data in payloads.items():
+        with open(blob_dir / name, "wb") as f:
+            f.write(data)
+    from kafka_streams_tcp_reconciliation_spark.sources.files import read_binary_dir
+
+    rows = read_binary_dir(spark, str(blob_dir), glob="*.img").collect()
+    assert len(rows) == 2
+    got = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in rows}
+    assert got == {k: v for k, v in payloads.items() if k.endswith(".img")}
+    for r in rows:
+        assert r.length == len(got[r.path.rsplit("/", 1)[-1]])
