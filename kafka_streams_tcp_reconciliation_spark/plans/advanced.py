@@ -1271,3 +1271,169 @@ def chunk_reassembly_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_md5",
         (F.col("payload_md5") == F.col("src_md5")).alias("intact"),
     )
+
+
+# --- kNN graph construction (IVF-cell-restricted) -----------------------------
+
+from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim  # noqa: E402
+from kafka_streams_tcp_reconciliation_spark.operators.joins import asof_join  # noqa: E402
+
+_KNN_K = 3
+
+
+@register(
+    "knn_graph_within_cells",
+    oracle=f"""
+    WITH norms AS (
+        SELECT vec_id, label, embedding,
+               {sim.duck_dot_expr("embedding", "embedding")} AS self_dot
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               round(({sim.duck_dot_expr("a.embedding", "b.embedding")})
+                     / sqrt(a.self_dot * b.self_dot), 6) AS score
+        FROM norms a JOIN norms b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM pairs
+    )
+    SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+    FROM ranked WHERE rank <= {_KNN_K}
+    """,
+)
+def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN GRAPH construction (the SemDeDup / graph-clustering / ANN-index
+    prerequisite): each vector's top-k cosine neighbors, with candidates
+    restricted to the vector's IVF coarse cell (`label`, as in
+    ``similarity_ivf_topk``) — the standard corpus-scale recipe, since
+    all-pairs kNN is quadratic.
+
+    Scale: ONE equi-shuffle on the cell id; pair scoring is quadratic only
+    within a cell (cells scale with corpus size, keeping cell population
+    bounded). Per-vector self-dots are computed once and carried through
+    the join — each pair costs a single fold, not three (the SemDeDup
+    trick). Top-k per vector is a WindowGroupLimit-friendly row_number
+    with scores rounded before ranking so tiebreaks agree cross-engine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(sim.dot_expr("embedding", "embedding")).alias("self_dot"),
+    )
+    a = norms.select(
+        F.col("label"),
+        F.col("vec_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("self_dot").alias("a_dot"),
+    )
+    b = norms.select(
+        F.col("label"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("self_dot").alias("b_dot"),
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                F.expr(sim.dot_expr("a_emb", "b_emb"))
+                / F.sqrt(F.col("a_dot") * F.col("b_dot")),
+                6,
+            ).alias("score"),
+        )
+    )
+    ranked = pairs.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("vec_id").orderBy(
+                F.col("score").desc(), F.col("neighbor_id")
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= _KNN_K).select(
+        "vec_id", "neighbor_id", "rank", "score"
+    )
+
+
+# --- conversion-lag percentiles ------------------------------------------------
+
+
+@register(
+    "conversion_lag_percentiles",
+    oracle="""
+    WITH conv AS (
+        SELECT p.event_id, p.ts AS p_ts, c_ts
+        FROM (
+            SELECT p.event_id, p.ts,
+                   c.ts AS c_ts,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+        ) p WHERE rn = 1
+    ),
+    lags AS (
+        SELECT strftime(CAST(p_ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(epoch_us(p_ts) - epoch_us(c_ts) AS DOUBLE)
+                 / 1000000.0 AS lag_s
+        FROM conv
+    )
+    SELECT day,
+           count(*) AS n_conversions,
+           round(quantile_cont(lag_s, 0.5), 6) AS p50_lag_s,
+           round(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s,
+           round(quantile_cont(lag_s, 0.99), 6) AS p99_lag_s
+    FROM lags GROUP BY day
+    """,
+)
+def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per purchase day, exact p50/p90/p99 of
+    the lag between each purchase and that user's LAST PRIOR click — the
+    reference's per-flow latency percentiles generalized to the funnel.
+
+    Scale: the as-of pairing is the union-and-carry single-shuffle
+    operator (never the quadratic join+rank the oracle uses at its small
+    scale); percentiles are exact per day (daily volumes are groupBy-local),
+    with the same interpolation + 6-dp rounding contract as
+    ``percentile_value_by_user``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    paired = asof_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        "ts",
+        "ts",
+        right_value_cols=["ts"],
+        tiebreak="event_id",
+    )
+    lags = paired.select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        (
+            F.expr("timestampdiff(MICROSECOND, asof_ts, ts)").cast("double")
+            / F.lit(1000000.0)
+        ).alias("lag_s"),
+    )
+    return lags.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.99)"), 6).alias("p99_lag_s"),
+    )

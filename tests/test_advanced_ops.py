@@ -360,3 +360,52 @@ def test_partitioning_invariance_of_sketch_ops(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     for name, (a, b) in results.items():
         assert a == b, f"{name}: result depends on partitioning"
+
+
+def test_knn_graph_matches_bruteforce(spark, sf_dir):
+    """Within-cell kNN graph == numpy brute force over each label cell
+    (independent of both engines' fold expressions)."""
+    import numpy as np
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        )
+    want = {}
+    for members in by_label.values():
+        ids = [m[0] for m in members]
+        mat = np.stack([m[1] for m in members])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        for i, vid in enumerate(ids):
+            scored = sorted(
+                (
+                    (round(sims[i, j], 6), -nid)
+                    for j, nid in enumerate(ids)
+                    if j != i
+                ),
+                key=lambda t: (-t[0], -t[1]),
+            )
+            want[vid] = [(-nid, s) for s, nid in scored[:3]]
+    got: dict[int, list] = {}
+    out = QUERIES["knn_graph_within_cells"](spark, sf_dir).collect()
+    for r in sorted(out, key=lambda r: (r.vec_id, r.rank)):
+        got.setdefault(r.vec_id, []).append((r.neighbor_id, r.score))
+    assert set(got) == set(want)
+    for vid in want:
+        got_ids = [n for n, _ in got[vid]]
+        want_ids = [n for n, _ in want[vid]]
+        assert got_ids == want_ids, (vid, got[vid], want[vid])
+        for (gn, gs), (wn, ws) in zip(got[vid], want[vid]):
+            assert abs(gs - ws) <= 1e-6, (vid, gn, gs, ws)
+
+
+def test_conversion_lags_are_ordered_percentiles(spark, sf_dir):
+    """Lags are non-negative and p50 ≤ p90 ≤ p99 on every day."""
+    rows = QUERIES["conversion_lag_percentiles"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.p50_lag_s <= r.p90_lag_s <= r.p99_lag_s
+        assert r.n_conversions >= 1
