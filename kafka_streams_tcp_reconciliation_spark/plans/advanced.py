@@ -49,6 +49,61 @@ _GAP_MIN = 30  # session gap, minutes — same knob as session_window_stats
 _COACT_RADIUS_S = 300  # ±5 minutes
 _SETSIM_TAU = 0.9
 
+# Shared 30-min-gap sessionization (the same construction as
+# plans/sequences.session_event_paths): CTE text for the DuckDB oracles,
+# DataFrame builder for the Spark side — one definition, every session
+# query (ONE user_id shuffle feeds both stacked windows; Catalyst reuses
+# the exchange and sort).
+_SESS_SPANS_SQL = f"""
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '{_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT user_id, session_id,
+               min(ts) AS s_start, max(ts) AS s_end, count(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    )"""
+
+
+def _session_spans(ev: DataFrame) -> DataFrame:
+    """(user_id, session_id, s_start, s_end, n_events) under the 30-min
+    inactivity-gap sessionization — the Spark twin of ``_SESS_SPANS_SQL``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (F.col("ts") - F.lag("ts").over(w)) >= F.expr(
+        f"INTERVAL {_GAP_MIN} MINUTES"
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | gap_ok, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"),
+        F.max("ts").alias("s_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
 
 # --- keyless bucketed time-range join ---------------------------------------
 
@@ -102,25 +157,7 @@ def range_join_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "concurrent_sessions_hourly",
     oracle=f"""
-    WITH flagged AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '{_GAP_MIN} minutes'
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sessions AS (
-        SELECT *, sum(new_session) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS session_id
-        FROM flagged
-    ),
-    spans AS (
-        SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
-        FROM sessions GROUP BY user_id, session_id
-    ),
+    WITH {_SESS_SPANS_SQL},
     hours AS (
         SELECT user_id,
                unnest(generate_series(date_trunc('hour', s_start),
@@ -146,28 +183,7 @@ def concurrent_sessions_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     session build reuses the stacked-window single-shuffle shape of
     ``session_event_paths``.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ok = (F.col("ts") - F.lag("ts").over(w)) >= F.expr(
-        f"INTERVAL {_GAP_MIN} MINUTES"
-    )
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(F.lag("ts").over(w).isNull() | gap_ok, F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("new_session"),
-    )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    spans = sessions.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
-    )
+    spans = _session_spans(load_table(spark, sf_dir, "events"))
     hours = spans.select(
         "user_id",
         F.explode(
@@ -1128,33 +1144,14 @@ def count_min_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "daily_bounce_rate",
     oracle=f"""
-    WITH flagged AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '{_GAP_MIN} minutes'
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sessions AS (
-        SELECT *, sum(new_session) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS session_id
-        FROM flagged
-    ),
-    spans AS (
-        SELECT user_id, session_id,
-               CAST(min(ts) AS DATE) AS day, count(*) AS n_events
-        FROM sessions GROUP BY user_id, session_id
-    )
-    SELECT strftime(day, '%Y-%m-%d') AS day,
+    WITH {_SESS_SPANS_SQL}
+    SELECT strftime(CAST(s_start AS DATE), '%Y-%m-%d') AS day,
            count(*) AS n_sessions,
            CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_bounce,
            CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS bounce_rate
-    FROM spans GROUP BY day
+    FROM spans GROUP BY CAST(s_start AS DATE)
     """,
 )
 def daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1166,32 +1163,10 @@ def daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily rollup is date-bounded. The rate is one division of two exact
     int64 counts — identical bits on both engines.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ok = (F.col("ts") - F.lag("ts").over(w)) >= F.expr(
-        f"INTERVAL {_GAP_MIN} MINUTES"
-    )
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(F.lag("ts").over(w).isNull() | gap_ok, F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("new_session"),
-    )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    spans = sessions.groupBy("user_id", "session_id").agg(
-        F.min("ts").cast("date").alias("day"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+    spans = _session_spans(load_table(spark, sf_dir, "events"))
     bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
     return spans.groupBy(
-        F.date_format("day", "yyyy-MM-dd").alias("day")
+        F.date_format(F.col("s_start").cast("date"), "yyyy-MM-dd").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n_sessions"),
         bounce.cast("long").alias("n_bounce"),

@@ -461,3 +461,27 @@ def test_keyless_range_join_stream_matches_batch(spark, sf_dir, event_stream):
     got_pairs = sorted(map(tuple, got[["p_id", "o_id"]].values.tolist()))
     want_pairs = sorted(map(tuple, want.values.tolist()))
     assert got_pairs == want_pairs
+
+
+def test_cms_cells_stream_converges_to_batch_sketch(spark, sf_dir, event_stream):
+    """The incrementally maintained CMS cell table equals the batch sketch
+    over the same token stream bit-for-bit after full replay (complete
+    mode) — a sketch whose state is the aggregate itself."""
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+    from kafka_streams_tcp_reconciliation_spark.streaming.sketch import (
+        cms_cells_stream,
+    )
+
+    got = run_stream(
+        spark,
+        cms_cells_stream(event_stream, text_col="props"),
+        "complete",
+        "t_cms_cells",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    # the builder is pure DataFrame algebra — the same function computes
+    # the batch reference
+    want = cms_cells_stream(ev, "props").toPandas()
+    got_set = {tuple(r) for r in got[["k", "bucket", "cell_n"]].values.tolist()}
+    want_set = {tuple(r) for r in want[["k", "bucket", "cell_n"]].values.tolist()}
+    assert got_set == want_set
