@@ -575,20 +575,53 @@ def setsim_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- triangle counting (degree-ordered orientation) --------------------------
+# --- co-purchase graph (shared edge derivation) -------------------------------
 
-
-@register(
-    "triangle_count_copurchase",
-    oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+# Edges = part pairs co-ordered >= 2 times, u < v. Shared by the triangle
+# count and the 2-hop reach below (same construction as
+# graph_degree_distribution). The oracle-side CTE is the id-ordered SQL twin.
+_COPURCHASE_EDGES_SQL = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     edges AS (
         SELECT a.l_partkey AS u, b.l_partkey AS v
         FROM op a JOIN op b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY a.l_partkey, b.l_partkey
         HAVING count(*) >= 2
+    )"""
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """(u, v) co-purchase edges, u < v. Pair generation is NARROW: parts
+    collected per order (array bounded by basket size; collect_set dedups
+    within the same aggregate, saving a separate distinct shuffle), u<v
+    pairs emitted by a HOF — one shuffle total, measured ~2× faster than
+    the equivalent self-join on l_orderkey at sf0.1."""
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    pair_expr = (
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps) - i - 1),"
+        " y -> struct(x AS u, y AS v))))"
+    )
+    return (
+        per_order.select(F.explode(F.expr(pair_expr)).alias("e"))
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("u", "v")
+    )
+
+
+# --- triangle counting (degree-ordered orientation) --------------------------
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL}
     SELECT (SELECT count(*) FROM edges) AS n_edges,
            (SELECT count(*)
             FROM edges e1
@@ -610,28 +643,8 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a<b<c), correct at oracle scale: two formulations must agree on the
     count, a real cross-check of the orientation logic.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    # Pair generation is NARROW: parts collected per order (array bounded by
-    # basket size), u<v pairs emitted by a HOF — one shuffle total, measured
-    # ~2× faster than the equivalent self-join on l_orderkey at sf0.1.
-    # collect_set dedups within the order in the same aggregate, replacing
-    # a separate distinct (saves one full shuffle of the fact scan).
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    pair_expr = (
-        "flatten(transform(ps, (x, i) ->"
-        " transform(slice(ps, i + 2, size(ps) - i - 1),"
-        " y -> struct(x AS u, y AS v))))"
-    )
-    edges = (
-        per_order.select(F.explode(F.expr(pair_expr)).alias("e"))
-        .select("e.u", "e.v")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_co"))
-        .filter(F.col("n_co") >= 2)
-        .select("u", "v")
-    ).cache()  # consumed 4× (degrees, orientation, closure, edge count) —
+    edges = _copurchase_edges(load_table(spark, sf_dir, "lineitem")).cache()
+    # cache: consumed 4× (degrees, orientation, closure, edge count) —
     # without the barrier Catalyst re-runs the pair generation per consumer
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -1411,4 +1424,271 @@ def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_lag_s"),
         F.round(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_lag_s"),
         F.round(F.expr("percentile(lag_s, 0.99)"), 6).alias("p99_lag_s"),
+    )
+
+
+# --- 2-hop neighborhood reach --------------------------------------------------
+
+
+@register(
+    "two_hop_reach_counts",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    adj AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL
+        SELECT v AS src, u AS dst FROM edges
+    ),
+    one_hop AS (SELECT DISTINCT src, dst FROM adj),
+    two_hop AS (
+        SELECT DISTINCT a.src, b.dst
+        FROM one_hop a JOIN adj b ON b.src = a.dst
+        WHERE b.dst <> a.src
+    ),
+    reach AS (
+        SELECT src, dst FROM one_hop
+        UNION
+        SELECT src, dst FROM two_hop
+    )
+    SELECT r.src AS part, 
+           (SELECT count(*) FROM one_hop o WHERE o.src = r.src) AS n_1hop,
+           count(*) AS n_within_2hops
+    FROM reach r GROUP BY r.src
+    """,
+)
+def two_hop_reach_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS: for each part in the co-purchase graph, how many parts
+    are reachable within 1 hop and within ≤2 hops — the neighborhood-size
+    diagnostic that prices any graph algorithm before running it (reach
+    explosion ⇒ iterate no further).
+
+    Scale: adjacency is the edge list doubled (map-side); the 2-hop set is
+    ONE self-join on the middle node — Σ deg² rows, the same hub exposure
+    the degree distribution measures first; reach dedup is a groupBy on
+    (src, dst). No iteration, no driver-side frontier.
+    """
+    edges = _copurchase_edges(load_table(spark, sf_dir, "lineitem")).cache()
+    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    one_hop = adj.distinct()
+    mid = adj.select(F.col("src").alias("dst"), F.col("dst").alias("dst2"))
+    two_hop = (
+        one_hop.join(mid, "dst")
+        .filter(F.col("dst2") != F.col("src"))
+        .select("src", F.col("dst2").alias("dst"))
+        .distinct()
+    )
+    reach = one_hop.unionByName(two_hop).distinct()
+    n1 = one_hop.groupBy("src").agg(F.count(F.lit(1)).alias("n_1hop"))
+    return (
+        reach.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_within_2hops"))
+        .join(n1, "src")
+        .select(F.col("src").alias("part"), "n_1hop", "n_within_2hops")
+    )
+
+
+# --- time-weighted average (TWAP) ----------------------------------------------
+
+
+@register(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_ts
+        FROM events
+    ),
+    weighted AS (
+        SELECT user_id, value,
+               epoch_us(next_ts) - epoch_us(ts) AS dt_us
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(dt_us) AS BIGINT) AS total_us,
+           round(sum(value * CAST(dt_us AS DOUBLE))
+                 / CAST(sum(dt_us) AS DOUBLE), 6) AS twap_value
+    FROM weighted GROUP BY user_id
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation weighted by how long
+    it was the user's latest value — the standard aggregate for irregular
+    telemetry (a value held for an hour counts 3600× one held a second).
+
+    Scale: one user_id shuffle feeds the lead() window; the weighted sum
+    is map-side combinable. dt weights stay exact int64 µs; the weighted
+    sum is continuous-valued so the shared 6-dp rounding contract applies
+    (same class as ``ewma_value_by_user``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    weighted = seq.select(
+        "user_id",
+        "value",
+        F.expr("timestampdiff(MICROSECOND, ts, next_ts)").alias("dt_us"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").alias("total_us"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt_us").cast("double"))
+            / F.sum("dt_us").cast("double"),
+            6,
+        ).alias("twap_value"),
+    )
+
+
+# --- exact-integer CUSUM change-point flags --------------------------------------
+
+_CUSUM_TENTHS = 1  # flag where |S_t| > (tenths/10) · total
+
+
+@register(
+    "cusum_changepoint_days",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events GROUP BY day
+    ),
+    cum AS (
+        SELECT day, c,
+               CAST(count(*) OVER () AS BIGINT) AS n_days,
+               CAST(sum(c) OVER () AS BIGINT) AS total,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(sum(c) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_c
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           c AS n_events,
+           n_days * cum_c - t * total AS s_scaled,
+           abs(n_days * cum_c - t * total) * 10
+               > {_CUSUM_TENTHS} * n_days * total AS shifted
+    FROM cum
+    """,
+)
+def cusum_changepoint_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event rate: flag days
+    where the cumulative deviation from the overall mean exceeds 10% of
+    total volume — the level-shift detector that complements the
+    pointwise outlier ops (z-score, MAD) and the distributional one
+    (chi-square drift).
+
+    Exactness trick: the textbook statistic S_t = Σc_i − t·mean needs a
+    double mean; scaling by n_days gives S'_t = n_days·Σc_i − t·total —
+    PURE INT64, so the statistic and the threshold compare exactly on
+    both engines (no float ever).
+
+    Scale: the daily rollup is map-side combinable; the running sum is a
+    window over |days| rows — calendar-bounded, not event-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        "c",
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+        F.sum("c").over(w_all).alias("total"),
+        F.row_number().over(w_ord).cast("long").alias("t"),
+        F.sum("c")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_c"),
+    )
+    s_scaled = F.col("n_days") * F.col("cum_c") - F.col("t") * F.col("total")
+    return cum.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("c").alias("n_events"),
+        s_scaled.alias("s_scaled"),
+        (
+            F.abs(s_scaled) * 10
+            > F.lit(_CUSUM_TENTHS) * F.col("n_days") * F.col("total")
+        ).alias("shifted"),
+    )
+
+
+# --- LOCF (last-observation-carried-forward) resample ---------------------------
+
+
+@register(
+    "hourly_locf_by_type",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, h, v FROM (
+            SELECT event_type, date_trunc('hour', ts) AS h, value AS v,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        FROM obs GROUP BY event_type
+    ),
+    joined AS (
+        SELECT s.event_type, s.h, o.v
+        FROM spine s LEFT JOIN obs o
+          ON o.event_type = s.event_type AND o.h = s.h
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value,
+           v IS NULL AS is_gap
+    FROM joined
+    """,
+)
+def hourly_locf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF resampling: a dense hourly series per event type where silent
+    hours carry the last observed value forward — the feature-store /
+    charting companion to ``events_gapfill_hourly`` (which fills with
+    zeros; LOCF fills with state).
+
+    Scale: observations collapse to (type, hour) BEFORE the spine join
+    (map-side combinable, deterministic max_by tiebreak (ts, event_id));
+    the spine is calendar-bounded; the carry is last(ignorenulls) over the
+    per-type hourly frame — |types|×|hours| rows, never event volume. The
+    carried value is a SELECTED raw double (no arithmetic), so both
+    engines emit identical bits unrounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.expr("max_by(value, struct(ts, event_id))").alias("v"))
+    spine = obs.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    ).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(obs, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("h", _TS_FMT).alias("hour"),
+        F.last("v", ignorenulls=True).over(w).alias("carried_value"),
+        F.col("v").isNull().alias("is_gap"),
     )

@@ -409,3 +409,100 @@ def test_conversion_lags_are_ordered_percentiles(spark, sf_dir):
     for r in rows:
         assert 0 <= r.p50_lag_s <= r.p90_lag_s <= r.p99_lag_s
         assert r.n_conversions >= 1
+
+
+def test_two_hop_reach_matches_bruteforce(spark, sf_dir):
+    """Bounded BFS == plain-Python adjacency-set expansion."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    from collections import Counter
+
+    per_order: dict[int, set] = {}
+    for r in li:
+        per_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    co = Counter()
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                co[(u, v)] += 1
+    adj: dict[int, set] = {}
+    for (u, v), n in co.items():
+        if n >= 2:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    want = {}
+    for node, nbrs in adj.items():
+        reach = set(nbrs)
+        for m in nbrs:
+            reach |= adj[m]
+        reach.discard(node)
+        want[node] = (len(nbrs), len(reach))
+    got = {
+        r.part: (r.n_1hop, r.n_within_2hops)
+        for r in QUERIES["two_hop_reach_counts"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_twap_is_bounded_by_value_range(spark, sf_dir):
+    """TWAP lies within [min, max] of the user's values and weights are
+    positive — plus an exact spot-rederivation for a few users."""
+    rows = QUERIES["time_weighted_avg_value"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    assert rows
+    for r in rows:
+        seq = sorted(by_user[r.user_id])
+        vals = [v for _, _, v in seq[:-1]]  # last point carries no weight
+        assert r.total_us > 0 and r.n_intervals == len(seq) - 1
+        assert min(vals) - 1e-9 <= r.twap_value <= max(vals) + 1e-9
+    for r in rows[:5]:
+        seq = sorted(by_user[r.user_id])
+        num = den = 0.0
+        for (t0, _, v), (t1, _, _) in zip(seq, seq[1:]):
+            dt = (t1 - t0).total_seconds() * 1e6
+            num += v * dt
+            den += dt
+        assert abs(r.twap_value - num / den) < 1e-4
+
+
+def test_cusum_statistic_is_exact(spark, sf_dir):
+    """The scaled CUSUM statistic re-derives exactly in Python ints."""
+    rows = sorted(
+        QUERIES["cusum_changepoint_days"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    counts = [r.n_events for r in rows]
+    n_days, total = len(counts), sum(counts)
+    cum = 0
+    for t, r in enumerate(rows, start=1):
+        cum += r.n_events
+        s = n_days * cum - t * total
+        assert r.s_scaled == s
+        assert r.shifted == (abs(s) * 10 > n_days * total)
+    assert rows[-1].s_scaled == 0  # CUSUM closes at zero by construction
+
+
+def test_locf_carries_last_observation(spark, sf_dir):
+    """Scanning each type's hourly series in order, carried_value always
+    equals the most recent non-gap value, and gaps never appear before the
+    first observation (spine starts at the first observed hour)."""
+    rows = QUERIES["hourly_locf_by_type"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    for series in by_type.values():
+        series.sort(key=lambda r: r.hour)
+        assert not series[0].is_gap
+        last = None
+        for r in series:
+            if not r.is_gap:
+                last = r.carried_value
+            assert r.carried_value == last
