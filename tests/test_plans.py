@@ -329,3 +329,29 @@ def test_mad_outliers_stats_broadcast_back(spark, sf_dir):
     plan = plan_of(QUERIES["events_mad_outliers"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_advanced_ops_plan_locks(spark, sf_dir):
+    """Plan-shape locks for the advanced block (SCALE.md claims):
+    no nested-loop/cartesian anywhere, dims broadcast where claimed."""
+    # keyless range join: equi-shuffle on the bucket, never BNLJ
+    p = plan_of(QUERIES["range_join_coactivity"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # kNN graph: cell equi-join only
+    p = plan_of(QUERIES["knn_graph_within_cells"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # revenue share + top-parts: dimension joins broadcast
+    p = plan_of(QUERIES["revenue_share_within_region"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3, p
+    p = plan_of(QUERIES["top_parts_with_other_rollup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    # heavy hitters: candidate set broadcast back over the scan (the total
+    # joins as a 1-row broadcast scalar — a BNLJ of one row is fine)
+    p = plan_of(QUERIES["heavy_hitter_words"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 1, p
+    # CMS probes broadcast against the cell table
+    p = plan_of(QUERIES["count_min_word_frequencies"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    # temporal holdout: cutoff is a broadcast scalar, not a collected literal
+    p = plan_of(QUERIES["temporal_holdout_split"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
