@@ -1692,3 +1692,136 @@ def hourly_locf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("carried_value"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+# --- Benford first-digit audit ---------------------------------------------------
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed so BOTH engines use
+# the same integer literals — no transcendental ever evaluated in-engine.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+) + " END"
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT first_digit, count(*) AS n_orders,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+        FROM digits GROUP BY first_digit
+    )
+    SELECT first_digit, n_orders,
+           n_orders * 1000000 // n_total AS share_ppm,
+           {_BENFORD_CASE} AS benford_ppm,
+           n_orders * 1000000 // n_total - ({_BENFORD_CASE}) AS dev_ppm
+    FROM counts
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit on order totals — the forensic-accounting
+    screen for fabricated or systematically-generated monetary data
+    (synthetic generators usually fail it; the DEVIATION is the signal
+    either way).
+
+    Exactness: shares are integer parts-per-million (int64 // division);
+    the Benford expectations are precomputed integer LITERALS shared by
+    both engines, so no log10 is ever evaluated in-engine — the whole
+    result is pure int64. Scale: one scan, 9 output groups, map-side
+    combinable; the total rides a 9-row window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    # floor explicitly: DuckDB's double->BIGINT cast ROUNDS while Spark's
+    # truncates — 9.99 would flip digit 9 to 1 without it
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    ).withColumn("n_total", F.sum("n_orders").over(Window.partitionBy()))
+    share = F.expr("n_orders * 1000000 div n_total")
+    benford = F.expr(_BENFORD_CASE)
+    return counts.select(
+        "first_digit",
+        "n_orders",
+        share.alias("share_ppm"),
+        benford.alias("benford_ppm"),
+        (share - benford).alias("dev_ppm"),
+    )
+
+
+# --- ABC (Pareto) classification --------------------------------------------------
+
+
+@register(
+    "abc_classification_parts",
+    oracle=f"""
+    WITH part_rev AS (
+        SELECT l_partkey AS part,
+               CAST(sum({mny.rev_units()}) AS BIGINT) AS units
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT part, units,
+               CAST(sum(units) OVER (ORDER BY units DESC, part
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_units,
+               CAST(sum(units) OVER () AS BIGINT) AS total_units
+        FROM part_rev
+    )
+    SELECT CASE WHEN cum_units * 100 <= total_units * 80 THEN 'A'
+                WHEN cum_units * 100 <= total_units * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_parts,
+           {mny.duck_money2("sum(units)", 100)} AS revenue
+    FROM ranked GROUP BY abc_class
+    """,
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue; 'A' holds the
+    first 80% of cumulative revenue, 'B' the next 15%, 'C' the tail — the
+    inventory-prioritization idiom (running share over a ranked rollup).
+
+    Exactness: class boundaries compare cum_units·100 ≤ total·80 in pure
+    int64 — no float share ever computed. Scale note: the running sum
+    orders the PART-level rollup globally — parts are a bounded dimension
+    (catalog-sized, not fact-sized), the one case a single-partition
+    window is legitimate; tiebreak (units desc, part) is total, so the
+    cumulative is deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.expr(f"CAST(sum({mny.rev_units()}) AS BIGINT)").alias("units")
+    )
+    w_run = (
+        Window.orderBy(F.col("units").desc(), F.col("part"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = part_rev.select(
+        "part",
+        "units",
+        F.sum("units").over(w_run).alias("cum_units"),
+        F.sum("units").over(Window.partitionBy()).alias("total_units"),
+    )
+    abc = (
+        F.when(F.col("cum_units") * 100 <= F.col("total_units") * 80, "A")
+        .when(F.col("cum_units") * 100 <= F.col("total_units") * 95, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(abc.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.expr(mny.spark_money2("sum(units)", 100)).alias("revenue"),
+    )

@@ -506,3 +506,52 @@ def test_locf_carries_last_observation(spark, sf_dir):
             if not r.is_gap:
                 last = r.carried_value
             assert r.carried_value == last
+
+
+def test_benford_shares_sum_and_rederive(spark, sf_dir):
+    """Digit shares re-derive exactly from raw totals in Python ints."""
+    import math
+
+    rows = QUERIES["benford_first_digit_audit"](spark, sf_dir).collect()
+    totals = [
+        r.o_totalprice
+        for r in load_table(spark, sf_dir, "orders").collect()
+        if r.o_totalprice >= 1
+    ]
+    from collections import Counter
+
+    want = Counter(int(str(int(math.floor(t)))[0]) for t in totals)
+    n = sum(want.values())
+    got = {r.first_digit: r for r in rows}
+    assert set(got) == set(want)
+    for d, r in got.items():
+        assert r.n_orders == want[d]
+        assert r.share_ppm == want[d] * 1000000 // n
+        assert r.dev_ppm == r.share_ppm - r.benford_ppm
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    """A/B/C partition all sold parts; python rederivation of the
+    cumulative-share boundaries matches exactly."""
+    rows = {r.abc_class: r for r in
+            QUERIES["abc_classification_parts"](spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    ).collect()
+    units: dict[int, int] = {}
+    for r in li:
+        u = round(r.l_extendedprice * 100) * round((1 - r.l_discount) * 100)
+        units[r.l_partkey] = units.get(r.l_partkey, 0) + u
+    total = sum(units.values())
+    want: dict[str, list] = {"A": [], "B": [], "C": []}
+    cum = 0
+    for part, u in sorted(units.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += u
+        cls = "A" if cum * 100 <= total * 80 else ("B" if cum * 100 <= total * 95 else "C")
+        want[cls].append(u)
+    for cls, us in want.items():
+        if not us:
+            assert cls not in rows
+            continue
+        assert rows[cls].n_parts == len(us)
+    assert sum(r.n_parts for r in rows.values()) == len(units)
