@@ -1825,3 +1825,110 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.expr(mny.spark_money2("sum(units)", 100)).alias("revenue"),
     )
+
+
+# --- weighted median (exact, integer weights) -----------------------------------
+
+
+@register(
+    "weighted_median_quantity",
+    oracle=f"""
+    WITH w AS (
+        SELECT l_returnflag, l_quantity,
+               CAST(sum({mny.cents("l_extendedprice")}) AS BIGINT) AS wt
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    cum AS (
+        SELECT l_returnflag, l_quantity, wt,
+               CAST(sum(wt) OVER (PARTITION BY l_returnflag
+                    ORDER BY l_quantity
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_wt,
+               CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                   AS total_wt
+        FROM w
+    )
+    SELECT l_returnflag,
+           min(l_quantity) AS weighted_median_qty,
+           min(total_wt) AS total_weight_cents
+    FROM cum WHERE cum_wt * 2 >= total_wt
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median: per return flag, the quantity at which half the
+    revenue weight (extended price, exact integer cents) is reached — the
+    value-weighted central tendency the unweighted percentile ops
+    (``percentile_value_by_user``, GK sketch) cannot express.
+
+    Exactness: weights are int64 cents, the cumulative is an int window
+    sum, and the median is SELECTED (first value with 2·cum ≥ total — the
+    lower weighted median), so no float is ever compared. Scale: values
+    collapse to (flag, quantity) before the window — the window runs over
+    the value-domain rollup, not the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.expr(f"CAST(sum({mny.cents('l_extendedprice')}) AS BIGINT)").alias("wt")
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    cum = w.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("wt")
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_wt"),
+        F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("total_wt"),
+    )
+    return (
+        cum.filter(F.col("cum_wt") * 2 >= F.col("total_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("weighted_median_qty"),
+            F.min("total_wt").alias("total_weight_cents"),
+        )
+    )
+
+
+# --- per-group min-max feature scaling --------------------------------------------
+
+
+@register(
+    "minmax_scale_values_by_type",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (e.value - s.lo) / (s.hi - s.lo) AS scaled_value
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE s.hi > s.lo
+    """,
+)
+def minmax_scale_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling: each event's value normalized to
+    [0, 1] within its event type — the feature-engineering normalizer
+    (complementing the z-score and median/MAD standardizers).
+
+    Exactness: (x − lo)/(hi − lo) is per-row double arithmetic on
+    identical operands — bit-identical across engines, no rounding needed.
+    Scale: the stats frame is |types| rows, broadcast back over one scan
+    (the *locked* broadcast-stats shape of ``value_zscore_outliers``);
+    degenerate constant groups are excluded rather than dividing by zero.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            "event_id",
+            "event_type",
+            ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+                "scaled_value"
+            ),
+        )
+    )

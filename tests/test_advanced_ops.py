@@ -555,3 +555,39 @@ def test_abc_classes_partition_revenue(spark, sf_dir):
             continue
         assert rows[cls].n_parts == len(us)
     assert sum(r.n_parts for r in rows.values()) == len(units)
+
+
+def test_weighted_median_rederives_exactly(spark, sf_dir):
+    """Lower weighted median re-derives in Python ints per flag."""
+    rows = {r.l_returnflag: r for r in
+            QUERIES["weighted_median_quantity"](spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    acc: dict[str, dict[float, int]] = {}
+    for r in li:
+        acc.setdefault(r.l_returnflag, {})
+        acc[r.l_returnflag][r.l_quantity] = (
+            acc[r.l_returnflag].get(r.l_quantity, 0)
+            + round(r.l_extendedprice * 100)
+        )
+    for flag, wmap in acc.items():
+        total = sum(wmap.values())
+        cum = 0
+        for q in sorted(wmap):
+            cum += wmap[q]
+            if cum * 2 >= total:
+                assert rows[flag].weighted_median_qty == q, flag
+                assert rows[flag].total_weight_cents == total
+                break
+
+
+def test_minmax_scaling_is_within_unit_interval(spark, sf_dir):
+    """Every scaled value is in [0, 1]; each type attains both 0 and 1."""
+    rows = QUERIES["minmax_scale_values_by_type"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert 0.0 <= r.scaled_value <= 1.0
+        by_type.setdefault(r.event_type, []).append(r.scaled_value)
+    for vals in by_type.values():
+        assert min(vals) == 0.0 and max(vals) == 1.0
