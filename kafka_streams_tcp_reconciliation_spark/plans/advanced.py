@@ -1932,3 +1932,140 @@ def minmax_scale_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Kaplan-Meier survival (time to churn) ----------------------------------------
+
+
+@register(
+    "kaplan_meier_churn",
+    oracle="""
+    WITH last_day AS (
+        SELECT user_id, max(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    churn AS (SELECT d, count(*) AS n_churn FROM last_day GROUP BY d),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    risk AS (
+        SELECT days.d,
+               coalesce(c.n_churn, 0) AS n_churn,
+               CAST((SELECT count(*) FROM last_day) AS BIGINT)
+                 - CAST(coalesce(sum(coalesce(c.n_churn, 0)) OVER (
+                       ORDER BY days.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS n_at_risk
+        FROM days LEFT JOIN churn c ON c.d = days.d
+    ),
+    terms AS (
+        SELECT d, n_churn, n_at_risk,
+               1.0 - CAST(n_churn AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+                   AS term
+        FROM risk
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           n_churn, n_at_risk,
+           round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                 list(term) OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                 (km_a, km_x) -> km_a * km_x), 6) AS survival
+    FROM terms
+    """,
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for churn: treating each user's LAST
+    event day as their churn date, S(t) = Π_{i≤t} (1 − dᵢ/nᵢ) — the
+    survival-analysis estimator behind every retention curve.
+
+    Determinism: each factor is one double division of exact int64 counts;
+    the cumulative PRODUCT is a sequential left fold over the day-ordered
+    term list in BOTH engines (Spark ``aggregate`` over a window
+    ``collect_list``, DuckDB ``list_reduce`` over a window ``list``) — the
+    same multiply order, so identical bits before the display rounding.
+
+    Scale: users collapse to last-day rows, then everything is
+    calendar-bounded (|days| rows); the curve itself is a window over ~30
+    rows. Right-censoring note: users active on the final day count as
+    churned that day — a replayable, deterministic convention (the
+    horizon-aware variant is ``churned_users``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    last_day = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("d")
+    )
+    churn = last_day.groupBy("d").agg(F.count(F.lit(1)).alias("n_churn"))
+    days = ev.select(F.col("ts").cast("date").alias("d")).distinct()
+    total = last_day.agg(F.count(F.lit(1)).alias("n_users"))
+    w_prev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        days.join(churn, "d", "left")
+        .withColumn("n_churn", F.coalesce(F.col("n_churn"), F.lit(0)))
+        .join(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_users")
+            - F.coalesce(F.sum("n_churn").over(w_prev), F.lit(0)),
+        )
+    )
+    terms = risk.withColumn(
+        "term",
+        F.lit(1.0) - F.col("n_churn").cast("double") / F.col("n_at_risk").cast("double"),
+    )
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return terms.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_churn",
+        "n_at_risk",
+        F.round(
+            F.aggregate(
+                F.collect_list("term").over(w_run),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+# --- 24h-lag autocorrelation (seasonality diagnostic) -------------------------------
+
+
+@register(
+    "hourly_autocorr_24h",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS c
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    lagged AS (
+        SELECT c, lag(c, 24) OVER (ORDER BY h) AS c_prev
+        FROM hourly
+    )
+    SELECT count(*) AS n_pairs,
+           round(corr(CAST(c AS DOUBLE), CAST(c_prev AS DOUBLE)), 6)
+               AS autocorr_24h
+    FROM lagged WHERE c_prev IS NOT NULL
+    """,
+)
+def hourly_autocorr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality diagnostic: Pearson autocorrelation of the hourly event
+    count at lag 24 hours — high values mean a daily cycle, the check a
+    forecasting pipeline runs before choosing features.
+
+    Scale: the hourly rollup is map-side combinable; the lag pairing is a
+    window over |hours| rows and ``corr`` is the one-pass co-moment
+    aggregate (same machinery as ``stats_corr_lineitem``), rounded to the
+    shared 6-dp contract. NOTE: the generator's events are uniform in
+    time, so near-zero is the EXPECTED value here — the operator's point
+    is the measurement, not a seasonal fixture.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lagged = hourly.select(
+        F.col("c").cast("double").alias("c"),
+        F.lag("c", 24).over(Window.orderBy("h")).cast("double").alias("c_prev"),
+    ).filter(F.col("c_prev").isNotNull())
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("c", "c_prev"), 6).alias("autocorr_24h"),
+    )

@@ -591,3 +591,48 @@ def test_minmax_scaling_is_within_unit_interval(spark, sf_dir):
         by_type.setdefault(r.event_type, []).append(r.scaled_value)
     for vals in by_type.values():
         assert min(vals) == 0.0 and max(vals) == 1.0
+
+
+def test_kaplan_meier_curve_properties(spark, sf_dir):
+    """S(t) is non-increasing from ≤1 to ≥0, ends at 0 under the
+    everyone-churns-at-horizon convention, and risk-set bookkeeping
+    re-derives exactly in Python ints."""
+    rows = sorted(
+        QUERIES["kaplan_meier_churn"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).collect()
+    last = {}
+    for r in ev:
+        last[r.user_id] = max(last.get(r.user_id, r.d), r.d)
+    from collections import Counter
+
+    churn = Counter(last.values())
+    n_users = len(last)
+    churned_before = 0
+    prev_s = 1.0
+    for r in rows:
+        import datetime
+
+        d = datetime.date.fromisoformat(r.day)
+        assert r.n_churn == churn.get(d, 0)
+        assert r.n_at_risk == n_users - churned_before
+        churned_before += r.n_churn
+        assert r.survival <= prev_s + 1e-12
+        prev_s = r.survival
+    assert rows[-1].survival == 0.0  # everyone churns by the horizon
+
+
+def test_autocorr_is_a_valid_correlation(spark, sf_dir):
+    """|r| ≤ 1 with the expected pair count (hours − 24)."""
+    row = QUERIES["hourly_autocorr_24h"](spark, sf_dir).collect()[0]
+    n_hours = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("hour", "ts"))
+        .distinct()
+        .count()
+    )
+    assert row.n_pairs == n_hours - 24
+    assert -1.0 <= row.autocorr_24h <= 1.0
