@@ -2069,3 +2069,253 @@ def hourly_autocorr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.corr("c", "c_prev"), 6).alias("autocorr_24h"),
     )
+
+
+# --- Gini coefficient: revenue concentration within nation --------------------------
+
+
+@register(
+    "gini_revenue_by_nation",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT n.n_name, o.o_custkey,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, o.o_custkey
+    ),
+    ranked AS (
+        SELECT n_name, rev_cents,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY rev_cents, o_custkey) AS rn
+        FROM cust_rev
+    ),
+    sums AS (
+        SELECT n_name,
+               count(*) AS n_customers,
+               CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+               sum(CAST(rn AS HUGEINT) * CAST(rev_cents AS HUGEINT)) AS s1
+        FROM ranked GROUP BY n_name
+    )
+    SELECT n_name, n_customers, revenue_cents,
+           round((2.0 * CAST(s1 AS DOUBLE)
+                  - CAST(n_customers + 1 AS DOUBLE)
+                      * CAST(revenue_cents AS DOUBLE))
+                 / (CAST(n_customers AS DOUBLE)
+                      * CAST(revenue_cents AS DOUBLE)), 6) AS gini
+    FROM sums
+    """,
+)
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue concentration per nation — the
+    inequality measure behind "is our revenue dangerously concentrated in
+    a few accounts?" (0 = perfectly even, →1 = one customer is everything).
+
+    Exactness: per-customer revenue is exact int64 cents; the sorted-rank
+    identity  G = (2·Σ i·rᵢ − (n+1)·Σ rᵢ) / (n·Σ rᵢ)  keeps every sum in
+    integer arithmetic (the rank-weighted sum is widened to DECIMAL(38,0)
+    / HUGEINT — at 100 TB, rank×cents products overflow int64 sums) and
+    spends ONE float division at the end, mirrored operation-for-operation
+    in the oracle. Rank ties break on (rev, custkey) — total order, both
+    engines. Scale: orders collapse to per-customer rows before the
+    per-nation window; the window sorts |customers| rows partitioned by
+    nation, and the final rollup is |nations| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_rev = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    ranked = cust_rev.select(
+        "n_name",
+        "rev_cents",
+        F.row_number()
+        .over(Window.partitionBy("n_name").orderBy("rev_cents", "o_custkey"))
+        .alias("rn"),
+    )
+    sums = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        F.sum(
+            (F.col("rn").cast("decimal(38,0)") * F.col("rev_cents").cast("decimal(38,0)"))
+        ).alias("s1"),
+    )
+    n_d = F.col("n_customers").cast("double")
+    rev_d = F.col("revenue_cents").cast("double")
+    return sums.select(
+        "n_name",
+        "n_customers",
+        "revenue_cents",
+        F.round(
+            (F.lit(2.0) * F.col("s1").cast("double")
+             - (F.col("n_customers") + 1).cast("double") * rev_d)
+            / (n_d * rev_d),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --- seasonal-naive forecast error (daily MAE at 24h lag) ---------------------------
+
+
+@register(
+    "seasonal_naive_error_daily",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY date_trunc('hour', ts)
+    )
+    SELECT strftime(CAST(cur.h AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_hours,
+           CAST(sum(abs(cur.c - prev.c)) AS BIGINT) AS sum_abs_err,
+           CAST(sum(abs(cur.c - prev.c)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mae
+    FROM hourly cur
+    JOIN hourly prev ON prev.h = cur.h - INTERVAL 24 HOUR
+    GROUP BY CAST(cur.h AS DATE)
+    """,
+)
+def seasonal_naive_error_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's event count
+    with the count 24 hours earlier and report the per-day MAE — the
+    baseline every forecasting pipeline must beat (companion measurement
+    to ``hourly_autocorr_24h``).
+
+    Exactness: counts and absolute errors are pure int64; MAE is ONE
+    int/int division to double — bit-identical across engines, no
+    rounding. The 24h-ago pairing is an equi-join on ``h − 24 hours``
+    (NOT ``lag(24)``: with missing hours, lag silently pairs the wrong
+    offset). Scale: events collapse to the |hours| rollup first (map-side
+    combinable), so the self-join and daily rollup run over calendar-sized
+    relations, not the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .cache()
+    )
+    cur, prev = hourly.alias("cur"), hourly.alias("prev")
+    joined = cur.join(
+        prev, F.col("prev.h") == F.col("cur.h") - F.expr("INTERVAL 24 HOURS")
+    )
+    err = F.abs(F.col("cur.c") - F.col("prev.c"))
+    return (
+        joined.groupBy(F.col("cur.h").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(err).cast("long").alias("sum_abs_err"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_hours",
+            "sum_abs_err",
+            (F.col("sum_abs_err").cast("double") / F.col("n_hours").cast("double"))
+            .alias("mae"),
+        )
+    )
+
+
+# --- RFM quintile segmentation ------------------------------------------------------
+
+
+@register(
+    "rfm_user_segments",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               max(CAST(ts AS DATE)) AS last_day,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS monetary_micros
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    horizon AS (SELECT max(last_day) AS h FROM p),
+    scored AS (
+        SELECT user_id,
+               date_diff('day', last_day, (SELECT h FROM horizon))
+                   AS recency_days,
+               freq, monetary_micros,
+               ntile(5) OVER (ORDER BY date_diff('day', last_day,
+                                  (SELECT h FROM horizon)) DESC, user_id)
+                   AS r_score,
+               ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+               ntile(5) OVER (ORDER BY monetary_micros, user_id) AS m_score
+        FROM p
+    )
+    SELECT user_id, recency_days, freq, monetary_micros,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every purchasing user scored 1–5 on Recency,
+    Frequency, and Monetary quintiles (5 = best), concatenated into the
+    classic 'RFM' marketing segment code ('555' = champions).
+
+    Determinism: recency is whole days against the data horizon (max
+    purchase day — replayable, like ``churned_users``); frequency is a
+    count; monetary is exact int64 micro-units so the quintile sort never
+    compares a float sum. Every ``ntile`` orders by (metric, user_id) — a
+    TOTAL order, so bucket boundaries are identical across engines and
+    partition layouts. Scale: purchases collapse to |users| rows first;
+    the three quintile windows are global sorts over that rollup (at
+    100 TB, swap ntile for broadcast approx-quantile boundaries — the
+    rollup stays the only corpus-sized stage).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+            .cast("long")
+            .alias("monetary_micros"),
+        )
+    )
+    horizon = p.agg(F.max("last_day").alias("h"))
+    scored = (
+        p.join(F.broadcast(horizon))
+        .withColumn("recency_days", F.datediff("h", "last_day").cast("long"))
+        .select(
+            "user_id",
+            "recency_days",
+            "freq",
+            "monetary_micros",
+            F.ntile(5)
+            .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
+            .cast("long")
+            .alias("r_score"),
+            F.ntile(5)
+            .over(Window.orderBy("freq", "user_id"))
+            .cast("long")
+            .alias("f_score"),
+            F.ntile(5)
+            .over(Window.orderBy("monetary_micros", "user_id"))
+            .cast("long")
+            .alias("m_score"),
+        )
+    )
+    return scored.select(
+        "*",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )

@@ -1129,3 +1129,95 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_tokens", "quality")
     )
+
+
+# --- asymmetric shingle containment (subset/quote detection) ------------------------
+
+_CONT_TAU = 0.7  # containment threshold — catches subsets Jaccard misses
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH wh AS (
+        SELECT doc_id,
+               {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
+               {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS shingles
+        FROM wh
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           CAST(least(len(x.shingles), len(y.shingles)) AS BIGINT)
+               AS n_smaller,
+           round(CAST(n_inter AS DOUBLE)
+                 / CAST(least(len(x.shingles), len(y.shingles)) AS DOUBLE), 6)
+               AS containment
+    FROM inter
+    JOIN sh x ON x.doc_id = doc_a
+    JOIN sh y ON y.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE)
+          / CAST(least(len(x.shingles), len(y.shingles)) AS DOUBLE)
+          >= {_CONT_TAU}
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup (X2): shingle CONTAINMENT — |A∩B| / min(|A|,|B|)
+    — the subset detector Jaccard structurally misses. A short document
+    quoted whole inside a long one has tiny Jaccard (union is dominated by
+    the long doc) but containment ≈ 1; for training corpora this is the
+    quote/excerpt/boilerplate-inclusion case (Broder's resemblance vs
+    containment distinction), and the right dedup keep-rule differs too
+    (keep the superset, not lowest-id).
+
+    Same sub-quadratic machinery as ``dedup_ngram_jaccard`` — one
+    inverted-index self-join on 64-bit two-level word-gram hashes, cost
+    O(shared-shingle collisions); only the final score changes, so the
+    scale story (8-byte shuffle keys, stop-shingle cutoff knob for hot
+    keys) is inherited unchanged. Exactness: integer intersection counts
+    and set sizes; ONE double division mirrored in the oracle.
+    """
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    wh = docs.select(
+        "doc_id",
+        dd.word_polyhashes_expr("text", 31).alias("wh1"),
+        dd.word_polyhashes_expr("text", 131).alias("wh2"),
+    )
+    sh = wh.select(
+        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("shingles")
+    ).cache()
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    n_smaller = F.least(F.col("x.n_sh"), F.col("y.n_sh")).cast("long")
+    cont = F.col("n_inter").cast("double") / n_smaller.cast("double")
+    return (
+        inter.join(sizes.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
+        .filter(cont >= _CONT_TAU)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            n_smaller.alias("n_smaller"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
