@@ -2319,3 +2319,240 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     )
+
+
+# --- largest-remainder proration (sum-preserving allocation) ------------------------
+
+
+@register(
+    "prorate_order_total",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS w,
+               CAST(row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber,
+                            CAST(round(l_extendedprice * 100) AS BIGINT),
+                            l_partkey, l_suppkey, l_quantity) AS BIGINT)
+                   AS line_uid
+        FROM lineitem
+    ),
+    t AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS t_cents
+        FROM orders
+    ),
+    base AS (
+        SELECT li.l_orderkey, li.line_uid, li.l_linenumber, t.t_cents,
+               CAST(sum(li.w) OVER (PARTITION BY li.l_orderkey) AS BIGINT) AS big_w,
+               t.t_cents * li.w AS prod
+        FROM li JOIN t ON t.o_orderkey = li.l_orderkey
+    ),
+    ranked AS (
+        SELECT l_orderkey, line_uid, l_linenumber, t_cents,
+               prod // big_w AS floor_cents,
+               CAST(sum(prod // big_w) OVER (PARTITION BY l_orderkey) AS BIGINT)
+                   AS sum_floor,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY prod % big_w DESC, line_uid)
+                   AS rn
+        FROM base
+    )
+    SELECT l_orderkey, line_uid, l_linenumber,
+           CAST(floor_cents
+                + CASE WHEN rn <= t_cents - sum_floor THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM ranked
+    """,
+)
+def prorate_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration: allocate each order's total price
+    across its line items proportionally to extended price, in EXACT
+    integer cents that sum back to the order total to the cent — the
+    invoice/revenue-allocation operator (Hamilton apportionment), where a
+    naive ``round(T·wᵢ/W)`` leaks or conjures cents per order.
+
+    Exactness: floor shares are integer division of int64 products
+    (T·wᵢ ≲ 10¹⁴ here; widen the product to DECIMAL(38,0)/HUGEINT for
+    100 TB order values), remainders are exact modulos, and the leftover
+    cents go to the largest remainders with a (remainder DESC, line_uid)
+    total-order tiebreak — no float anywhere. ``line_uid`` is a synthetic
+    per-order line id (row_number over the full line tuple) because this
+    testdata has DUPLICATE (l_orderkey, l_linenumber) pairs — ranking on
+    a non-unique key silently breaks both determinism and the
+    sum-preservation audit; fully identical duplicate lines remain
+    interchangeable, so the OUTPUT SET is still deterministic. Scale:
+    all three windows partition by orderkey (bounded fan-in per group);
+    the orders-side join is the usual fact-to-fact equi-shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("w"),
+        F.row_number()
+        .over(
+            Window.partitionBy("l_orderkey").orderBy(
+                "l_linenumber",
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+                "l_partkey",
+                "l_suppkey",
+                "l_quantity",
+            )
+        )
+        .cast("long")
+        .alias("line_uid"),
+    )
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("t_cents"),
+    )
+    wp = Window.partitionBy("l_orderkey")
+    base = li.join(t, li.l_orderkey == t.o_orderkey).select(
+        "l_orderkey",
+        "line_uid",
+        "l_linenumber",
+        "t_cents",
+        F.sum("w").over(wp).cast("long").alias("big_w"),
+        (F.col("t_cents") * F.col("w")).alias("prod"),
+    )
+    ranked = base.select(
+        "l_orderkey",
+        "line_uid",
+        "l_linenumber",
+        "t_cents",
+        F.expr("prod div big_w").alias("floor_cents"),
+        F.sum(F.expr("prod div big_w")).over(wp).cast("long").alias("sum_floor"),
+        F.row_number()
+        .over(wp.orderBy((F.col("prod") % F.col("big_w")).desc(), "line_uid"))
+        .alias("rn"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "line_uid",
+        "l_linenumber",
+        (
+            F.col("floor_cents")
+            + F.when(
+                F.col("rn") <= F.col("t_cents") - F.col("sum_floor"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alloc_cents"),
+    )
+
+
+# --- linear-interpolation hourly resample -------------------------------------------
+
+
+@register(
+    "hourly_interp_by_type",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, h, v FROM (
+            SELECT event_type, date_trunc('hour', ts) AS h, value AS v,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        FROM obs GROUP BY event_type
+    ),
+    joined AS (
+        SELECT s.event_type, s.h, o.v
+        FROM spine s LEFT JOIN obs o
+          ON o.event_type = s.event_type AND o.h = s.h
+    ),
+    carried AS (
+        SELECT event_type, h, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wp AS ph,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wn AS nh
+        FROM joined
+        WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv)
+                     * (CAST(date_diff('hour', ph, h) AS DOUBLE)
+                        / CAST(date_diff('hour', ph, nh) AS DOUBLE))
+           END AS interp_value,
+           v IS NULL AS is_gap
+    FROM carried
+    """,
+)
+def hourly_interp_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling: the dense hourly series per event
+    type where silent hours take the time-weighted line between the
+    surrounding observations — the numeric-feature companion to
+    ``hourly_locf_by_type`` (LOCF holds state; interpolation assumes a
+    continuous signal, the convention for sensor/metric gap fill).
+
+    Determinism: endpoints are SELECTED raw doubles (same (ts, event_id)
+    max_by tiebreak as LOCF); hour offsets are exact integers; the one
+    float expression ``pv + (nv−pv)·(Δ₁/Δ₂)`` is mirrored
+    operation-for-operation, so bits match unrounded. The spine spans
+    min..max observed hour per type, so every gap has both endpoints
+    (no extrapolation branch). Scale: identical to LOCF — events collapse
+    to (type, hour) first; both carries are frames over the
+    |types|×|hours| spine, never event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.expr("max_by(value, struct(ts, event_id))").alias("v")
+    )
+    spine = (
+        obs.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(obs, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    h_obs = F.when(F.col("v").isNotNull(), F.col("h"))
+    carried = joined.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(h_obs, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(h_obs, ignorenulls=True).over(wn).alias("nh"),
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (
+            F.expr("CAST(timestampdiff(HOUR, ph, h) AS DOUBLE)")
+            / F.expr("CAST(timestampdiff(HOUR, ph, nh) AS DOUBLE)")
+        )
+    )
+    return carried.select(
+        "event_type",
+        F.date_format("h", _TS_FMT).alias("hour"),
+        interp.alias("interp_value"),
+        F.col("v").isNull().alias("is_gap"),
+    )

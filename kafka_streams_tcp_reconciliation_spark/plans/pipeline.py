@@ -789,3 +789,68 @@ def sample_weighted_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --- tokenizer vocabulary coverage / OOV rate ---------------------------------------
+
+_VOCAB_K = 1000  # top-K corpus words kept in the vocabulary
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS cnt FROM words GROUP BY w
+        ) ORDER BY cnt DESC, w LIMIT {_VOCAB_K}
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov,
+           CAST(count(*) FILTER (WHERE v.w IS NULL) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM words d LEFT JOIN vocab v ON v.w = d.w
+    GROUP BY d.doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-K corpus vocabulary
+    (the word-level stand-in for a BPE vocab) and score every document's
+    out-of-vocabulary token rate — the coverage check run before freezing
+    a tokenizer, and a quality signal (high OOV ⇒ noise/lang mismatch).
+
+    Determinism: vocabulary membership is a TOTAL order (count DESC, word)
+    with a hard K cutoff — boundary ties resolve identically in both
+    engines; OOV is an exact count and the rate ONE int/int division.
+    Scale: word counts are map-side combinable; top-K is
+    TakeOrderedAndProject (never a global single-partition window); the
+    K-row vocabulary broadcasts into the per-doc probe, so the only
+    corpus-sized exchange is the explode→per-doc regroup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(_VOCAB_K)
+        .select("w")
+    )
+    probe = words.join(
+        F.broadcast(vocab.withColumnRenamed("w", "vw")),
+        words.w == F.col("vw"),
+        "left",
+    )
+    return probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_if(F.col("vw").isNull()).cast("long").alias("n_oov"),
+        (
+            F.count_if(F.col("vw").isNull()).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )

@@ -361,3 +361,102 @@ def test_semantic_clusters_partition_the_corpus(spark, sf_dir):
     for r in rows:
         assert r.a_id < r.b_id
         assert -1.0 <= r.top_cosine <= 1.0
+
+
+def test_proration_preserves_order_totals(spark, sf_dir):
+    """Allocations per order sum EXACTLY to the order total in cents, and
+    each allocation differs from the unrounded proportional share by less
+    than one cent (the largest-remainder guarantee)."""
+    rows = QUERIES["prorate_order_total"](spark, sf_dir).collect()
+    assert rows
+    orders = {
+        r.o_orderkey: round(r.o_totalprice * 100)
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    li = {}
+    for r in load_table(spark, sf_dir, "lineitem").collect():
+        li.setdefault(r.l_orderkey, []).append(
+            (
+                r.l_linenumber,
+                round(r.l_extendedprice * 100),
+                r.l_partkey,
+                r.l_suppkey,
+                r.l_quantity,
+            )
+        )
+    # line_uid = 1-based rank in the same total order the query uses
+    weights = {
+        ok: {i + 1: t[1] for i, t in enumerate(sorted(lines))}
+        for ok, lines in li.items()
+    }
+    by_order = {}
+    for r in rows:
+        by_order.setdefault(r.l_orderkey, {})[r.line_uid] = r.alloc_cents
+    assert set(by_order) == set(weights)
+    for ok, allocs in by_order.items():
+        t = orders[ok]
+        assert set(allocs) == set(weights[ok]), ok
+        assert sum(allocs.values()) == t, ok
+        big_w = sum(weights[ok].values())
+        for uid, a in allocs.items():
+            exact = t * weights[ok][uid] / big_w
+            assert abs(a - exact) < 1.0, (ok, uid)
+
+
+def test_interp_matches_python_rederivation(spark, sf_dir):
+    """Gap rows lie on the straight line between their surrounding
+    observations; observed rows pass the raw value through."""
+    from collections import defaultdict
+    from datetime import datetime
+
+    obs = defaultdict(dict)  # type -> hour -> (ts, event_id, value)
+    for r in load_table(spark, sf_dir, "events").collect():
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        cur = obs[r.event_type].get(h)
+        if cur is None or (r.ts, r.event_id) > (cur[0], cur[1]):
+            obs[r.event_type][h] = (r.ts, r.event_id, r.value)
+    rows = QUERIES["hourly_interp_by_type"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        h = datetime.strptime(r.hour, "%Y-%m-%d %H:%M:%S")
+        hours = sorted(obs[r.event_type])
+        if h in obs[r.event_type]:
+            assert not r.is_gap
+            assert r.interp_value == obs[r.event_type][h][2]
+        else:
+            assert r.is_gap
+            prev = max(x for x in hours if x < h)
+            nxt = min(x for x in hours if x > h)
+            pv = obs[r.event_type][prev][2]
+            nv = obs[r.event_type][nxt][2]
+            frac = (h - prev).total_seconds() / (nxt - prev).total_seconds()
+            expect = pv + (nv - pv) * frac
+            assert math.isclose(r.interp_value, expect, rel_tol=1e-9), (
+                r.event_type,
+                r.hour,
+            )
+
+
+def test_vocab_oov_rate_bounds_and_rederivation(spark, sf_dir):
+    """OOV rates in [0,1]; token counts match a plain-Python recount and
+    the vocabulary really is the top-K by (count desc, word)."""
+    from collections import Counter
+
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    counts = Counter()
+    for ws in texts.values():
+        counts.update(ws)
+    k = 1000
+    vocab = set(
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    )
+    rows = QUERIES["vocab_oov_rate"](spark, sf_dir).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        ws = texts[r.doc_id]
+        assert r.n_tokens == len(ws)
+        assert r.n_oov == sum(1 for w in ws if w not in vocab)
+        assert 0.0 <= r.oov_rate <= 1.0
