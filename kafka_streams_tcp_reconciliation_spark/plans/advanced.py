@@ -2556,3 +2556,80 @@ def hourly_interp_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("interp_value"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+# --- Wilson lower-bound CTR ranking -------------------------------------------------
+
+_WILSON_Z = "1.959963984540054"  # 97.5% normal quantile, shared literal
+
+
+@register(
+    "wilson_ctr_by_user",
+    oracle=f"""
+    WITH agg AS (
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+                   AS views,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+                   AS clicks
+        FROM events WHERE event_type IN ('view', 'click')
+        GROUP BY user_id
+    )
+    SELECT user_id, views, clicks,
+           round((CAST(least(clicks, views) AS DOUBLE) / CAST(views AS DOUBLE)
+                  + ({_WILSON_Z} * {_WILSON_Z})
+                      / (2.0 * CAST(views AS DOUBLE))
+                  - {_WILSON_Z} * sqrt(
+                        (CAST(least(clicks, views) AS DOUBLE)
+                             / CAST(views AS DOUBLE)
+                         * (1.0 - CAST(least(clicks, views) AS DOUBLE)
+                                  / CAST(views AS DOUBLE))
+                         + ({_WILSON_Z} * {_WILSON_Z})
+                             / (4.0 * CAST(views AS DOUBLE)))
+                        / CAST(views AS DOUBLE)))
+                 / (1.0 + ({_WILSON_Z} * {_WILSON_Z})
+                            / CAST(views AS DOUBLE)), 6)
+               AS ctr_wilson_lb
+    FROM agg WHERE views > 0
+    """,
+)
+def wilson_ctr_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound CTR per user: the small-sample-safe way to
+    rank conversion rates (a 1/1 clicker must NOT outrank a 95/100 one —
+    raw CTR does exactly that; the Wilson interval is the standard fix,
+    e.g. Reddit's comment ranking).
+
+    Determinism: counts are exact ints; p is ONE int/int division
+    (successes clamped to ``least(clicks, views)`` — this synthetic event
+    stream does not guarantee every click had a view, and p>1 would put a
+    negative under the square root); the
+    Wilson expression uses a shared z literal and is mirrored
+    operation-for-operation — ``sqrt`` is IEEE-754 correctly-rounded in
+    both engines, so bits match before the display rounding. Scale: one
+    map-side-combinable rollup to |users| rows; the scoring is per-row
+    arithmetic, no further shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type") == "view").cast("long").alias("views"),
+            F.count_if(F.col("event_type") == "click").cast("long").alias("clicks"),
+        )
+        .filter(F.col("views") > 0)
+    )
+    z = _WILSON_Z
+    wilson = F.expr(
+        f"""round((CAST(least(clicks, views) AS DOUBLE) / CAST(views AS DOUBLE)
+              + ({z} * {z}) / (2.0D * CAST(views AS DOUBLE))
+              - {z} * sqrt(
+                    (CAST(least(clicks, views) AS DOUBLE) / CAST(views AS DOUBLE)
+                     * (1.0D - CAST(least(clicks, views) AS DOUBLE) / CAST(views AS DOUBLE))
+                     + ({z} * {z}) / (4.0D * CAST(views AS DOUBLE)))
+                    / CAST(views AS DOUBLE)))
+             / (1.0D + ({z} * {z}) / CAST(views AS DOUBLE)), 6)"""
+    )
+    return agg.select(
+        "user_id", "views", "clicks", wilson.alias("ctr_wilson_lb")
+    )

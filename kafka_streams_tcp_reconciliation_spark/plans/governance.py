@@ -799,3 +799,74 @@ def stats_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bool_and(l_quantity > 0)").alias("all_qty_pos"),
         F.expr("bool_or(l_discount = 0)").alias("any_zero_disc"),
     )
+
+
+# --- exact equi-depth deciles -------------------------------------------------------
+
+
+@register(
+    "equidepth_deciles_order_total",
+    oracle="""
+    WITH vd AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT cents,
+               CAST(sum(cnt) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM vd
+    ),
+    ks AS (SELECT unnest(range(1, 10)) AS k)
+    SELECT k,
+           CAST(min(cents) AS BIGINT) AS boundary_cents,
+           min(n) AS n_orders
+    FROM ks JOIN cum ON cum.cum * 10 >= k * cum.n
+    GROUP BY k
+    """,
+)
+def equidepth_deciles_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth deciles of the order-total distribution — the
+    profiling twin of ``histogram_order_totals`` (equi-width) and the
+    exact ground truth the GK sketch (``approx_percentile_value``)
+    approximates. Boundary k is the smallest value whose cumulative count
+    reaches k·n/10 (the lower-decile convention of
+    ``weighted_median_quantity``, generalized to all nine cuts).
+
+    Exactness: totals collapse to an int64-cents VALUE-DOMAIN rollup;
+    the cumulative is an integer window sum and every comparison is the
+    cross-multiplied integer test ``cum·10 ≥ k·n`` — no division, no
+    float anywhere. Scale: the window and the 9-way band join run over
+    |distinct cents| rows, never the fact table; at 100 TB the rollup is
+    bounded by the value grid (and the same plan accepts a coarser grid —
+    round to dollars — if even that is too wide).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    vd = orders.groupBy(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy("cents")
+    cum = vd.select(
+        "cents",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.sum("cnt")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    return (
+        F.broadcast(ks)
+        .join(cum, F.col("cum") * 10 >= F.col("k") * F.col("n"))
+        .groupBy("k")
+        .agg(
+            F.min("cents").cast("long").alias("boundary_cents"),
+            F.min("n").alias("n_orders"),
+        )
+    )

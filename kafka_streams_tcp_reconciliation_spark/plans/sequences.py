@@ -650,3 +650,78 @@ def fulfillment_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     return per_order.groupBy("latency_days").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# --- daily growth accounting (new / retained / resurrected) -------------------------
+
+_RESURRECT_GAP_DAYS = 7  # inactivity gap that turns a return into a resurrection
+
+
+@register(
+    "growth_accounting_daily",
+    oracle=f"""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    classed AS (
+        SELECT d,
+               CASE
+                   WHEN lag(d) OVER (PARTITION BY user_id ORDER BY d) IS NULL
+                       THEN 'new'
+                   WHEN date_diff('day',
+                        lag(d) OVER (PARTITION BY user_id ORDER BY d), d)
+                        > {_RESURRECT_GAP_DAYS}
+                       THEN 'resurrected'
+                   ELSE 'retained'
+               END AS status
+        FROM active
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(count(*) FILTER (WHERE status = 'new') AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (WHERE status = 'retained') AS BIGINT)
+               AS n_retained,
+           CAST(count(*) FILTER (WHERE status = 'resurrected') AS BIGINT)
+               AS n_resurrected,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM classed GROUP BY d
+    """,
+)
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: every active user classified as NEW (first
+    day ever), RETAINED (active within the last 7 days), or RESURRECTED
+    (returned after a 7+ day gap) — the standard DAU decomposition
+    (new + retained + resurrected = active) behind every growth dashboard,
+    complementing ``churned_users`` (the outflow side) and
+    ``cumulative_new_users_daily`` (new only).
+
+    Exactness: pure date arithmetic and counts. Scale: events collapse to
+    DISTINCT (user, day) first (map-side combinable); the lag runs per
+    user over that collapsed series (ONE user_id shuffle, ≤ |days| rows
+    per user); the final rollup is |days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    lag_d = F.lag("d").over(Window.partitionBy("user_id").orderBy("d"))
+    classed = active.select(
+        "d",
+        F.when(lag_d.isNull(), "new")
+        .when(F.datediff(F.col("d"), lag_d) > _RESURRECT_GAP_DAYS, "resurrected")
+        .otherwise("retained")
+        .alias("status"),
+    )
+    return classed.groupBy("d").agg(
+        F.count_if(F.col("status") == "new").cast("long").alias("n_new"),
+        F.count_if(F.col("status") == "retained").cast("long").alias("n_retained"),
+        F.count_if(F.col("status") == "resurrected")
+        .cast("long")
+        .alias("n_resurrected"),
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_active",
+    )

@@ -460,3 +460,33 @@ def test_vocab_oov_rate_bounds_and_rederivation(spark, sf_dir):
         assert r.n_tokens == len(ws)
         assert r.n_oov == sum(1 for w in ws if w not in vocab)
         assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    """new + retained + resurrected == active every day, and lifetime new
+    equals the distinct-user count."""
+    rows = QUERIES["growth_accounting_daily"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_new + r.n_retained + r.n_resurrected == r.n_active, r.day
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_new for r in rows) == n_users
+
+
+def test_equidepth_deciles_match_python_rederivation(spark, sf_dir):
+    """Each boundary is the smallest cents value with cum·10 ≥ k·n."""
+    cents = sorted(
+        round(r.o_totalprice * 100)
+        for r in load_table(spark, sf_dir, "orders").collect()
+    )
+    n = len(cents)
+    rows = {r.k: r.boundary_cents for r in
+            QUERIES["equidepth_deciles_order_total"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 10))
+    for k, b in rows.items():
+        # cum at b reaches the cut, cum just below b does not
+        cum_b = sum(1 for c in cents if c <= b)
+        cum_lt = sum(1 for c in cents if c < b)
+        assert cum_b * 10 >= k * n and cum_lt * 10 < k * n, k
