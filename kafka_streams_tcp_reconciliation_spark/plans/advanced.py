@@ -2633,3 +2633,165 @@ def wilson_ctr_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "user_id", "views", "clicks", wilson.alias("ctr_wilson_lb")
     )
+
+
+# --- hour-of-day-adjusted outlier hours ---------------------------------------------
+
+
+@register(
+    "hod_adjusted_outlier_hours",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    prof AS (
+        SELECT CAST(hour(h) AS BIGINT) AS hod,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM hourly GROUP BY hour(h)
+    )
+    SELECT strftime(hourly.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(hour(hourly.h) AS BIGINT) AS hod,
+           c,
+           round((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+               AS z_seasonal
+    FROM hourly JOIN prof ON prof.hod = hour(hourly.h)
+    WHERE abs((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) > 2.0
+    """,
+)
+def hod_adjusted_outlier_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: each hour's event count is
+    z-scored against the profile of ITS OWN hour-of-day (all Mondays 9am
+    vs this Monday 9am), so a daily cycle never masquerades as an anomaly
+    — the deseasonalized upgrade of ``value_zscore_outliers``.
+
+    Determinism: the per-hod profile keeps raw integer moments (n, Σc,
+    Σc²); mean and population variance are derived with the exact-integer
+    identity var = (n·Σc² − (Σc)²)/n² — no float ever enters a SUM (at
+    100 TB widen the Σc² accumulator to DECIMAL(38,0), as elsewhere) —
+    and sqrt is IEEE correctly-rounded, so the z expression is
+    bit-identical and the >2σ row set matches exactly. Scale: events
+    collapse to the |hours| rollup; the profile is 24 rows, broadcast
+    back over it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    prof = hourly.groupBy(F.hour("h").cast("long").alias("hod")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    joined = hourly.join(
+        F.broadcast(prof), F.hour("h").cast("long") == F.col("hod")
+    )
+    z = (
+        F.col("c").cast("double")
+        - F.col("s1").cast("double") / F.col("n").cast("double")
+    ) / F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n").cast("double") * F.col("n").cast("double"))
+    )
+    return joined.filter(F.abs(z) > 2.0).select(
+        F.date_format("h", _TS_FMT).alias("hour"),
+        "hod",
+        "c",
+        F.round(z, 6).alias("z_seasonal"),
+    )
+
+
+# --- exact-OLS hourly trend + one-step forecast -------------------------------------
+
+
+@register(
+    "hourly_trend_forecast",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    xy AS (
+        SELECT CAST(date_diff('hour', (SELECT min(h) FROM hourly), h)
+                    AS BIGINT) AS x,
+               c AS y
+        FROM hourly
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(max(x) AS BIGINT) AS xmax
+        FROM xy
+    )
+    SELECT n AS n_hours,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS intercept,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                 + CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(xmax + 1 AS DOUBLE), 4) AS forecast_next_hour
+    FROM s
+    """,
+)
+def hourly_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer OLS trend over the hourly event-count series plus the
+    one-step-ahead forecast ŷ(x_max+1) — the deterministic cousin of
+    ``stats_regression_lineitem`` (whose ``regr_*`` builtins accumulate
+    float co-moments in engine-specific order; here EVERY sum is int64,
+    so slope and intercept are single divisions of exact integers and
+    bits match across engines and partition layouts).
+
+    x is hours-since-first-hour (exact int), y the hourly count. Sums
+    n·Σxy etc. stay well inside int64 at any realistic calendar span
+    (x ≤ 10⁶ hours ≈ a century; widen to DECIMAL(38,0) beyond). Scale:
+    one map-side-combinable rollup to |hours| rows, one scalar subquery
+    for the time origin, one single-row reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    h0 = hourly.agg(F.min("h").alias("h0"))
+    xy = hourly.join(F.broadcast(h0)).select(
+        F.expr("CAST(timestampdiff(HOUR, h0, h) AS BIGINT)").alias("x"),
+        F.col("c").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.max("x").cast("long").alias("xmax"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_hours"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(
+            intercept + slope * (F.col("xmax") + 1).cast("double"), 4
+        ).alias("forecast_next_hour"),
+    )

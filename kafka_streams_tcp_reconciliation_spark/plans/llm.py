@@ -1221,3 +1221,111 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+# --- MinHash estimator calibration report -------------------------------------------
+
+
+@register(
+    "minhash_calibration_report",
+    oracle=f"""
+    WITH wh AS (
+        SELECT doc_id,
+               {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
+               {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
+        FROM documents
+    ),
+    hs AS (
+        SELECT doc_id, {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS hs
+        FROM wh
+    ),
+    sig AS (
+        SELECT doc_id, {dd.duck_minhash_sig_expr("hs", _MH_NUM)} AS sig FROM hs
+    ),
+    bands AS (
+        SELECT doc_id, unnest({dd.duck_band_select("sig", _MH_BANDS, _MH_ROWS)},
+                              recursive := true)
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len([i FOR i IN range(1, {_MH_NUM} + 1)
+                     IF sx.sig[i] = sy.sig[i]]) AS BIGINT) AS n_sig_match,
+           round(CAST(len([i FOR i IN range(1, {_MH_NUM} + 1)
+                           IF sx.sig[i] = sy.sig[i]]) AS DOUBLE)
+                 / {_MH_NUM}.0, 6) AS jaccard_est,
+           round(len(list_intersect(x.hs, y.hs))
+                 / CAST(len(x.hs) + len(y.hs)
+                        - len(list_intersect(x.hs, y.hs)) AS DOUBLE), 6)
+               AS jaccard_exact,
+           round(abs(CAST(len([i FOR i IN range(1, {_MH_NUM} + 1)
+                               IF sx.sig[i] = sy.sig[i]]) AS DOUBLE)
+                     / {_MH_NUM}.0
+                     - len(list_intersect(x.hs, y.hs))
+                       / CAST(len(x.hs) + len(y.hs)
+                              - len(list_intersect(x.hs, y.hs))
+                              AS DOUBLE)), 6) AS abs_err
+    FROM cand
+    JOIN hs x  ON x.doc_id = doc_a
+    JOIN hs y  ON y.doc_id = doc_b
+    JOIN sig sx ON sx.doc_id = doc_a
+    JOIN sig sy ON sy.doc_id = doc_b
+    """,
+)
+def minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-calibration diagnostics for the MinHash pipeline: on
+    every LSH candidate pair, the signature-agreement estimate
+    (matches/32) next to the EXACT Jaccard and their absolute error — the
+    report you run before trusting a banding config at corpus scale
+    (E[matches]/k = J; the spread here is the k=32 estimator variance).
+
+    Everything is reused machinery: same signatures, same banding, same
+    verify sets as ``dedup_minhash_lsh`` — the only additions are an
+    integer position-match count and mirrored single-division estimates.
+    No threshold filter: calibration wants the misses too. Scale: cost is
+    the LSH bucket join (the candidate set), plus doc_id-keyed joins of
+    signature (32 ints) and hash-set arrays.
+    """
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    wh = docs.select(
+        "doc_id",
+        dd.word_polyhashes_expr("text", 31).alias("wh1"),
+        dd.word_polyhashes_expr("text", 131).alias("wh2"),
+    )
+    hs = wh.select(
+        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
+    ).cache()
+    sig = hs.select(
+        "doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig")
+    ).cache()
+    cand = dd.lsh_candidate_pairs(sig, "doc_id", "sig", _MH_BANDS, _MH_ROWS)
+    n_match = F.expr(
+        "CAST(size(filter(zip_with(sx.sig, sy.sig, (mc_a, mc_b) -> mc_a = mc_b),"
+        " mc_v -> mc_v)) AS BIGINT)"
+    )
+    est = n_match.cast("double") / F.lit(float(_MH_NUM))
+    n_inter = F.size(F.array_intersect(F.col("x.hs"), F.col("y.hs")))
+    exact = n_inter / (
+        F.size(F.col("x.hs")) + F.size(F.col("y.hs")) - n_inter
+    ).cast("double")
+    return (
+        cand.withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .join(hs.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+        .join(hs.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
+        .join(sig.alias("sx"), F.col("sx.doc_id") == F.col("doc_a"))
+        .join(sig.alias("sy"), F.col("sy.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_sig_match"),
+            F.round(est, 6).alias("jaccard_est"),
+            F.round(exact, 6).alias("jaccard_exact"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
