@@ -345,3 +345,75 @@ def rolling_dau_hll_stream(
             "approx_users",
         )
     )
+
+
+GROWTH_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+GROWTH_STATE = T.StructType([T.StructField("last_day", T.LongType())])
+
+_GROWTH_GAP_DAYS = 7
+
+
+def growth_stream(events: DataFrame) -> DataFrame:
+    """Incremental growth accounting — the streaming twin of
+    ``plans/sequences.growth_accounting_daily``. Per-user state is ONE
+    int (last active day since epoch); each micro-batch emits a
+    (user, day, status) row for every user-day it newly observes:
+    'new' (no state), 'resurrected' (gap > 7 days), else 'retained'.
+    A day re-seen in a later batch is skipped (already classified), so
+    the emitted set is exactly the batch DISTINCT (user, day) set and
+    the per-day status rollup converges to the batch decomposition.
+    """
+
+    def fsm(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_day = state.get[0] if state.exists else None
+        rows: list[dict[str, Any]] = []
+        for pdf in batches:
+            days = sorted(
+                {int(pd.Timestamp(t).normalize().value // 86_400_000_000_000)
+                 for t in pdf["ts"]}
+            )
+            for d in days:
+                if last_day is not None and d <= last_day:
+                    continue
+                if last_day is None:
+                    status = "new"
+                elif d - last_day > _GROWTH_GAP_DAYS:
+                    status = "resurrected"
+                else:
+                    status = "retained"
+                rows.append(
+                    {
+                        "user_id": user_id,
+                        "day": str(pd.Timestamp(d * 86_400_000_000_000)
+                                   .date()),
+                        "status": status,
+                    }
+                )
+                last_day = d
+        if last_day is not None:
+            state.update((last_day,))
+        yield pd.DataFrame(rows, columns=["user_id", "day", "status"])
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fsm,
+            outputStructType=GROWTH_SCHEMA,
+            stateStructType=GROWTH_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

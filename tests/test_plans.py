@@ -355,3 +355,32 @@ def test_advanced_ops_plan_locks(spark, sf_dir):
     # temporal holdout: cutoff is a broadcast scalar, not a collected literal
     p = plan_of(QUERIES["temporal_holdout_split"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_new_analytics_plan_locks(spark, sf_dir):
+    """Plan-shape locks for the newest analytics/curation block."""
+    # vocab: top-K via TakeOrderedAndProject (never a single-partition
+    # global window), vocabulary probe broadcast
+    p = plan_of(QUERIES["vocab_oov_rate"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    # gini: customer + nation dims broadcast into the orders scan
+    p = plan_of(QUERIES["gini_revenue_by_nation"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    # seasonality ops: events collapse to the hourly rollup BEFORE any
+    # join/window — exactly one aggregate keyed on the raw scan each side
+    p = plan_of(QUERIES["seasonal_naive_error_daily"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    p = plan_of(QUERIES["hod_adjusted_outlier_hours"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p  # 24-row profile broadcast back
+    # min-max scaling: |types|-row stats broadcast back over one scan
+    p = plan_of(QUERIES["minmax_scale_values_by_type"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    # RFM: horizon is a 1-row broadcast, not a collected literal
+    p = plan_of(QUERIES["rfm_user_segments"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    # proration + interp + growth: single-shuffle families, no cartesian
+    for name in ("prorate_order_total", "hourly_interp_by_type",
+                 "growth_accounting_daily", "wilson_ctr_by_user"):
+        p = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name

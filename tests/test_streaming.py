@@ -485,3 +485,31 @@ def test_cms_cells_stream_converges_to_batch_sketch(spark, sf_dir, event_stream)
     got_set = {tuple(r) for r in got[["k", "bucket", "cell_n"]].values.tolist()}
     want_set = {tuple(r) for r in want[["k", "bucket", "cell_n"]].values.tolist()}
     assert got_set == want_set
+
+
+def test_growth_stream_converges(spark, sf_dir, event_stream):
+    """Incremental growth accounting: rolling the emitted (day, status)
+    rows up reproduces the batch new/retained/resurrected decomposition,
+    including classifications that span micro-batch boundaries."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.sequences import growth_stream
+
+    got = run_stream(spark, growth_stream(event_stream), "append", "t_growth")
+    counts = (
+        got.groupby(["day", "status"]).size().unstack(fill_value=0)
+    )
+    for col in ("new", "retained", "resurrected"):
+        if col not in counts:
+            counts[col] = 0
+    counts = counts.reset_index().rename(
+        columns={"new": "n_new", "retained": "n_retained",
+                 "resurrected": "n_resurrected"}
+    )
+    counts["n_active"] = (
+        counts["n_new"] + counts["n_retained"] + counts["n_resurrected"]
+    )
+    counts = counts[["day", "n_new", "n_retained", "n_resurrected", "n_active"]]
+    counts.columns.name = None
+    want = all_queries()["growth_accounting_daily"](spark, sf_dir).toPandas()
+    for c in ("n_new", "n_retained", "n_resurrected", "n_active"):
+        counts[c] = counts[c].astype(want[c].dtype)
+    pd.testing.assert_frame_equal(canon(counts), canon(want))
