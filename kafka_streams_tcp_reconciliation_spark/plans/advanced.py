@@ -2795,3 +2795,202 @@ def hourly_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             intercept + slope * (F.col("xmax") + 1).cast("double"), 4
         ).alias("forecast_next_hour"),
     )
+
+
+# --- open-order aging buckets -------------------------------------------------------
+
+
+@register(
+    "order_aging_buckets",
+    oracle="""
+    WITH horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+    aged AS (
+        SELECT CAST(date_diff('day', o_orderdate, (SELECT h FROM horizon))
+                    AS BIGINT) AS age_days,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 60 THEN '31-60'
+                WHEN age_days <= 90 THEN '61-90'
+                ELSE '90+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(min(age_days) AS BIGINT) AS min_age_days,
+           CAST(max(age_days) AS BIGINT) AS max_age_days
+    FROM aged GROUP BY 1
+    """,
+)
+def order_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: every still-open order ('O') bucketed by
+    days outstanding against the data horizon (0-30 / 31-60 / 61-90 /
+    90+), with count and exact total value per bucket — the
+    accounts-receivable aging statement, the finance twin of
+    ``churned_users``' horizon convention.
+
+    Exactness: pure date arithmetic, int64 cents sums. Scale: the filter
+    pushes to the scan; the horizon is a 1-row broadcast scalar; the
+    rollup has 4 output rows (map-side combine collapses everything).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    aged = open_orders.join(F.broadcast(horizon)).select(
+        F.datediff(F.col("h"), F.col("o_orderdate")).cast("long").alias("age_days"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return aged.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.min("age_days").cast("long").alias("min_age_days"),
+        F.max("age_days").cast("long").alias("max_age_days"),
+    )
+
+
+# --- inter-order gap median by nation ------------------------------------------------
+
+
+@register(
+    "interorder_gap_median_by_nation",
+    oracle="""
+    WITH gaps AS (
+        SELECT c.c_nationkey,
+               CAST(date_diff('day',
+                    lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                        ORDER BY o.o_orderdate, o.o_orderkey),
+                    o.o_orderdate) AS BIGINT) AS gap_days
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    vd AS (
+        SELECT n.n_name, gap_days, CAST(count(*) AS BIGINT) AS cnt
+        FROM gaps JOIN nation n ON n.n_nationkey = gaps.c_nationkey
+        WHERE gap_days IS NOT NULL
+        GROUP BY n.n_name, gap_days
+    ),
+    cum AS (
+        SELECT n_name, gap_days,
+               CAST(sum(cnt) OVER (PARTITION BY n_name ORDER BY gap_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY n_name) AS BIGINT) AS n
+        FROM vd
+    )
+    SELECT n_name,
+           min(gap_days) AS median_gap_days,
+           min(n) AS n_gaps
+    FROM cum WHERE cum * 2 >= n
+    GROUP BY n_name
+    """,
+)
+def interorder_gap_median_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median days between a customer's consecutive orders, rolled up per
+    nation — the repeat-purchase cadence metric behind replenishment
+    forecasting, with the median SELECTED exactly (lower-median
+    convention of ``weighted_median_quantity``), never interpolated.
+
+    Exactness: gaps are integer day differences over a (orderdate,
+    orderkey) total order; the median comes from an integer cumulative
+    over the per-nation gap VALUE-DOMAIN rollup (≤ |distinct gaps| rows),
+    compared with the cross-multiplied test 2·cum ≥ n. Scale: one
+    custkey-partitioned lag (the same exchange the per-customer rollup
+    uses), broadcast customer/nation dims, calendar-bounded value domain.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    lag_d = F.lag("o_orderdate").over(
+        Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    gaps = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_nationkey",
+            F.datediff(F.col("o_orderdate"), lag_d).cast("long").alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    vd = (
+        gaps.join(F.broadcast(nation), gaps.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "gap_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("n_name").orderBy("gap_days")
+    cum = vd.select(
+        "n_name",
+        "gap_days",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("n_name")).cast("long").alias("n"),
+    )
+    return (
+        cum.filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("n_name")
+        .agg(
+            F.min("gap_days").alias("median_gap_days"),
+            F.min("n").alias("n_gaps"),
+        )
+    )
+
+
+# --- catalog price-dispersion audit -------------------------------------------------
+
+
+@register(
+    "price_dispersion_by_part",
+    oracle="""
+    WITH stats AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS s1,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS s2
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, n,
+           CAST(s1 // n AS BIGINT) AS mean_cents_floor,
+           round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                 / CAST(s1 AS DOUBLE), 6) AS cv
+    FROM stats WHERE n >= 2 AND s1 > 0
+    """,
+)
+def price_dispersion_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog price-consistency audit: the coefficient of variation of
+    the prices each part actually sold at — high CV flags inconsistent
+    pricing/data errors (the per-part analog of the per-type z-score
+    screens).
+
+    Exactness: integer moments (n, Σcents, Σcents²); the algebraic
+    rearrangement cv = σ/μ = √(n·Σx²−(Σx)²) / Σx needs ONE correctly-
+    rounded sqrt and ONE division — no mean ever materialized as a float
+    (Σx² ≲ 10¹⁴·rows here; DECIMAL(38,0) at 100 TB, as everywhere). The
+    displayed mean is an exact integer floor. Scale: one
+    map-side-combinable rollup keyed on partkey, per-row finishing math,
+    no joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s1"),
+        F.sum(cents * cents).cast("long").alias("s2"),
+    )
+    return stats.filter((F.col("n") >= 2) & (F.col("s1") > 0)).select(
+        "l_partkey",
+        "n",
+        F.expr("CAST(s1 div n AS BIGINT)").alias("mean_cents_floor"),
+        F.round(
+            F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+            / F.col("s1").cast("double"),
+            6,
+        ).alias("cv"),
+    )
