@@ -45,6 +45,7 @@ _PLAN_MODULES = (
     "extended",
     "clustering",
     "curation",
+    "mlprep",
     "advanced",
     "pipeline",
     "governance",

@@ -1,0 +1,668 @@
+"""ML-prep / retrieval depth operators (SURVEY.md §2.11, round-2 late block).
+
+Operations a training-data platform runs between raw ingest and model
+consumption, each in its scale-correct Spark formulation with a bit-exact
+DuckDB oracle:
+
+- ``nearest_event_join`` — BIDIRECTIONAL tolerance as-of join (nearest
+  click before OR after each purchase, ±10 min) — the J9 as-of operator
+  generalized to nearest-neighbor-in-time, still one shuffle,
+- ``star_flatten_wide`` — full star-schema denormalization into the wide
+  training table (all dimensions broadcast; zero shuffles, one fact scan),
+- ``event_type_runlengths`` — gaps-and-islands run-length encoding of
+  consecutive same-type events (repetition structure mining),
+- ``embedding_norm_outliers`` — vector-quality gate: L2-norm 3σ outliers
+  via EXACT integer moments (micro-unit quantization, DECIMAL(38,0)
+  cross-products — no float accumulation anywhere),
+- ``user_event_entropy`` — Shannon entropy of each user's event-type mix
+  in integer micro-nats (behavioral-diversity feature),
+- ``winsorize_values_by_type`` — p05/p95 winsorization audit with
+  SELECTED (not interpolated) exact percentiles chosen by pure-integer
+  rank arithmetic,
+- ``value_drawdown_per_user`` — maximum drawdown of the per-user
+  cumulative value series (sequential-fold running sum, same order both
+  engines),
+- ``label_centroid_distances`` — pairwise cosine distance matrix between
+  per-label embedding centroids (cluster-separation diagnostic).
+
+House rules as everywhere (SURVEY.md §5.2): identical aliases both sides,
+deterministic tiebreaks, float math either quantized-to-int64/DECIMAL
+before accumulation or kept to sequential folds with identical order,
+ONE final rounding before output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
+from kafka_streams_tcp_reconciliation_spark.plans import register
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table, scale_out
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_NEAREST_TOL_US = 600 * 1_000_000  # ±10 minutes, integer microseconds
+
+
+# --- bidirectional tolerance as-of (nearest-in-time) join --------------------
+
+
+@register(
+    "nearest_event_join",
+    oracle=f"""
+    WITH uni AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+               CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    marked AS (
+        SELECT user_id, ts, event_id, kind,
+               last_value(click_ts IGNORE NULLS) OVER wb AS prev_ts,
+               last_value(click_id IGNORE NULLS) OVER wb AS prev_id,
+               first_value(click_ts IGNORE NULLS) OVER wf AS next_ts,
+               first_value(click_id IGNORE NULLS) OVER wf AS next_id
+        FROM uni
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    gaps AS (
+        SELECT event_id AS purchase_id, user_id,
+               CASE WHEN prev_ts IS NOT NULL
+                    THEN date_diff('microsecond', prev_ts, ts) END AS back_us,
+               prev_id,
+               CASE WHEN next_ts IS NOT NULL
+                    THEN date_diff('microsecond', ts, next_ts) END AS fwd_us,
+               next_id
+        FROM marked WHERE kind = 1
+    )
+    SELECT purchase_id, user_id,
+           CASE
+             WHEN back_us IS NOT NULL AND back_us <= {_NEAREST_TOL_US}
+                  AND (fwd_us IS NULL OR fwd_us > {_NEAREST_TOL_US}
+                       OR back_us <= fwd_us)
+               THEN prev_id
+             WHEN fwd_us IS NOT NULL AND fwd_us <= {_NEAREST_TOL_US}
+               THEN next_id
+           END AS click_id,
+           CASE
+             WHEN back_us IS NOT NULL AND back_us <= {_NEAREST_TOL_US}
+                  AND (fwd_us IS NULL OR fwd_us > {_NEAREST_TOL_US}
+                       OR back_us <= fwd_us)
+               THEN -back_us
+             WHEN fwd_us IS NOT NULL AND fwd_us <= {_NEAREST_TOL_US}
+               THEN fwd_us
+           END AS gap_us
+    FROM gaps
+    """,
+)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional tolerance as-of join: for every purchase, the NEAREST
+    click by the same user within ±10 minutes — before or after, whichever
+    is closer (tie → the earlier click). Purchases with no click in
+    tolerance stay in the result with NULLs (left semantics).
+
+    This generalizes the backward-only as-of operator (J9,
+    ``asof_last_click_before_purchase``) to nearest-in-time matching —
+    the join feature stores use for "closest sensor reading to each
+    label event".
+
+    Scale: the union-and-carry trick still needs only ONE shuffle on
+    ``user_id``: interleave clicks and purchases in event-time order,
+    carry the last click forward (backward candidate) and the first click
+    backward (forward candidate) with two frames over the SAME sort —
+    Catalyst reuses one exchange+sort for both windows. Gaps are exact
+    int64 microseconds; the winner is picked by pure integer comparison,
+    so the oracle agrees bit-for-bit. No range join, no fan-out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uni = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(1).alias("kind"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+    )
+    order = [F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc()]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = uni.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last("click_ts", ignorenulls=True).over(wb).alias("prev_ts"),
+        F.last("click_id", ignorenulls=True).over(wb).alias("prev_id"),
+        F.first("click_ts", ignorenulls=True).over(wf).alias("next_ts"),
+        F.first("click_id", ignorenulls=True).over(wf).alias("next_id"),
+    )
+    gaps = marked.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("back_us"),
+        "prev_id",
+        F.expr("timestampdiff(MICROSECOND, ts, next_ts)").alias("fwd_us"),
+        "next_id",
+    )
+    back_ok = F.col("back_us").isNotNull() & (F.col("back_us") <= _NEAREST_TOL_US)
+    fwd_ok = F.col("fwd_us").isNotNull() & (F.col("fwd_us") <= _NEAREST_TOL_US)
+    back_wins = back_ok & (~fwd_ok | (F.col("back_us") <= F.col("fwd_us")))
+    return gaps.select(
+        "purchase_id",
+        "user_id",
+        F.when(back_wins, F.col("prev_id"))
+        .when(fwd_ok, F.col("next_id"))
+        .alias("click_id"),
+        F.when(back_wins, -F.col("back_us"))
+        .when(fwd_ok, F.col("fwd_us"))
+        .alias("gap_us"),
+    )
+
+
+# --- star-schema denormalization (the wide training table) -------------------
+
+
+@register(
+    "star_flatten_wide",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT) AS net_cents,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority,
+           c.c_mktsegment,
+           cn.n_name AS cust_nation, cr.r_name AS cust_region,
+           p.p_brand, p.p_type,
+           s.s_name AS supp_name, sn.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    """,
+)
+def star_flatten_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full star-schema denormalization: the classic "build the wide
+    training table" step — every lineitem flattened with its order,
+    customer geography, part, and supplier geography attributes.
+
+    Scale: at warehouse ratios every dimension here (orders:customer:
+    part:supplier:nation:region) is orders of magnitude smaller than the
+    fact table, and orders itself is the only one that can outgrow
+    broadcast. The plan broadcasts ALL dimension sides, so the whole
+    flatten is a single scan of ``lineitem`` with zero shuffles and one
+    stage of chained BroadcastHashJoins inside one WholeStageCodegen
+    span. At 100 TB, swap the orders join to a bucketed co-located SMJ
+    (``sources/bucketing.py``) and keep the rest broadcast — nation and
+    region are always tiny. Money lands as exact int64 cents.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("cn_rkey"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cr = r.select(
+        F.col("r_regionkey").alias("cr_key"), F.col("r_name").alias("cust_region")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cn_rkey") == F.col("cr_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+            ).alias("net_cents"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "c_mktsegment",
+            "cust_nation",
+            "cust_region",
+            "p_brand",
+            "p_type",
+            F.col("s_name").alias("supp_name"),
+            "supp_nation",
+        )
+    )
+
+
+# --- gaps-and-islands run-length encoding ------------------------------------
+
+
+@register(
+    "event_type_runlengths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_all,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_type
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, rn_all - rn_type AS grp,
+               CAST(count(*) AS BIGINT) AS run_len
+        FROM seq GROUP BY user_id, event_type, grp
+    )
+    SELECT event_type, run_len, CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY event_type, run_len
+    """,
+)
+def event_type_runlengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of consecutive same-type events per user
+    (gaps-and-islands), rolled up into the distribution of run lengths
+    per event type — the repetition-structure diagnostic that feeds
+    bot-detection and sequence-model curriculum decisions ("how often
+    does a user fire 7 views in a row?").
+
+    Scale: the two row_numbers share one ``user_id`` shuffle (the
+    second window's (user_id, event_type) partitioning is a prefix
+    refinement Catalyst evaluates over the same sort — one exchange,
+    two stacked sorts max). The island key ``rn_all − rn_type`` is the
+    classic constant-per-run anchor; both aggregates combine map-side.
+    All arithmetic is int64.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    return runs.groupBy("event_type", "run_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs")
+    )
+
+
+# --- vector-quality gate: exact-integer 3σ norm outliers ---------------------
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH norms AS (
+        SELECT vec_id,
+               CAST(round(({sim.duck_dot_expr("embedding", "embedding")})
+                          * 1000000) AS BIGINT) AS n2_micro
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n2_micro) AS BIGINT) AS s1,
+               CAST(sum(CAST(n2_micro AS HUGEINT) * n2_micro)
+                    AS HUGEINT) AS s2
+        FROM norms
+    )
+    SELECT vec_id, n2_micro,
+           (CAST(n AS HUGEINT) * n2_micro - s1)
+             * (CAST(n AS HUGEINT) * n2_micro - s1)
+             > 9 * (CAST(n AS HUGEINT) * s2
+                    - CAST(s1 AS HUGEINT) * s1) AS is_outlier
+    FROM norms CROSS JOIN stats
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-quality gate: flag embeddings whose squared L2 norm sits
+    more than 3σ from the corpus mean — the standard screen for
+    degenerate/overflowed vectors before they poison an ANN index.
+
+    Determinism: the norm is the usual sequential double fold, quantized
+    ONCE to integer micro-units. Mean/σ never materialize as floats —
+    the 3σ test |x−μ|>3σ is evaluated as the equivalent pure-integer
+    inequality (n·x−Σ)² > 9·(n·Σx²−Σ²) with DECIMAL(38,0) cross
+    products (Spark DECIMAL ↔ DuckDB HUGEINT/DECIMAL), so both engines
+    compare EXACTLY the same integers — no epsilon, no boundary flakes.
+
+    Scale: one corpus scan for the 3-number moment aggregate (map-side
+    combinable), broadcast back as a 1-row literal join; second scan
+    streams the verdict per row. No shuffle of vector data at all.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    norms = emb.select(
+        "vec_id",
+        F.expr(
+            f"CAST(round(({sim.dot_expr('embedding', 'embedding')})"
+            " * 1000000) AS BIGINT)"
+        ).alias("n2_micro"),
+    )
+    stats = norms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n2_micro").cast("long").alias("s1"),
+        F.sum(
+            F.col("n2_micro").cast("decimal(38,0)") * F.col("n2_micro")
+        ).cast("decimal(38,0)").alias("s2"),
+    )
+    return norms.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "n2_micro",
+        (
+            (F.col("n").cast("decimal(38,0)") * F.col("n2_micro") - F.col("s1"))
+            * (F.col("n").cast("decimal(38,0)") * F.col("n2_micro") - F.col("s1"))
+            > F.lit(9)
+            * (
+                F.col("n").cast("decimal(38,0)") * F.col("s2")
+                - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+            )
+        ).alias("is_outlier"),
+    )
+
+
+# --- behavioral-diversity entropy --------------------------------------------
+
+
+@register(
+    "user_event_entropy",
+    oracle="""
+    WITH cnts AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+        SELECT user_id, event_type, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM cnts
+    ),
+    lp AS (
+        SELECT user_id, cnt, n,
+               CAST(round(ln(CAST(cnt AS DOUBLE) / n) * 1000000)
+                    AS BIGINT) AS logp_micro
+        FROM tot
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           CAST((-CAST(sum(cnt * logp_micro) AS BIGINT)) // max(n)
+                AS BIGINT) AS entropy_micro_nats
+    FROM lp GROUP BY user_id
+    """,
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution, in integer
+    micro-nats — the behavioral-diversity feature (a user who only ever
+    `view`s scores 0; a uniform mix scores ln 5 ≈ 1.609e6 µnats).
+
+    Determinism: same trick as ``unigram_logprob_score`` — each type's
+    log-probability is rounded ONCE to integer micro-nats, after which
+    the count-weighted sum and the mean (integer division) are exact
+    BIGINT in any association order on any engine.
+
+    Scale: one shuffle on ``user_id`` covers the (user,type) count, the
+    per-user total (window over the same key), and the final rollup —
+    all map-side combinable, |users|·|types| intermediate rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("user_id")
+    lp = cnts.select(
+        "user_id",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("n"),
+    ).select(
+        "user_id",
+        "cnt",
+        "n",
+        F.expr(
+            "CAST(round(ln(CAST(cnt AS DOUBLE) / n) * 1000000) AS BIGINT)"
+        ).alias("logp_micro"),
+    )
+    return lp.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.expr(
+            "CAST((-CAST(sum(cnt * logp_micro) AS BIGINT)) DIV max(n) AS BIGINT)"
+        ).alias("entropy_micro_nats"),
+    )
+
+
+# --- winsorization audit with exact selected percentiles ---------------------
+
+
+@register(
+    "winsorize_values_by_type",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM events
+    ),
+    cuts AS (
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               max(CASE WHEN rn = (n * 5 + 99) // 100 THEN value END) AS p05,
+               max(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95
+        FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type, max(c.n) AS n,
+           round(max(c.p05), 6) AS p05,
+           round(max(c.p95), 6) AS p95,
+           CAST(count(CASE WHEN r.value < c.p05 THEN 1 END) AS BIGINT)
+               AS n_clamped_low,
+           CAST(count(CASE WHEN r.value > c.p95 THEN 1 END) AS BIGINT)
+               AS n_clamped_high
+    FROM ranked r JOIN cuts c ON r.event_type = c.event_type
+    GROUP BY r.event_type
+    """,
+)
+def winsorize_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit: per event type, the exact p05/p95 cut points
+    and how many rows each tail clamp would touch — the outlier-capping
+    step run before a numeric feature enters training.
+
+    Determinism: percentiles are SELECTED order statistics (not
+    interpolated): the rank-k element where k = ⌈n·p⌉ is computed in
+    pure integer arithmetic ((n·5+99) div 100), with (value, event_id)
+    as the total-order sort key, so both engines select the identical
+    stored double. Tail membership is a plain double comparison against
+    that selected value — exact.
+
+    Scale: one shuffle on ``event_type`` feeds the stacked
+    rank+count windows; the |types|-row cut table broadcasts back for
+    the clamp count. At 100 TB swap the in-type sort for the
+    value-domain rollup used by ``equidepth_deciles_order_total``
+    (group duplicate values first), which this fixture doesn't need.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    # integer div: Spark's `/` is float division — use expr DIV for exactness
+    cuts = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(F.expr("rn = (n * 5 + 99) DIV 100"), F.col("value"))
+        ).alias("p05"),
+        F.max(
+            F.when(F.expr("rn = (n * 95 + 99) DIV 100"), F.col("value"))
+        ).alias("p95"),
+    )
+    cuts = cuts.select(
+        F.col("event_type").alias("ct_type"),
+        F.col("n").alias("ct_n"),
+        F.col("p05").alias("ct_p05"),
+        F.col("p95").alias("ct_p95"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(cuts), ranked.event_type == cuts.ct_type
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("ct_n").alias("n"),
+            F.round(F.max("ct_p05"), 6).alias("p05"),
+            F.round(F.max("ct_p95"), 6).alias("p95"),
+            F.count(F.when(F.col("value") < F.col("ct_p05"), 1))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.count(F.when(F.col("value") > F.col("ct_p95"), 1))
+            .cast("long")
+            .alias("n_clamped_high"),
+        )
+    )
+
+
+# --- max drawdown of the cumulative value series -----------------------------
+
+
+@register(
+    "value_drawdown_per_user",
+    oracle="""
+    WITH series AS (
+        SELECT user_id, ts, event_id,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM events
+    ),
+    peaks AS (
+        SELECT user_id, cum,
+               max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+        FROM series
+    )
+    SELECT user_id, round(max(peak - cum), 6) AS max_drawdown
+    FROM peaks GROUP BY user_id
+    """,
+)
+def value_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative event-value series —
+    the largest peak-to-trough drop, the classic risk/engagement-decay
+    statistic over a running total.
+
+    Determinism: the running sum is a SEQUENTIAL fold in (ts, event_id)
+    order — both engines accumulate the identical doubles in the
+    identical order (window running aggregates are order-defined, unlike
+    groupBy sums), the running max compares those exact doubles, and the
+    result is rounded once at output.
+
+    Scale: one shuffle on ``user_id``; the three stacked windows share
+    the same partitioning+sort, so Catalyst plans one exchange and one
+    sort. State per row is O(1) — this is the textbook distributed
+    drawdown plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = ev.select(
+        "user_id", F.sum("value").over(w_run).alias("cum"), "ts", "event_id"
+    )
+    w_peak = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaks = series.select(
+        "user_id", "cum", F.max("cum").over(w_peak).alias("peak")
+    )
+    return peaks.groupBy("user_id").agg(
+        F.round(F.max(F.col("peak") - F.col("cum")), 6).alias("max_drawdown")
+    )
+
+
+# --- cluster-separation diagnostic: centroid distance matrix -----------------
+
+
+@register(
+    "label_centroid_distances",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, array_agg(cval ORDER BY pos) AS centroid
+        FROM (
+            SELECT label, pos,
+                   round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS cval
+            FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round({sim.duck_cosine_expr("a.centroid", "b.centroid")}, 6)
+               AS cosine
+    FROM cent a JOIN cent b ON a.label < b.label
+    """,
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the cluster-separation diagnostic ("are any two classes collapsing
+    into each other?") run before trusting labels for stratified
+    sampling or IVF cell assignment.
+
+    Determinism: centroid components are the same round(avg,6)
+    construction as the IVF centroids (rounded ONCE before any use);
+    the pairwise cosine is the sequential fold, rounded at output.
+
+    Scale: the per-(label,pos) mean is a map-side-combinable aggregate
+    over the exploded corpus — the only corpus-sized stage. The K-row
+    centroid table (K = #labels) then self-joins broadcast-vs-broadcast:
+    K² pairs of 64-float arrays, trivially tiny no matter the corpus.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cval))),"
+                " cs_s -> cs_s.cval)"
+            ).alias("centroid")
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("cb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(sim.cosine_expr("ca", "cb"), 6).alias("cosine"),
+        )
+    )
