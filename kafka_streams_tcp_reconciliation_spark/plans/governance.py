@@ -870,3 +870,60 @@ def equidepth_deciles_order_total(spark: SparkSession, sf_dir: str) -> DataFrame
             F.min("n").alias("n_orders"),
         )
     )
+
+
+# --- right-to-erasure impact audit -------------------------------------------
+
+_ERASE_MOD = 97  # deterministic erasure cohort: user_id % 97 == 0
+
+
+@register(
+    "user_erasure_audit",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE user_id % {_ERASE_MOD} = 0)
+                AS BIGINT) AS n_rows_erased,
+           CAST(count(DISTINCT CASE WHEN user_id % {_ERASE_MOD} = 0
+                                    THEN user_id END) AS BIGINT)
+               AS n_users_erased,
+           CAST(count(*) FILTER (WHERE user_id % {_ERASE_MOD} = 0)
+                * 1000000 // count(*) AS BIGINT) AS share_ppm,
+           strftime(min(CASE WHEN user_id % {_ERASE_MOD} = 0 THEN ts END),
+                    '{_TS_FMT_US_DUCK}') AS first_erased_ts,
+           strftime(max(CASE WHEN user_id % {_ERASE_MOD} = 0 THEN ts END),
+                    '{_TS_FMT_US_DUCK}') AS last_erased_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) impact report: before deleting a
+    user cohort, quantify the blast radius per event type — rows and
+    distinct users to be erased, the ppm share of each type's volume,
+    and the affected time range. The cohort here is the deterministic
+    ``user_id % 97 == 0`` stand-in for an erasure-request list.
+
+    Scale: a single conditional-aggregation pass over the fact table —
+    one map-side-combinable shuffle on ``event_type``, no join with the
+    request list (at 100 TB the request list broadcasts as a filter or
+    Bloom filter instead of the modulus predicate; the aggregate shape
+    is identical). Share is exact integer ppm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    erased = F.col("user_id") % _ERASE_MOD == 0
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(erased, 1)).cast("long").alias("n_rows_erased"),
+        F.count_distinct(F.when(erased, F.col("user_id")))
+        .cast("long")
+        .alias("n_users_erased"),
+        F.expr(
+            f"CAST(count(CASE WHEN user_id % {_ERASE_MOD} = 0 THEN 1 END)"
+            " * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("share_ppm"),
+        F.date_format(F.min(F.when(erased, F.col("ts"))), _TS_FMT_US).alias(
+            "first_erased_ts"
+        ),
+        F.date_format(F.max(F.when(erased, F.col("ts"))), _TS_FMT_US).alias(
+            "last_erased_ts"
+        ),
+    )

@@ -666,3 +666,106 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim.cosine_expr("ca", "cb"), 6).alias("cosine"),
         )
     )
+
+
+# --- kNN majority-vote label accuracy ----------------------------------------
+
+_KNN_QUERIES = 100
+_KNN_K = 10
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+        FROM embeddings WHERE vec_id < {_KNN_QUERIES}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+    scored AS (
+        SELECT query_id, true_label, neighbor_id, label,
+               round({sim.duck_cosine_expr("qv", "cv")}, 6) AS cosine
+        FROM q, c WHERE neighbor_id != query_id
+    ),
+    top AS (
+        SELECT query_id, true_label, label FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rnk
+            FROM scored
+        ) WHERE rnk <= {_KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, label,
+               CAST(count(*) AS BIGINT) AS votes
+        FROM top GROUP BY query_id, true_label, label
+    )
+    SELECT query_id, true_label, label AS pred_label,
+           label = true_label AS is_correct
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY votes DESC, label
+        ) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label prediction (the label-quality / leave-one-out
+    validation pass run before trusting a labeled corpus): each held-out
+    query vector is classified by the majority label of its 10 nearest
+    neighbors (cosine, self excluded); ties break to the smaller label.
+
+    Scale: same physical shape as ``similarity_topk_bruteforce`` — the
+    query set broadcasts against one corpus scan, WindowGroupLimit keeps
+    k rows per query per partition before the single query_id shuffle;
+    the vote rollup then touches only |queries|·k rows. For a full
+    leave-one-out sweep at 100 TB, swap the broadcast side for the IVF
+    cell join of ``knn_graph_within_cells`` — the vote stage is unchanged.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "label",
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "neighbor_id",
+            "label",
+            F.round(sim.cosine_expr("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("query_id", "true_label", "label")
+    )
+    votes = top.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            (F.col("label") == F.col("true_label")).alias("is_correct"),
+        )
+    )

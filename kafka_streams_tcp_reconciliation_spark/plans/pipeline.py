@@ -854,3 +854,125 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("oov_rate"),
     )
+
+
+# --- Bloom-prefiltered decontamination ---------------------------------------
+
+_BLOOM_BITS = 1 << 20  # m = 1,048,576 bits = 16,384 int64 words
+
+
+def _bloom_positions(g: str) -> tuple[str, str]:
+    """Two deterministic probe positions in [0, m) for a 64-bit gram hash.
+
+    Probe 1 is the low bits, probe 2 an xxhash64 remix (JVM built-in —
+    overflow-free under ANSI mode, unlike a Knuth multiply on int64).
+    """
+    p1 = f"(({g}) & {_BLOOM_BITS - 1})"
+    p2 = f"(xxhash64({g}) & {_BLOOM_BITS - 1})"
+    return p1, p2
+
+
+@register(
+    "bloom_decontaminate_train_eval",
+    oracle=f"""
+    WITH wh AS (
+      SELECT doc_id,
+             {_DUCK_DOC_HASH} % 100 AS b,
+             {duck_word_polyhashes_expr('text', 31)} AS wh1,
+             {duck_word_polyhashes_expr('text', 131)} AS wh2
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, b, {duck_gram_fold64_expr('wh1', 'wh2', _DECON_N)} AS gs
+      FROM wh
+    ),
+    train AS (
+      SELECT doc_id, unnest(gs) AS g FROM hashed WHERE b < 80
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(gs) AS g FROM hashed WHERE b >= 90
+    )
+    SELECT train.doc_id, count(*) AS n_shared_grams
+    FROM train JOIN ev ON train.g = ev.g
+    GROUP BY train.doc_id
+    """,
+)
+def bloom_decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a BLOOM-FILTER prefilter: same semantics (and
+    the same exact oracle) as ``decontaminate_train_eval``, different
+    physical strategy — the one that wins when the train side is 100 TB
+    and the eval side is a benchmark suite.
+
+    The eval split's distinct gram hashes are folded into a 2-probe,
+    2^20-bit Bloom filter built from PUBLIC primitives: each gram sets
+    bit ``pos & 63`` of int64 word ``pos >> 6``; ``bit_or`` per word
+    aggregates the sparse word table (≤16Ki rows — kilobytes), which is
+    then BROADCAST twice (once per probe). Train grams are filtered by
+    two broadcast hash joins + bitmask tests, so the full train relation
+    is never shuffled — only Bloom survivors (true matches + the
+    controlled false-positive trickle) reach the exact gram equi-join
+    that restores bit-exact results (a Bloom filter has NO false
+    negatives, so survivors ⊇ true matches and the verify join drops
+    the rest; the oracle is the plain exact-overlap query).
+
+    At 100 TB: the word table stays ≤128 KiB regardless of corpus size
+    (size m to the eval-set cardinality), the train scan streams, and
+    shuffle volume is O(true overlap), not O(train grams).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_DOC_HASH) % 100
+    wh = docs.select(
+        "doc_id",
+        bucket.alias("b"),
+        word_polyhashes_expr("text", 31).alias("wh1"),
+        word_polyhashes_expr("text", 131).alias("wh2"),
+    ).cache()
+    hashed = wh.select(
+        "doc_id", "b", gram_fold64_expr("wh1", "wh2", _DECON_N).alias("ghs")
+    ).cache()
+    p1, p2 = _bloom_positions("g")
+    train = hashed.filter(F.col("b") < 80).select(
+        "doc_id", F.explode("ghs").alias("g")
+    )
+    ev = (
+        hashed.filter(F.col("b") >= 90)
+        .select(F.explode("ghs").alias("g"))
+        .distinct()
+        .cache()  # consumed by both the filter build and the verify join
+    )
+    # Build the sparse Bloom word table: (word index -> OR of probe masks).
+    probes = ev.select(F.expr(p1).alias("pos")).unionAll(
+        ev.select(F.expr(p2).alias("pos"))
+    )
+    bloom = (
+        probes.select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "m"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    b1 = bloom.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
+    b2 = bloom.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
+    cand = (
+        train.withColumn("p1", F.expr(p1))
+        .withColumn("p2", F.expr(p2))
+        .join(F.broadcast(b1), F.expr("p1 DIV 64") == F.col("w1"))
+        .filter(
+            F.expr("bits1 & shiftleft(CAST(1 AS BIGINT), CAST(p1 % 64 AS INT))")
+            != 0
+        )
+        .join(F.broadcast(b2), F.expr("p2 DIV 64") == F.col("w2"))
+        .filter(
+            F.expr("bits2 & shiftleft(CAST(1 AS BIGINT), CAST(p2 % 64 AS INT))")
+            != 0
+        )
+        .select("doc_id", "g")
+    )
+    return (
+        cand.join(ev, "g")  # exact verify: drops Bloom false positives
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
