@@ -285,23 +285,37 @@ def event_type_runlengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     bot-detection and sequence-model curriculum decisions ("how often
     does a user fire 7 views in a row?").
 
-    Scale: the two row_numbers share one ``user_id`` shuffle (the
-    second window's (user_id, event_type) partitioning is a prefix
-    refinement Catalyst evaluates over the same sort — one exchange,
-    two stacked sorts max). The island key ``rn_all − rn_type`` is the
-    classic constant-per-run anchor; both aggregates combine map-side.
-    All arithmetic is int64.
+    Scale: rather than the textbook two-row_number anchor (which needs a
+    second exchange for the (user_id, event_type) window), run boundaries
+    come from ``lag`` + a running sum of change flags — every window here
+    partitions by ``user_id`` alone, so the whole query is ONE raw-data
+    shuffle + one sort; the run aggregate keys on (user_id, run_id),
+    which hash(user_id) already satisfies (no exchange), and only the
+    tiny (type, run_len) rollup shuffles again. All arithmetic is int64.
     """
     ev = load_table(spark, sf_dir, "events")
-    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w_seq).isNull()
+            | (F.lag("event_type").over(w_seq) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(0)
+        .alias("is_new_run"),
+        "ts",
+        "event_id",
+    )
     runs = (
-        ev.select(
+        flagged.select(
             "user_id",
             "event_type",
-            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+            F.sum("is_new_run").over(w_run).alias("run_id"),
         )
-        .groupBy("user_id", "event_type", "grp")
+        .groupBy("user_id", "run_id", "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
     )
     return runs.groupBy("event_type", "run_len").agg(
@@ -419,9 +433,12 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count-weighted sum and the mean (integer division) are exact
     BIGINT in any association order on any engine.
 
-    Scale: one shuffle on ``user_id`` covers the (user,type) count, the
-    per-user total (window over the same key), and the final rollup —
-    all map-side combinable, |users|·|types| intermediate rows.
+    Scale: the raw scan collapses to |users|·|types| rows in a map-side-
+    combined (user,type) aggregate — the only full-data shuffle carries
+    combined counts, not events. The per-user total and final rollup then
+    re-key the TINY aggregate on ``user_id`` (one more exchange of
+    |users|·|types| rows — deliberately kept instead of pre-partitioning
+    by user_id, which would shuffle raw events and lose the combine).
     """
     ev = load_table(spark, sf_dir, "events")
     cnts = ev.groupBy("user_id", "event_type").agg(
@@ -651,6 +668,8 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " cs_s -> cs_s.cval)"
             ).alias("centroid")
         )
+        .cache()  # both self-join sides read this K-row table — scan the
+        # exploded corpus once, not twice
     )
     a = cent.select(
         F.col("label").alias("label_a"), F.col("centroid").alias("ca")

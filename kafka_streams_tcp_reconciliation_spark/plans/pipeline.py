@@ -972,7 +972,9 @@ def bloom_decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id", "g")
     )
     return (
-        cand.join(ev, "g")  # exact verify: drops Bloom false positives
+        # exact verify: drops Bloom false positives; the eval gram set is
+        # small by the same assumption that sized the filter, so broadcast
+        cand.join(F.broadcast(ev), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

@@ -384,3 +384,42 @@ def test_new_analytics_plan_locks(spark, sf_dir):
                  "growth_accounting_daily", "wilson_ctr_by_user"):
         p = plan_of(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in p, name
+
+
+def test_mlprep_plan_locks(spark, sf_dir):
+    """Plan-shape locks for the ML-prep / retrieval-depth block."""
+    # full star flatten: every dimension broadcast, ZERO shuffles
+    p = plan_of(QUERIES["star_flatten_wide"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 7, p
+    assert "Exchange hashpartitioning" not in p, p
+    # nearest-in-time join: one user_id shuffle, ONE shared sort for both
+    # carry frames (forward + backward)
+    p = plan_of(QUERIES["nearest_event_join"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Sort ") == 1, p
+    # run-length encoding: lag+running-sum keeps every window on user_id —
+    # one raw-data shuffle + one sort; run aggregate rides the same
+    # partitioning (only the tiny rollup re-keys)
+    p = plan_of(QUERIES["event_type_runlengths"](spark, sf_dir))
+    assert p.count("Sort ") == 1, p
+    # drawdown: stacked running windows share one exchange + one sort
+    p = plan_of(QUERIES["value_drawdown_per_user"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Sort ") == 1, p
+    # norm outliers: moment stats come back as a 1-row broadcast, and the
+    # vector column never shuffles
+    p = plan_of(QUERIES["embedding_norm_outliers"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "Exchange hashpartitioning" not in p, p
+    # winsorize: the |types|-row cut table broadcasts back over the scan
+    p = plan_of(QUERIES["winsorize_values_by_type"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    # kNN vote: broadcast query set, per-partition top-k pruning
+    p = plan_of(QUERIES["knn_label_accuracy"](spark, sf_dir))
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
+    # Bloom decontamination: word-table joins broadcast (the train side
+    # must never shuffle before the verify join), verify side broadcast too
+    p = plan_of(QUERIES["bloom_decontaminate_train_eval"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p, p
