@@ -23,7 +23,12 @@ DuckDB oracle:
   cumulative value series (sequential-fold running sum, same order both
   engines),
 - ``label_centroid_distances`` — pairwise cosine distance matrix between
-  per-label embedding centroids (cluster-separation diagnostic).
+  per-label embedding centroids (cluster-separation diagnostic),
+- ``knn_label_accuracy`` — leave-one-out kNN majority-vote label
+  validation (label-quality gate for a labeled corpus),
+- ``mmr_diversified_topk`` — Maximal Marginal Relevance diversified
+  retrieval (Carbonell & Goldstein, SIGIR'98), greedy loop unrolled as
+  pool-sized broadcast joins — no driver-side collect.
 
 House rules as everywhere (SURVEY.md §5.2): identical aliases both sides,
 deterministic tiebreaks, float math either quantized-to-int64/DECIMAL
@@ -787,4 +792,164 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("pred_label"),
             (F.col("label") == F.col("true_label")).alias("is_correct"),
         )
+    )
+
+
+# --- MMR diversified top-k retrieval -----------------------------------------
+
+_MMR_POOL = 20  # relevance-ranked candidate pool size
+_MMR_K = 5  # diversified picks
+_MMR_LAMBDA = 0.7  # relevance weight; (1-λ) penalizes redundancy
+
+
+def _mmr_oracle() -> str:
+    """Chained-CTE DuckDB oracle: the greedy MMR loop unrolled to K picks.
+
+    Each step picks argmax over the remaining pool of
+    ``λ·rel − (1−λ)·max_{s∈selected} sim(c, s)`` with vec_id tiebreak;
+    rel/sim are round(cosine, 6) so both engines score identical doubles.
+    """
+    pool = f"""
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    pool AS (
+        SELECT neighbor_id, rel FROM (
+            SELECT e.vec_id AS neighbor_id,
+                   round({sim.duck_cosine_expr("q.qv", "e.embedding")}, 6)
+                       AS rel,
+                   row_number() OVER (
+                       ORDER BY round(
+                           {sim.duck_cosine_expr("q.qv", "e.embedding")}, 6
+                       ) DESC, e.vec_id
+                   ) AS rn
+            FROM embeddings e, q WHERE e.vec_id != 0
+        ) WHERE rn <= {_MMR_POOL}
+    ),
+    sims AS (
+        SELECT a.neighbor_id AS ia, b.neighbor_id AS ib,
+               round({sim.duck_cosine_expr("pa.embedding", "pb.embedding")}, 6)
+                   AS s
+        FROM pool a JOIN embeddings pa ON a.neighbor_id = pa.vec_id
+        JOIN pool b ON a.neighbor_id != b.neighbor_id
+        JOIN embeddings pb ON b.neighbor_id = pb.vec_id
+    )"""
+    steps = [
+        """
+    s1 AS (
+        SELECT neighbor_id, {lam} * rel AS score FROM pool
+        ORDER BY {lam} * rel DESC, neighbor_id LIMIT 1
+    )""".format(lam=_MMR_LAMBDA)
+    ]
+    for k in range(2, _MMR_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT neighbor_id FROM s{j}" for j in range(1, k)
+        )
+        steps.append(f"""
+    sel{k} AS ({prev_union}),
+    s{k} AS (
+        SELECT c.neighbor_id,
+               {_MMR_LAMBDA} * c.rel
+                 - {round(1 - _MMR_LAMBDA, 10)} * max(sims.s) AS score
+        FROM pool c
+        JOIN sims ON sims.ia = c.neighbor_id
+                 AND sims.ib IN (SELECT neighbor_id FROM sel{k})
+        WHERE c.neighbor_id NOT IN (SELECT neighbor_id FROM sel{k})
+        GROUP BY c.neighbor_id, c.rel
+        ORDER BY score DESC, c.neighbor_id LIMIT 1
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS rank, neighbor_id, round(score, 6) AS score FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return "WITH " + pool + "," + ",".join(steps) + f" {finals}"
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance retrieval (Carbonell & Goldstein,
+    SIGIR'98 — public algorithm): greedily pick K results balancing
+    relevance to the query (vec 0) against redundancy with what's
+    already picked — the diversified top-k every RAG stack runs after
+    raw ANN.
+
+    Scale: the candidate pool (top-|pool| by relevance) comes from the
+    broadcast-query corpus scan with WindowGroupLimit pruning — the only
+    corpus-sized stage. The greedy loop is unrolled K−1 times over the
+    POOL-sized relation (broadcast joins over ≤20 rows, never collected
+    to the driver): each step anti-joins the picked set, takes max
+    similarity to it per candidate, and argmaxes via a 20-row sort.
+    Driver cost is plan-size only; all data stays in executors.
+
+    Determinism: rel and pairwise sims are round(cosine,6); MMR scores
+    combine those rounded doubles with identical float ops both engines,
+    tie-break on vec_id.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "embedding",
+            F.round(sim.cosine_expr("qv", "embedding"), 6).alias("rel"),
+        )
+    )
+    pool = (
+        # TakeOrderedAndProject: per-partition k-heaps + a k-row merge —
+        # never a global sort (a global row_number window would funnel the
+        # whole corpus through one partition)
+        scored.orderBy(F.col("rel").desc(), F.col("neighbor_id").asc())
+        .limit(_MMR_POOL)
+        .select("neighbor_id", "embedding", "rel")
+        .cache()
+    )
+    a = pool.select(
+        F.col("neighbor_id").alias("ia"), F.col("embedding").alias("ea")
+    )
+    b = pool.select(
+        F.col("neighbor_id").alias("ib"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select("ia", "ib", F.round(sim.cosine_expr("ea", "eb"), 6).alias("s"))
+        .cache()
+    )
+    lam = F.lit(_MMR_LAMBDA)
+    mu = F.lit(round(1 - _MMR_LAMBDA, 10))
+    first = (
+        pool.select(
+            F.lit(1).alias("rank"),
+            "neighbor_id",
+            (lam * F.col("rel")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+        .limit(1)
+    )
+    picks = first
+    for k in range(2, _MMR_K + 1):
+        sel = picks.select("neighbor_id")
+        cand = pool.join(F.broadcast(sel), "neighbor_id", "left_anti")
+        step = (
+            cand.join(
+                F.broadcast(
+                    sims.join(
+                        F.broadcast(sel.withColumnRenamed("neighbor_id", "ib")),
+                        "ib",
+                    )
+                ),
+                cand.neighbor_id == F.col("ia"),
+            )
+            .groupBy(cand.neighbor_id, "rel")
+            .agg(F.max("s").alias("max_sim"))
+            .select(
+                F.lit(k).alias("rank"),
+                "neighbor_id",
+                (lam * F.col("rel") - mu * F.col("max_sim")).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+            .limit(1)
+        )
+        picks = picks.unionAll(step)
+    return picks.select(
+        "rank", "neighbor_id", F.round("score", 6).alias("score")
     )

@@ -513,3 +513,29 @@ def test_growth_stream_converges(spark, sf_dir, event_stream):
     for c in ("n_new", "n_retained", "n_resurrected", "n_active"):
         counts[c] = counts[c].astype(want[c].dtype)
     pd.testing.assert_frame_equal(canon(counts), canon(want))
+
+
+def test_nearest_enrich_stream_matches_batch(spark, sf_dir, event_stream):
+    """J9 bidirectional: the pending-purchase FSM resolves each purchase at
+    its user's next click with exactly the batch nearest_event_join row.
+    Purchases with no later click have no decision point in the data and
+    stay in state (a production deployment evicts them with a T3 timer),
+    so the convergence set is the batch rows whose user clicks again."""
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+    from kafka_streams_tcp_reconciliation_spark.streaming.nearest import (
+        nearest_enrich_stream,
+    )
+
+    got = run_stream(
+        spark, nearest_enrich_stream(event_stream), "append", "t_nearest"
+    )
+    want = all_queries()["nearest_event_join"](spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    clicks = ev[ev["event_type"] == "click"][["user_id", "ts"]]
+    purchases = ev[ev["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+    last_click = clicks.groupby("user_id")["ts"].max().rename("last_click_ts")
+    decided = purchases.join(last_click, on="user_id")
+    decided = decided[decided["last_click_ts"] > decided["ts"]]["event_id"]
+    want = want[want["purchase_id"].isin(set(decided))]
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(canon(got), canon(want))
