@@ -1,0 +1,159 @@
+"""Properties of the ML-prep block (plans/mlprep.py): independent plain-
+Python re-derivations complementing the DuckDB differential (which cannot
+catch a rule that is wrong the same way in both mirrored pipelines).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from kafka_streams_tcp_reconciliation_spark.plans import all_queries
+from kafka_streams_tcp_reconciliation_spark.plans.mlprep import (
+    _MMR_K,
+    _MMR_LAMBDA,
+    _MMR_POOL,
+    _NEAREST_TOL_US,
+)
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+QUERIES = all_queries()
+
+
+def test_nearest_event_join_matches_bruteforce(spark, sf_dir):
+    """Every purchase's match equals the plain argmin-|gap| scan over that
+    user's clicks (tie -> earlier click), independently re-derived row by
+    row in Python."""
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    got = {
+        r.purchase_id: (r.click_id, r.gap_us)
+        for r in QUERIES["nearest_event_join"](spark, sf_dir)
+        .toPandas()
+        .itertuples(index=False)
+    }
+    clicks_by_user: dict[int, list[tuple[int, int]]] = {}
+    for r in ev[ev["event_type"] == "click"].itertuples(index=False):
+        clicks_by_user.setdefault(int(r.user_id), []).append(
+            (int(pd.Timestamp(r.ts).value // 1000), int(r.event_id))
+        )
+    purchases = ev[ev["event_type"] == "purchase"]
+    assert len(got) == len(purchases)
+    for r in purchases.itertuples(index=False):
+        p_ts = int(pd.Timestamp(r.ts).value // 1000)
+        best = None  # (abs_gap, prefer_backward_rank, click_id, signed_gap)
+        for c_ts, c_id in clicks_by_user.get(int(r.user_id), []):
+            gap = c_ts - p_ts
+            if abs(gap) > _NEAREST_TOL_US:
+                continue
+            # backward (gap <= 0) wins ties against forward
+            key = (abs(gap), 0 if gap <= 0 else 1)
+            # among equal-ts clicks the batch carry keeps the LAST in
+            # (ts, event_id) order for backward, FIRST for forward
+            if best is None or key < best[0]:
+                best = (key, c_id, gap)
+            elif key == best[0]:
+                if gap <= 0:  # backward: larger event_id wins (later carry)
+                    if c_id > best[1]:
+                        best = (key, c_id, gap)
+                else:  # forward: smaller event_id wins (first in order)
+                    if c_id < best[1]:
+                        best = (key, c_id, gap)
+        want = (best[1], best[2]) if best else (None, None)
+        g = got[r.event_id]
+        g = (
+            None if pd.isna(g[0]) else int(g[0]),
+            None if pd.isna(g[1]) else int(g[1]),
+        )
+        assert g == want, (r.event_id, g, want)
+
+
+def test_drawdown_matches_bruteforce(spark, sf_dir):
+    """Per-user max drawdown equals the direct peak-trough scan of the
+    cumulative series in event order."""
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    got = {
+        int(r.user_id): r.max_drawdown
+        for r in QUERIES["value_drawdown_per_user"](spark, sf_dir)
+        .toPandas()
+        .itertuples(index=False)
+    }
+    for uid, grp in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        cum = 0.0
+        peak = -math.inf
+        dd = 0.0
+        for v in grp["value"]:
+            cum += float(v)
+            peak = max(peak, cum)
+            dd = max(dd, peak - cum)
+        assert abs(got[int(uid)] - round(dd, 6)) < 1e-9, (uid, got[int(uid)], dd)
+
+
+def test_winsorize_invariants(spark, sf_dir):
+    """Cut points and clamp counts respect their defining inequalities:
+    p05 <= p95, each tail clamps < 6% of rows (ceil semantics), and the
+    counts match a direct recount against the reported cuts."""
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    out = QUERIES["winsorize_values_by_type"](spark, sf_dir).toPandas()
+    for r in out.itertuples(index=False):
+        vals = ev[ev["event_type"] == r.event_type]["value"]
+        assert r.p05 <= r.p95
+        assert r.n == len(vals)
+        # reported cuts are rounded for display; recount with a tolerance
+        # band and require the exact count to sit inside it
+        lo_hi = (vals < r.p05 - 1e-6).sum(), (vals < r.p05 + 1e-6).sum()
+        assert lo_hi[0] <= r.n_clamped_low <= lo_hi[1], (r, lo_hi)
+        hi = (vals > r.p95 + 1e-6).sum(), (vals > r.p95 - 1e-6).sum()
+        assert hi[0] <= r.n_clamped_high <= hi[1], (r, hi)
+        assert r.n_clamped_low <= math.ceil(0.05 * r.n)
+        assert r.n_clamped_high <= r.n - math.ceil(0.95 * r.n) + 1
+
+
+def test_entropy_bounds_and_degenerate_case(spark, sf_dir):
+    """0 <= H <= ln(#types); a user with a single event type scores
+    exactly 0 micro-nats."""
+    out = QUERIES["user_event_entropy"](spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    n_types = ev["event_type"].nunique()
+    assert (out["entropy_micro_nats"] >= 0).all()
+    assert (out["entropy_micro_nats"] <= int(math.log(n_types) * 1e6) + 1).all()
+    single = ev.groupby("user_id")["event_type"].nunique()
+    for uid in single[single == 1].index:
+        row = out[out["user_id"] == uid]
+        if len(row):
+            assert int(row["entropy_micro_nats"].iloc[0]) == 0
+
+
+def test_mmr_picks_are_distinct_pool_members(spark, sf_dir):
+    """MMR returns K distinct picks, the first is the raw-relevance argmax,
+    and scores are monotonically achievable (first score >= lambda * any
+    later pick's relevance contribution can't be asserted in general, but
+    rank-1 must dominate rank-2's score)."""
+    out = (
+        QUERIES["mmr_diversified_topk"](spark, sf_dir)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert list(out["rank"]) == list(range(1, _MMR_K + 1))
+    assert out["neighbor_id"].nunique() == _MMR_K
+    assert out.iloc[0]["score"] >= out.iloc[1]["score"] - 1e-9
+    assert 0 < _MMR_LAMBDA < 1 and _MMR_K <= _MMR_POOL
+
+
+def test_knn_accuracy_output_invariants(spark, sf_dir):
+    """Structural invariants of the vote: one row per query, predictions
+    drawn from the label domain, is_correct consistent with the equality
+    it claims. (The fixture's labels are INDEPENDENT of the vectors —
+    measured mean pairwise cosine is ~0 both within and across labels —
+    so accuracy itself is ~1/#labels by construction; the differential
+    oracle already pins the exact votes.)"""
+    out = QUERIES["knn_label_accuracy"](spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "embeddings").toPandas()
+    n_queries = (ev["vec_id"] < 100).sum()
+    assert len(out) == n_queries
+    assert out["query_id"].is_unique
+    labels = set(ev["label"])
+    assert set(out["pred_label"]).issubset(labels)
+    assert (
+        out["is_correct"] == (out["pred_label"] == out["true_label"])
+    ).all()
