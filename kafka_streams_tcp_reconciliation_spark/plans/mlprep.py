@@ -953,3 +953,76 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picks.select(
         "rank", "neighbor_id", F.round("score", 6).alias("score")
     )
+
+
+# --- audience overlap matrix -------------------------------------------------
+
+
+@register(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH aud AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM aud
+        GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM aud a JOIN aud b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_both * 1000000 // (sa.n + sb.n - i.n_both) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON i.type_a = sa.event_type
+    JOIN sizes sb ON i.type_b = sb.event_type
+    """,
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: |users(A) ∩
+    users(B)| and the Jaccard similarity of the two audiences, in exact
+    integer ppm — the segment-overlap matrix an ads/growth stack
+    computes before budget allocation.
+
+    Scale: the raw stream first collapses to the DISTINCT (type, user)
+    audience relation (map-side combinable — the only event-volume
+    stage); the intersection self-join is keyed on ``user_id``, so cost
+    is Σ_user deg(user)² with deg ≤ #types (bounded fan-out, never
+    |A|·|B|); sizes is a |types|-row broadcast. Jaccard via
+    inclusion-exclusion needs no union materialization. All integer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct().cache()
+    sizes = aud.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(n_both * 1000000 DIV (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
