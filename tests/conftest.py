@@ -26,10 +26,23 @@ def sf_dir() -> str:
     return SF_DIR
 
 
-@pytest.fixture(scope="session")
-def duck(sf_dir):
-    """DuckDB connection with the same views the driver pre-registers."""
+@pytest.fixture(scope="function")
+def duck(sf_dir, tmp_path_factory):
+    """DuckDB connection with the same views the driver pre-registers.
+
+    FUNCTION-scoped with a memory cap + disk spill dir: a session-scoped
+    connection accumulates buffer-pool memory across the ~196 oracles
+    (by ~query 94 of an sf0.1 full run it had eaten everything up to its
+    limit — the machine's RAM at the default ~80%-of-RAM limit, killing
+    the run with MemoryError; a 24 GB cap merely moved the OOM inside
+    DuckDB). A fresh connection per test releases everything; view
+    registration is microseconds.
+    """
     con = duckdb.connect()
+    con.execute("SET memory_limit = '24GB'")
+    con.execute(
+        f"SET temp_directory = '{tmp_path_factory.mktemp('duck_spill')}'"
+    )
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         con.execute(

@@ -53,7 +53,14 @@ def values_equal(a, b) -> bool:
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
-    spark_df = QUERIES[name](spark, sf_dir).toPandas()
+    try:
+        spark_df = QUERIES[name](spark, sf_dir).toPandas()
+    finally:
+        # several queries cache() intermediates as scan barriers; drop them
+        # so cached blocks don't accumulate across a 196-query session
+        # (at sf0.1 the buildup contributed to machine-wide memory
+        # exhaustion alongside DuckDB's default 80%-of-RAM limit)
+        spark.catalog.clearCache()
     duck_df = duck.execute(ORACLES[name]).fetchdf()
 
     assert len(spark_df) == len(duck_df), (
