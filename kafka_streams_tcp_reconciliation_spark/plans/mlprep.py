@@ -1026,3 +1026,63 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# --- bitmap-index exact distinct ---------------------------------------------
+
+
+@register(
+    "bitmap_distinct_users_by_type",
+    oracle="""
+    WITH words AS (
+        -- DuckDB raises on 1<<63 (sign-bit overflow) where Java wraps to
+        -- INT64_MIN; spell the sign bit explicitly so both engines build
+        -- the identical word
+        SELECT event_type, user_id // 64 AS w,
+               CAST(bit_or(CASE WHEN user_id % 64 = 63
+                                THEN -9223372036854775808
+                                ELSE CAST(1 AS BIGINT)
+                                     << CAST(user_id % 64 AS INT) END)
+                    AS BIGINT) AS bits
+        FROM events GROUP BY event_type, w
+    )
+    SELECT event_type,
+           CAST(sum(bit_count(bits)) AS BIGINT) AS n_users
+    FROM words GROUP BY event_type
+    """,
+)
+def bitmap_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts per event type via a roaring-style user
+    bitmap: user u sets bit ``u mod 64`` of int64 word ``u div 64``;
+    words merge with ``bit_or`` and the count is Σ popcount(word).
+
+    This is the third distinct-count tier next to ``count_distinct``
+    (exact, shuffles user ids) and HLL (approximate, constant state):
+    bitmaps are EXACT and MERGEABLE — segment stores keep one bitmap per
+    (dimension value) and answer any boolean audience combination with
+    bitwise ops, never rescanning the fact table.
+
+    Scale: the (type, word) aggregate is map-side combinable — shuffle
+    volume is bounded by |types| × |user-id-space|/64 WORDS (8 bytes
+    each, independent of event count); the popcount rollup touches only
+    word rows. Dense ids make the flat bitmap optimal; sparse id spaces
+    switch to per-chunk containers (the roaring trick) with the same
+    two-level plan. Everything is int64; the oracle mirrors the exact
+    construction, and ``user_erasure_audit``-style cohort predicates can
+    intersect these bitmaps without touching events again.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id DIV 64").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    return words.groupBy("event_type").agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users")
+    )
