@@ -1086,3 +1086,90 @@ def bitmap_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     return words.groupBy("event_type").agg(
         F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users")
     )
+
+
+# --- boolean audience algebra over bitmaps -----------------------------------
+
+_BM_SET = (
+    "CASE WHEN user_id % 64 = 63 THEN -9223372036854775808 "
+    "ELSE CAST(1 AS BIGINT) << CAST(user_id % 64 AS INT) END"
+)
+
+
+@register(
+    "bitmap_audience_combination",
+    oracle=f"""
+    WITH words AS (
+        SELECT user_id // 64 AS w,
+               CAST(bit_or(CASE WHEN event_type = 'click'
+                                THEN {_BM_SET} ELSE 0 END) AS BIGINT) AS c,
+               CAST(bit_or(CASE WHEN event_type = 'purchase'
+                                THEN {_BM_SET} ELSE 0 END) AS BIGINT) AS p,
+               CAST(bit_or(CASE WHEN event_type = 'error'
+                                THEN {_BM_SET} ELSE 0 END) AS BIGINT) AS e
+        FROM events GROUP BY w
+    )
+    SELECT 'click_and_purchase' AS segment,
+           CAST(sum(bit_count(c & p)) AS BIGINT) AS n_users FROM words
+    UNION ALL
+    SELECT 'click_not_purchase',
+           CAST(sum(bit_count(c & ~p)) AS BIGINT) FROM words
+    UNION ALL
+    SELECT 'purchase_no_error',
+           CAST(sum(bit_count(c & p & ~e)) AS BIGINT) FROM words
+    """,
+)
+def bitmap_audience_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean audience algebra over user bitmaps — the reason segment
+    stores keep bitmaps at all: (clicked ∧ purchased), (clicked ∧
+    ¬purchased), (clicked ∧ purchased ∧ ¬errored) answered with bitwise
+    AND/NOT + popcount, EXACTLY, without rescanning or re-shuffling the
+    fact table per combination.
+
+    Scale: ONE pass builds all three per-word bitmaps simultaneously
+    (conditional bit_or in a single (w)-keyed map-side-combined
+    aggregate — no join between the per-type tables at all); every
+    boolean combination is then a row-local int64 expression over the
+    ≤|id-space|/64-row word table. Adding a 4th segment or a new
+    combination costs one more column/expression, not another scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    set_bit = F.expr(_BM_SET)
+    words = (
+        ev.select(
+            F.expr("user_id DIV 64").alias("w"),
+            F.when(F.col("event_type") == "click", set_bit)
+            .otherwise(0)
+            .alias("cm"),
+            F.when(F.col("event_type") == "purchase", set_bit)
+            .otherwise(0)
+            .alias("pm"),
+            F.when(F.col("event_type") == "error", set_bit)
+            .otherwise(0)
+            .alias("em"),
+        )
+        .groupBy("w")
+        .agg(
+            F.expr("bit_or(cm)").alias("c"),
+            F.expr("bit_or(pm)").alias("p"),
+            F.expr("bit_or(em)").alias("e"),
+        )
+    )
+    combos = [
+        ("click_and_purchase", "c & p"),
+        ("click_not_purchase", "c & ~p"),
+        ("purchase_no_error", "c & p & ~e"),
+    ]
+    parts = [
+        words.select(
+            F.lit(name).alias("segment"),
+            F.expr(f"CAST(bit_count({expr}) AS BIGINT)").alias("pc"),
+        )
+        .groupBy("segment")
+        .agg(F.sum("pc").cast("long").alias("n_users"))
+        for name, expr in combos
+    ]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionAll(pdf)
+    return out
