@@ -1173,3 +1173,71 @@ def bitmap_audience_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pdf in parts[1:]:
         out = out.unionAll(pdf)
     return out
+
+
+# --- feature-wise embedding statistics ---------------------------------------
+
+
+@register(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH q AS (
+        SELECT pos,
+               CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qv
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+    ),
+    moments AS (
+        SELECT pos, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qv) AS BIGINT) AS s1,
+               CAST(sum(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS s2
+        FROM q GROUP BY pos
+    )
+    SELECT pos, n,
+           CAST(s1 // n AS BIGINT) AS mean_micro,
+           CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+                // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_micro2
+    FROM moments
+    """,
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-wise (per-dimension) mean and variance of the embedding
+    corpus — the normalization statistics computed before feature
+    scaling, whitening, or PQ codebook training.
+
+    Determinism: components quantize ONCE to integer micro-units; mean
+    and variance come from the exact integer identities (floor division,
+    var = (n·Σq²−(Σq)²) div n²) with HUGEINT/DECIMAL(38,0) cross
+    products — no float accumulation, no cross-engine epsilon.
+
+    Scale: posexplode then ONE map-side-combined aggregate keyed on the
+    64 dimension ids — the shuffle carries 64×partitions partial-moment
+    rows regardless of corpus size. (s1 can be negative: BOTH engines'
+    integer division truncates toward zero — DuckDB's BIGINT `//` and
+    Spark's `DIV` — verified by the differential, so no floor emulation
+    is needed; the variance numerator is a square, always non-negative.)
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias("qv"),
+    )
+    moments = q.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qv").cast("long").alias("s1"),
+        F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    return moments.select(
+        F.col("pos").cast("long").alias("pos"),
+        "n",
+        F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("var_micro2"),
+    )
