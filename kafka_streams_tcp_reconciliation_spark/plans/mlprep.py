@@ -1241,3 +1241,108 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
         ).alias("var_micro2"),
     )
+
+
+# --- row-pattern recognition over session paths ------------------------------
+
+_SPM_GAP_MIN = 30  # same gap knob as session_event_paths / session windows
+_SPM_PATTERN = "^v+c+p"  # views, then clicks, then a purchase — SQL:2016
+# MATCH_RECOGNIZE "A+ B+ C" over per-session event sequences
+
+
+@register(
+    "session_pattern_match_daily",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w
+                            >= INTERVAL '{_SPM_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               strftime(min(ts), '%Y-%m-%d') AS day,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (
+               WHERE regexp_matches(path, '{_SPM_PATTERN}')
+           ) AS BIGINT) AS n_matching,
+           CAST(count(*) FILTER (
+               WHERE regexp_matches(path, '{_SPM_PATTERN}')
+           ) * 1000000 // count(*) AS BIGINT) AS match_ppm
+    FROM paths GROUP BY day
+    """,
+)
+def session_pattern_match_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern recognition (the SQL:2016 MATCH_RECOGNIZE ``A+ B+ C``
+    shape) over sessionized event sequences: how many sessions per day
+    open with views, move to clicks, and reach a purchase — detected as
+    a REGEX over the session's compressed event-letter path ("vvccp…").
+
+    Spark has no MATCH_RECOGNIZE; compressing each bounded sequence to a
+    string and matching patterns as regexes is the scalable equivalent:
+    any concatenation/alternation/quantifier pattern compiles to a regex
+    over the letter alphabet, and the sequential scan the pattern engine
+    would do per session becomes one JVM regex per path row.
+
+    Scale: identical single-shuffle sessionization as
+    ``session_event_paths`` (stacked gap-flag + running-id windows, one
+    exchange); the path aggregate carries one LETTER per event; the
+    daily rollup is map-side combinable over |sessions| rows. Share is
+    exact integer ppm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (F.col("ts") - F.lag("ts").over(w)) >= F.expr(
+        f"INTERVAL {_SPM_GAP_MIN} MINUTES"
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("letter"),
+        F.when(F.lag("ts").over(w).isNull() | gap_ok, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sessions.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "letter"))
+                ),
+                lambda s: s["letter"],
+            ),
+            "",
+        ).alias("path"),
+    )
+    matched = F.col("path").rlike(_SPM_PATTERN)
+    return paths.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count(F.when(matched, 1)).cast("long").alias("n_matching"),
+        F.expr(
+            f"CAST(count(CASE WHEN path rlike '{_SPM_PATTERN}' THEN 1 END)"
+            " * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("match_ppm"),
+    )
