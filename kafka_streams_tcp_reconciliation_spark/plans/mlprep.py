@@ -1346,3 +1346,108 @@ def session_pattern_match_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV count(*) AS BIGINT)"
         ).alias("match_ppm"),
     )
+
+
+# --- LTV cohort value triangle -----------------------------------------------
+
+
+@register(
+    "ltv_cohort_value_matrix",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    purch AS (
+        SELECT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+               CAST(round(e.value * 1000000) AS BIGINT) AS v_micro
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(v_micro) AS BIGINT) AS sum_value_micro
+    FROM purch GROUP BY cohort_day, day_offset
+    """,
+)
+def ltv_cohort_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV cohort triangle: users grouped by first-seen day, purchase
+    value accumulated per (cohort, days-since-acquisition) cell — the
+    matrix every growth team integrates into lifetime-value curves.
+
+    Determinism: purchase values quantize ONCE to integer micro-units,
+    so the per-cell sums are exact int64 in any association order (a
+    raw double sum across rows would be engine-order-dependent).
+
+    Scale: first-seen is a map-side-combined min per user; the cohort
+    tag joins back on ``user_id`` (co-partitioned with the purchase
+    filter — one shuffle each side, and the firsts relation is
+    |users|-sized, broadcastable when users ≪ events); the cell rollup
+    is map-side combinable, |cohorts|·|offsets| output rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("v_micro"),
+        )
+    )
+    return purch.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+    ).agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum("v_micro").cast("long").alias("sum_value_micro"),
+    )
+
+
+# --- stratified k-fold assignment --------------------------------------------
+
+_KFOLD = 5
+
+
+@register(
+    "stratified_kfold_sizes",
+    oracle=f"""
+    SELECT lang,
+           CAST((doc_id * 2654435761) % 1000000007 % {_KFOLD} AS BIGINT)
+               AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY lang, fold
+    """,
+)
+def stratified_kfold_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment audit: every document
+    lands in one of {_KFOLD} folds via a pure hash of its id (RNG-free,
+    reproducible on any engine/cluster — the same contract as
+    ``split_train_valid_test``), and the audit reports per-(lang, fold)
+    document and character counts so fold balance is verifiable before a
+    cross-validation run.
+
+    Scale: one map-side-combined aggregate over the corpus scan; the
+    fold expression is a narrow per-row int64 computation, so adding the
+    fold column to a training shard write is free. |langs|·k output rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "lang",
+        F.expr(
+            f"CAST((doc_id * 2654435761) % 1000000007 % {_KFOLD} AS BIGINT)"
+        ).alias("fold"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
