@@ -1451,3 +1451,224 @@ def stratified_kfold_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
+
+
+# --- binary-signature (Hamming) similarity tier ------------------------------
+
+_HAM_QUERIES = 100
+_HAM_K = 10
+
+# sign bit of component i -> bit i of an int64 signature; bit 63 spelled as
+# INT64_MIN (DuckDB raises on 1<<63 where Java wraps)
+_SIG_SPARK = (
+    "aggregate(zip_with(embedding, sequence(0, 63), (cs_v, cs_i) ->"
+    " CASE WHEN cs_v >= 0 THEN CASE WHEN cs_i = 63"
+    " THEN -9223372036854775808"
+    " ELSE shiftleft(CAST(1 AS BIGINT), CAST(cs_i AS INT)) END"
+    " ELSE CAST(0 AS BIGINT) END),"
+    " CAST(0 AS BIGINT), (cs_a, cs_x) -> cs_a | cs_x)"
+)
+_SIG_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, 65), cs_i ->"
+    " CASE WHEN embedding[cs_i] >= 0 THEN CASE WHEN cs_i = 64"
+    " THEN CAST(-9223372036854775808 AS BIGINT)"
+    " ELSE CAST(1 AS BIGINT) << CAST(cs_i - 1 AS INT) END"
+    " ELSE CAST(0 AS BIGINT) END)),"
+    " (cs_a, cs_x) -> cs_a | cs_x)"
+)
+
+
+@register(
+    "similarity_hamming_topk",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, {_SIG_DUCK} AS sig FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, sig AS qs FROM sigs
+          WHERE vec_id < {_HAM_QUERIES}),
+    scored AS (
+        SELECT query_id, s.vec_id AS neighbor_id,
+               CAST(bit_count(xor(qs, s.sig)) AS BIGINT) AS hamming
+        FROM q JOIN sigs s ON s.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY hamming, neighbor_id
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= {_HAM_K}
+    """,
+)
+def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-signature ANN serving tier: each embedding collapses to a
+    64-bit SIGN signature (1 bit per dimension — 256× smaller than the
+    float vector), and top-k neighbors rank by Hamming distance
+    (popcount of XOR) — the cheapest large-scale pre-ranking filter,
+    upstream of exact cosine re-scoring (compose with
+    ``similarity_topk_bruteforce`` on the survivors).
+
+    Scale: signatures are one int64 per vector, built in a narrow
+    shuffle-free fold; the query set broadcasts and each comparison is
+    two ALU ops, so the scan is memory-bandwidth-bound at ~8 bytes per
+    corpus vector — the signature table for a billion vectors is 8 GB,
+    cacheable where the float corpus (256 GB) is not. Integer distances
+    make rank tiebreaks exact on both engines. WindowGroupLimit prunes
+    per partition before the single query_id shuffle.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", F.expr(_SIG_SPARK).alias("sig"))
+    q = sigs.filter(F.col("vec_id") < _HAM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qs")
+    )
+    scored = (
+        sigs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr("CAST(bit_count(qs ^ sig) AS BIGINT)").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _HAM_K)
+    )
+
+
+# --- CUPED-adjusted A/B lift -------------------------------------------------
+
+# arms: deterministic user_id parity; periods: first/last half of the
+# 30-day window, split at the data midpoint (broadcast scalar — replayable)
+
+
+@register(
+    "cuped_ab_lift",
+    oracle="""
+    WITH tsu AS (
+        SELECT user_id, event_type, value,
+               date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS t_us
+        FROM events
+    ),
+    bounds AS (
+        -- interval/2 truncates the DAYS component in DuckDB (loses 12 h
+        -- on odd spans) — the midpoint must be pure integer microseconds
+        SELECT (min(t_us) + max(t_us)) // 2 AS mid_us FROM tsu
+    ),
+    per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(sum(CASE WHEN t_us < mid_us AND event_type = 'purchase'
+                             THEN CAST(round(value * 1000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x_micro,
+               CAST(sum(CASE WHEN t_us >= mid_us AND event_type = 'purchase'
+                             THEN CAST(round(value * 1000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y_micro
+        FROM tsu CROSS JOIN bounds
+        GROUP BY user_id
+    ),
+    theta AS (
+        SELECT CAST(round(
+                 CAST(count(*) * sum(CAST(x_micro AS HUGEINT) * y_micro)
+                      - CAST(sum(x_micro) AS HUGEINT) * sum(y_micro)
+                      AS DOUBLE)
+                 / CAST(count(*) * sum(CAST(x_micro AS HUGEINT) * x_micro)
+                        - CAST(sum(x_micro) AS HUGEINT) * sum(x_micro)
+                        AS DOUBLE) * 1000000) AS BIGINT) AS theta_ppm,
+               CAST(sum(x_micro) AS BIGINT) AS sx_all,
+               CAST(count(*) AS BIGINT) AS n_all
+        FROM per_user
+    )
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(y_micro) / count(*) / 1000000.0, 6) AS mean_y,
+           round((sum(y_micro) / count(*)
+                  - max(theta.theta_ppm) / 1000000.0
+                    * (sum(x_micro) / count(*)
+                       - max(theta.sx_all) * 1.0 / max(theta.n_all)))
+                 / 1000000.0, 6) AS adjusted_mean_y
+    FROM per_user CROSS JOIN theta
+    GROUP BY arm
+    """,
+)
+def cuped_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 — public
+    method): per-arm post-period purchase value, adjusted by the
+    pre-period covariate — ŷ_adj = ȳ_arm − θ·(x̄_arm − x̄) with
+    θ = cov(x,y)/var(x) — the experimentation-platform standard for
+    cutting metric variance without bias.
+
+    Determinism: per-user sums quantize to integer micro-units; θ's
+    co-moments are exact HUGEINT/DECIMAL cross products with ONE float
+    division, rounded ONCE to integer ppm; the arm-level adjustment is a
+    single mirrored float expression over exact integer aggregates,
+    rounded at output.
+
+    Scale: one map-side-combined pass builds per-user (x, y); θ and the
+    global means are a 1-row broadcast; the arm rollup is 2 rows. The
+    midpoint split is a broadcast scalar, never a collected literal.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tsu = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', ts)"
+        ).alias("t_us"),
+    )
+    bounds = tsu.agg(
+        F.expr("(min(t_us) + max(t_us)) DIV 2").alias("mid_us")
+    )
+    per_user = (
+        tsu.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN t_us < mid_us AND event_type = 'purchase'"
+                " THEN CAST(round(value * 1000000) AS BIGINT)"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("x_micro"),
+            F.expr(
+                "CAST(sum(CASE WHEN t_us >= mid_us AND event_type = 'purchase'"
+                " THEN CAST(round(value * 1000000) AS BIGINT)"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("y_micro"),
+        )
+        .select(
+            F.expr("CAST(user_id % 2 AS BIGINT)").alias("arm"),
+            "x_micro",
+            "y_micro",
+        )
+    )
+    theta = per_user.agg(
+        F.expr(
+            "CAST(round("
+            " CAST(count(*) * sum(CAST(x_micro AS DECIMAL(38,0)) * y_micro)"
+            "      - CAST(sum(x_micro) AS DECIMAL(38,0)) * sum(y_micro)"
+            "      AS DOUBLE)"
+            " / CAST(count(*) * sum(CAST(x_micro AS DECIMAL(38,0)) * x_micro)"
+            "        - CAST(sum(x_micro) AS DECIMAL(38,0)) * sum(x_micro)"
+            "        AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias("theta_ppm"),
+        F.sum("x_micro").cast("long").alias("sx_all"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.expr(
+                "round(sum(y_micro) / count(*) / 1000000.0, 6)"
+            ).alias("mean_y"),
+            F.expr(
+                "round((sum(y_micro) / count(*)"
+                " - max(theta_ppm) / 1000000.0"
+                "   * (sum(x_micro) / count(*)"
+                "      - max(sx_all) * 1.0 / max(n_all)))"
+                " / 1000000.0, 6)"
+            ).alias("adjusted_mean_y"),
+        )
+    )
