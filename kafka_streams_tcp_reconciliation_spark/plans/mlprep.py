@@ -1672,3 +1672,145 @@ def cuped_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adjusted_mean_y"),
         )
     )
+
+
+# --- contrastive-training pair generation ------------------------------------
+
+_NEG_PER_DOC = 2
+_NEG_STRIDE = 40503  # odd stride decorrelates the j-th negative streams
+
+
+@register(
+    "negative_sampling_pairs",
+    oracle=f"""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    cand AS (
+        SELECT d.doc_id, j,
+               (d.doc_id * 2654435761 + j * {_NEG_STRIDE}) % n.n_docs
+                   AS neg_id,
+               d.source AS src_a
+        FROM documents d
+        CROSS JOIN n
+        CROSS JOIN (SELECT unnest(range(1, {_NEG_PER_DOC} + 1)) AS j)
+    )
+    SELECT c.doc_id, CAST(c.j AS BIGINT) AS j, c.neg_id,
+           c.src_a = nd.source AS same_source
+    FROM cand c JOIN documents nd ON c.neg_id = nd.doc_id
+    WHERE c.neg_id != c.doc_id
+    """,
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document gets k pseudo-random partners drawn by a hash jump over the
+    contiguous id space — RNG-free, so the pair set is reproducible
+    across engines, retries, and cluster sizes (the same contract as the
+    corpus split). ``same_source`` is surfaced because in-domain
+    negatives are harder (and sometimes false) negatives — the audit
+    every contrastive pipeline runs on its pair generator.
+
+    Scale: the generator is a narrow k-way fan-out (no shuffle); the
+    attribute fetch is one equi-join on ``neg_id`` — co-partitionable
+    with the corpus, and the uniform hash jump guarantees no hot
+    ``neg_id`` keys. Self-pairs are dropped, never resampled, keeping
+    the operator one-pass (the loss treats a missing negative as
+    padding).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    cand = (
+        docs.select("doc_id", F.col("source").alias("src_a"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "src_a",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_NEG_PER_DOC))
+            ).alias("j"),
+            "n_docs",
+        )
+        .select(
+            "doc_id",
+            F.col("j").cast("long").alias("j"),
+            F.expr(
+                f"(doc_id * 2654435761 + j * {_NEG_STRIDE}) % n_docs"
+            ).alias("neg_id"),
+            "src_a",
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    nd = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("src_b")
+    )
+    return cand.join(nd, "neg_id").select(
+        "doc_id",
+        "j",
+        "neg_id",
+        (F.col("src_a") == F.col("src_b")).alias("same_source"),
+    )
+
+
+# --- hard-negative mining ----------------------------------------------------
+
+_HARDNEG_K = 5
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+        FROM embeddings WHERE vec_id < {_KNN_QUERIES}
+    ),
+    scored AS (
+        SELECT query_id, q_label, e.vec_id AS neg_id, e.label AS neg_label,
+               round({sim.duck_cosine_expr("qv", "e.embedding")}, 6) AS cosine
+        FROM q JOIN embeddings e
+          ON e.vec_id != q.query_id AND e.label != q.q_label
+    )
+    SELECT query_id, neg_id, neg_label, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neg_id
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= {_HARDNEG_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each labeled query vector, the most
+    SIMILAR vectors carrying a DIFFERENT label — the examples a
+    contrastive/metric-learning loss learns the most from (random
+    negatives like ``negative_sampling_pairs`` are mostly too easy).
+
+    Scale: same broadcast-query + WindowGroupLimit shape as the ANN
+    tiers, with the label-mismatch predicate pushed into the join so
+    same-label candidates never materialize. At corpus scale, run it
+    IVF-restricted (probe the query's top cells only) exactly like
+    ``knn_graph_within_cells`` — hard negatives are by definition near
+    the query, so cell pruning loses almost nothing.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(sim.cosine_expr("qv", "embedding"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _HARDNEG_K)
+    )
