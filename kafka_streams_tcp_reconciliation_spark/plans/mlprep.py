@@ -1154,6 +1154,8 @@ def bitmap_audience_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_or(pm)").alias("p"),
             F.expr("bit_or(em)").alias("e"),
         )
+        .cache()  # one fact scan + one word aggregate feed all three
+        # combination branches (uncached, each union branch rescans)
     )
     combos = [
         ("click_and_purchase", "c & p"),

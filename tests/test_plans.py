@@ -423,3 +423,28 @@ def test_mlprep_plan_locks(spark, sf_dir):
     p = plan_of(QUERIES["bloom_decontaminate_train_eval"](spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "CartesianProduct" not in p, p
+
+
+def test_mlprep_round2_late_plan_locks(spark, sf_dir):
+    """Plan locks for the bitmap / signature / experimentation block."""
+    # Hamming tier: signature scan + WindowGroupLimit pruning, no cartesian
+    p = plan_of(QUERIES["similarity_hamming_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in p and "CartesianProduct" not in p, p
+    # bitmap distinct: single fact scan, map-side-combined word aggregate
+    p = plan_of(QUERIES["bitmap_distinct_users_by_type"](spark, sf_dir))
+    assert p.count("Scan parquet") == 1, p
+    # audience algebra: the cached word table feeds all three branches —
+    # exactly one fact scan in the whole plan
+    p = plan_of(QUERIES["bitmap_audience_combination"](spark, sf_dir))
+    assert p.count("Scan parquet") <= 1 or "InMemoryTableScan" in p, p
+    # dimension stats: one scan, one exchange (64-key moment rollup)
+    p = plan_of(QUERIES["embedding_dimension_stats"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # CUPED: midpoint + theta are broadcast scalars, never collected
+    p = plan_of(QUERIES["cuped_ab_lift"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p, p
+    # negative sampling: generator is shuffle-free; attribute fetch joins
+    p = plan_of(QUERIES["negative_sampling_pairs"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 0, p
+    p = plan_of(QUERIES["hard_negative_mining"](spark, sf_dir))
+    assert "WindowGroupLimit" in p and "CartesianProduct" not in p, p
