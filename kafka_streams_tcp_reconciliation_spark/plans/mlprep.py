@@ -1816,3 +1816,84 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _HARDNEG_K)
     )
+
+
+# --- Zipf slope (corpus naturalness diagnostic) ------------------------------
+
+_ZIPF_TOPK = 1000
+
+
+@register(
+    "zipf_slope_terms",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ) WHERE term <> '' GROUP BY term
+    ),
+    top AS (
+        SELECT term, cnt FROM vocab
+        ORDER BY cnt DESC, term LIMIT {_ZIPF_TOPK}
+    ),
+    pts AS (
+        SELECT CAST(round(ln(CAST(row_number() OVER (
+                   ORDER BY cnt DESC, term) AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS x,
+               CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS y
+        FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(CAST(count(*) * sum(CAST(x AS HUGEINT) * y)
+                      - CAST(sum(x) AS HUGEINT) * sum(y) AS DOUBLE)
+                 / CAST(count(*) * sum(CAST(x AS HUGEINT) * x)
+                        - CAST(sum(x) AS HUGEINT) * sum(x) AS DOUBLE), 6)
+               AS zipf_slope
+    FROM pts
+    """,
+)
+def zipf_slope_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus: OLS fit of log(frequency) against
+    log(rank) over the top-K vocabulary — natural language sits near −1;
+    strong deviation flags machine-generated or template-heavy corpora
+    (a standard pretraining-data naturalness screen).
+
+    Determinism: both logs round ONCE to integer micro-nats; the OLS
+    co-moments are exact HUGEINT/DECIMAL cross products with ONE float
+    division rounded at output (the ``hourly_trend_forecast`` recipe
+    applied to rank-frequency space).
+
+    Scale: the vocab is a map-side-combined term aggregate; the top-K
+    cut is TakeOrderedAndProject (per-partition heaps — never a global
+    sort); only K rows reach the rank window and the 5-number moment
+    aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(
+        _ZIPF_TOPK
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    pts = top.select(
+        F.expr(
+            "CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, term)"
+            " AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("x"),
+        F.expr("CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.expr(
+            "round(CAST(count(*) * sum(CAST(x AS DECIMAL(38,0)) * y)"
+            "      - CAST(sum(x) AS DECIMAL(38,0)) * sum(y) AS DOUBLE)"
+            " / CAST(count(*) * sum(CAST(x AS DECIMAL(38,0)) * x)"
+            "        - CAST(sum(x) AS DECIMAL(38,0)) * sum(x) AS DOUBLE), 6)"
+        ).alias("zipf_slope"),
+    )

@@ -539,3 +539,31 @@ def test_nearest_enrich_stream_matches_batch(spark, sf_dir, event_stream):
     want = want[want["purchase_id"].isin(set(decided))]
     assert len(want) > 0
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_bitmap_words_stream_converges_to_batch(spark, sf_dir, event_stream):
+    """The incrementally maintained user-bitmap word table equals the
+    batch bitmap bit-for-bit after full replay (OR is order-insensitive),
+    and its popcount rollup reproduces bitmap_distinct_users_by_type."""
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+    from kafka_streams_tcp_reconciliation_spark.streaming.bitmap import (
+        bitmap_words_stream,
+    )
+
+    got = run_stream(
+        spark, bitmap_words_stream(event_stream), "complete", "t_bitmap"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = bitmap_words_stream(ev).toPandas()
+    got_set = {tuple(r) for r in got[["event_type", "w", "bits"]].values.tolist()}
+    want_set = {tuple(r) for r in want[["event_type", "w", "bits"]].values.tolist()}
+    assert got_set == want_set
+    # popcount rollup == the registered batch query
+    counts = (
+        got.assign(pc=got["bits"].map(lambda b: bin(b & (2**64 - 1)).count("1")))
+        .groupby("event_type", as_index=False)["pc"]
+        .sum()
+    )
+    batch = all_queries()["bitmap_distinct_users_by_type"](spark, sf_dir).toPandas()
+    merged = batch.merge(counts, on="event_type")
+    assert (merged["n_users"] == merged["pc"]).all(), merged
