@@ -28,7 +28,23 @@ DuckDB oracle:
   validation (label-quality gate for a labeled corpus),
 - ``mmr_diversified_topk`` — Maximal Marginal Relevance diversified
   retrieval (Carbonell & Goldstein, SIGIR'98), greedy loop unrolled as
-  pool-sized broadcast joins — no driver-side collect.
+  pool-sized broadcast joins — no driver-side collect,
+- ``audience_overlap_matrix`` — pairwise audience Jaccard in integer ppm,
+- ``bitmap_distinct_users_by_type`` / ``bitmap_audience_combination`` —
+  exact roaring-style bitmap distinct + boolean audience algebra
+  (streaming twin: ``streaming/bitmap.py``),
+- ``embedding_dimension_stats`` — feature-wise normalization statistics
+  from exact integer moments,
+- ``session_pattern_match_daily`` — MATCH_RECOGNIZE-style row-pattern
+  detection as a regex over compressed session paths,
+- ``ltv_cohort_value_matrix`` — LTV cohort value triangle,
+- ``stratified_kfold_sizes`` — RNG-free k-fold balance audit,
+- ``similarity_hamming_topk`` — binary sign-signature Hamming ANN tier,
+- ``cuped_ab_lift`` — CUPED variance-reduced A/B readout,
+- ``negative_sampling_pairs`` / ``hard_negative_mining`` — contrastive
+  pair generation (easy hash-jump negatives, hard same-similarity
+  different-label negatives),
+- ``zipf_slope_terms`` — corpus naturalness via the rank-frequency slope.
 
 House rules as everywhere (SURVEY.md §5.2): identical aliases both sides,
 deterministic tiebreaks, float math either quantized-to-int64/DECIMAL
