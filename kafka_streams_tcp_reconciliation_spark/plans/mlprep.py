@@ -1913,3 +1913,148 @@ def zipf_slope_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        - CAST(sum(x) AS DECIMAL(38,0)) * sum(x) AS DOUBLE), 6)"
         ).alias("zipf_slope"),
     )
+
+
+# --- reciprocal-rank fusion of retrieval tiers --------------------------------
+
+_RRF_QUERIES = 50
+_RRF_LIST_K = 20
+_RRF_OUT_K = 10
+_RRF_C = 60  # the standard RRF damping constant
+
+
+def _rrf_duck() -> str:
+    cos_list = f"""
+        SELECT query_id, neighbor_id, rnk FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({sim.duck_cosine_expr("q.embedding", "e.embedding")}, 6) DESC,
+                                e.vec_id
+                   ) AS rnk
+            FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < {_RRF_QUERIES}
+        ) WHERE rnk <= {_RRF_LIST_K}
+    """
+    ham_list = f"""
+        SELECT query_id, neighbor_id, rnk FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY bit_count(xor(q.sig, e.sig)), e.vec_id
+                   ) AS rnk
+            FROM sigs q JOIN sigs e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < {_RRF_QUERIES}
+        ) WHERE rnk <= {_RRF_LIST_K}
+    """
+    return f"""
+    WITH sigs AS (SELECT vec_id, {_SIG_DUCK} AS sig FROM embeddings),
+    cosl AS ({cos_list}),
+    haml AS ({ham_list}),
+    fused AS (
+        SELECT coalesce(c.query_id, h.query_id) AS query_id,
+               coalesce(c.neighbor_id, h.neighbor_id) AS neighbor_id,
+               CAST(coalesce(1000000000 // ({_RRF_C} + c.rnk), 0)
+                    + coalesce(1000000000 // ({_RRF_C} + h.rnk), 0)
+                    AS BIGINT) AS rrf_nano
+        FROM cosl c FULL OUTER JOIN haml h
+          ON c.query_id = h.query_id AND c.neighbor_id = h.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf_nano, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_nano DESC, neighbor_id
+        ) AS rank
+        FROM fused
+    ) WHERE rank <= {_RRF_OUT_K}
+    """
+
+
+@register("rrf_hybrid_retrieval", oracle=_rrf_duck())
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack et al., SIGIR'09 — public method)
+    of two retrieval tiers: the exact-cosine ranking and the cheap
+    Hamming-signature ranking fuse per (query, candidate) as
+    Σ 1/(60 + rank) — the standard hybrid-retrieval combiner (dense +
+    sparse, or here float + binary) that needs no score calibration
+    because it only consumes RANKS.
+
+    Determinism: each reciprocal term is one integer division
+    (1e9 div (60+rank)) — the fused score is an exact int64 sum, so
+    cross-engine ties and ordering are exact.
+
+    Scale: both input rankings are broadcast-query scans with
+    WindowGroupLimit pruning; the fusion full-outer join touches only
+    |queries|·k rows per list. Any number of additional tiers (BM25,
+    IVF, re-ranker) joins the same way — cost grows per-list, never
+    multiplicatively.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cosl = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim.cosine_expr("qv", "embedding"), 6).alias("cosine"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _RRF_LIST_K)
+        .select("query_id", "neighbor_id", F.col("rnk").alias("c_rnk"))
+    )
+    sigs = emb.select("vec_id", F.expr(_SIG_SPARK).alias("sig"))
+    qs = sigs.filter(F.col("vec_id") < _RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("q_sig")
+    )
+    haml = (
+        sigs.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr("CAST(bit_count(q_sig ^ sig) AS BIGINT)").alias("hamming"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("hamming").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _RRF_LIST_K)
+        .select("query_id", "neighbor_id", F.col("rnk").alias("h_rnk"))
+    )
+    fused = (
+        cosl.join(haml, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 DIV ({_RRF_C} + c_rnk)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000 DIV ({_RRF_C} + h_rnk)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_nano"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_nano").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _RRF_OUT_K)
+    )
