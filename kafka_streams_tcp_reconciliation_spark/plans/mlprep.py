@@ -2058,3 +2058,216 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _RRF_OUT_K)
     )
+
+
+# --- feature-wise standardization (apply side of dimension stats) ------------
+
+
+@register(
+    "embedding_standardize",
+    oracle="""
+    WITH q AS (
+        SELECT pos,
+               CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qv
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+    ),
+    stats AS (
+        SELECT pos, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qv) AS BIGINT) AS s1,
+               CAST(sum(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS s2
+        FROM q GROUP BY pos
+    ),
+    z AS (
+        SELECT e.vec_id, s.pos,
+               round((CAST(round(CAST(e.embedding[s.pos] AS DOUBLE)
+                                 * 1000000) AS BIGINT) * s.n - s.s1)
+                     / (s.n * sqrt(CAST(s.n * s.s2
+                                        - CAST(s.s1 AS HUGEINT) * s.s1
+                                        AS DOUBLE)) / sqrt(CAST(s.n AS DOUBLE))),
+                     6) AS zval
+        FROM embeddings e JOIN stats s ON true
+    )
+    SELECT vec_id, pos, zval FROM z
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-wise standardization (the APPLY side of
+    ``embedding_dimension_stats``): every component re-expressed as a
+    z-score against its dimension's corpus mean/std — the whitening-lite
+    preprocessing run before PQ codebook training or linear probes.
+
+    Determinism: the z-score is computed from EXACT integer moments in
+    one mirrored float expression per component —
+    (q·n − Σq) / (n·σ√n-form) — with sqrt the only transcendental
+    (IEEE correctly-rounded), rounded once at output. No float statistic
+    is ever accumulated across rows.
+
+    Scale: the 64-row stats table broadcasts back over one corpus scan;
+    the transform is a narrow per-row map (posexplode + rebuild here for
+    oracle parity; a production writer uses ``transform()`` over the
+    broadcast stats array — zero shuffle either way beyond the
+    64-key moment rollup).
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(F.posexplode("embedding").alias("pos0", "v")).select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias("qv"),
+    )
+    stats = q.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qv").cast("long").alias("s1"),
+        F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    z = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias(
+                "qv"
+            ),
+        )
+        .join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.expr(
+                "round((qv * n - s1)"
+                " / (n * sqrt(CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"
+                " AS DOUBLE)) / sqrt(CAST(n AS DOUBLE))), 6)"
+            ).alias("zval"),
+        )
+    )
+    return z.select("vec_id", F.col("pos").cast("long").alias("pos"), "zval")
+
+
+# --- positional multi-touch attribution --------------------------------------
+
+_ATTR_WINDOW_MIN = 30
+_ATTR_FIRST_PPM = 400_000
+_ATTR_LAST_PPM = 400_000
+_ATTR_MID_POOL_PPM = 200_000
+
+
+@register(
+    "positional_attribution_daily",
+    oracle=f"""
+    WITH touches AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               strftime(CAST(c.ts AS DATE), '%Y-%m-%d') AS day,
+               row_number() OVER (
+                   PARTITION BY p.event_id ORDER BY c.ts, c.event_id
+               ) AS pos,
+               count(*) OVER (PARTITION BY p.event_id) AS n
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts > p.ts - INTERVAL '{_ATTR_WINDOW_MIN} minutes'
+    ),
+    credited AS (
+        SELECT day,
+               CASE WHEN n = 1 THEN 'only'
+                    WHEN pos = 1 THEN 'first'
+                    WHEN pos = n THEN 'last'
+                    ELSE 'middle' END AS position_class,
+               CAST(CASE
+                 WHEN n = 1 THEN 1000000
+                 WHEN n = 2 AND pos = 1 THEN 500000
+                 WHEN n = 2 THEN 500000
+                 WHEN pos = 1 THEN {_ATTR_FIRST_PPM}
+                 WHEN pos = n THEN {_ATTR_LAST_PPM}
+                 ELSE {_ATTR_MID_POOL_PPM} // (n - 2)
+                      + CASE WHEN pos = 2
+                             THEN {_ATTR_MID_POOL_PPM} % (n - 2)
+                             ELSE 0 END
+               END AS BIGINT) AS credit_ppm
+        FROM touches
+    )
+    SELECT day, position_class,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm
+    FROM credited GROUP BY day, position_class
+    """,
+)
+def positional_attribution_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional (U-shaped) multi-touch attribution: every click in the
+    30 minutes before a purchase shares that conversion's credit —
+    40% first touch, 40% last touch, 20% split across the middles
+    (largest remainder to the earliest middle, so credit per purchase
+    sums to exactly 1,000,000 ppm) — the standard upgrade from
+    ``funnel_attribution_windowed``'s last-touch model.
+
+    Determinism: credit is pure integer ppm arithmetic; the touch order
+    is the total (ts, event_id) order.
+
+    Scale: the touch join is the same user-keyed windowed join as the
+    reconciliation flagship (state bounded by window × rate); the
+    position windows ride the purchase_id partitioning created by the
+    join's output aggregate, and the daily rollup combines map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            > F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTES")
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.date_format(F.col("c_ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.row_number()
+        .over(
+            Window.partitionBy("purchase_id").orderBy(
+                F.col("c_ts").asc(), F.col("click_id").asc()
+            )
+        )
+        .alias("pos"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("purchase_id"))
+        .alias("n"),
+    )
+    credit = F.expr(
+        f"""CAST(CASE
+            WHEN n = 1 THEN 1000000
+            WHEN n = 2 THEN 500000
+            WHEN pos = 1 THEN {_ATTR_FIRST_PPM}
+            WHEN pos = n THEN {_ATTR_LAST_PPM}
+            ELSE {_ATTR_MID_POOL_PPM} DIV (n - 2)
+                 + CASE WHEN pos = 2
+                        THEN {_ATTR_MID_POOL_PPM} % (n - 2)
+                        ELSE 0 END
+        END AS BIGINT)"""
+    )
+    pos_class = (
+        F.when(F.col("n") == 1, "only")
+        .when(F.col("pos") == 1, "first")
+        .when(F.col("pos") == F.col("n"), "last")
+        .otherwise("middle")
+    )
+    return (
+        touches.select(
+            "day", pos_class.alias("position_class"), credit.alias("credit_ppm")
+        )
+        .groupBy("day", "position_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit_ppm").cast("long").alias("credit_ppm"),
+        )
+    )
