@@ -2271,3 +2271,68 @@ def positional_attribution_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit_ppm").cast("long").alias("credit_ppm"),
         )
     )
+
+
+# --- language-confusion + per-source mix audits -------------------------------
+
+
+@register(
+    "source_lang_mix_entropy",
+    oracle="""
+    WITH cnts AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+        SELECT source, lang, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM cnts
+    ),
+    lp AS (
+        SELECT source, cnt, n,
+               CAST(round(ln(CAST(cnt AS DOUBLE) / n) * 1000000)
+                    AS BIGINT) AS logp_micro
+        FROM tot
+    )
+    SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST((-CAST(sum(cnt * logp_micro) AS BIGINT)) // max(n)
+                AS BIGINT) AS entropy_micro_nats
+    FROM lp GROUP BY source
+    """,
+)
+def source_lang_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix entropy: how linguistically diverse each
+    ingestion source is (0 = monolingual source; ln(#langs) = uniform
+    mix) — the dashboard number a multilingual-corpus curator watches
+    when a crawler's language filter drifts.
+
+    Same integer micro-nat entropy construction as
+    ``user_event_entropy`` (log rounded once, exact count-weighted sum,
+    integer mean); one map-side-combined (source, lang) rollup is the
+    only corpus-sized stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("source")
+    lp = cnts.select(
+        "source",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("n"),
+    ).select(
+        "source",
+        "cnt",
+        "n",
+        F.expr(
+            "CAST(round(ln(CAST(cnt AS DOUBLE) / n) * 1000000) AS BIGINT)"
+        ).alias("logp_micro"),
+    )
+    return lp.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.expr(
+            "CAST((-CAST(sum(cnt * logp_micro) AS BIGINT)) DIV max(n) AS BIGINT)"
+        ).alias("entropy_micro_nats"),
+    )
