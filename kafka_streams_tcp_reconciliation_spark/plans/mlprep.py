@@ -44,7 +44,14 @@ DuckDB oracle:
 - ``negative_sampling_pairs`` / ``hard_negative_mining`` — contrastive
   pair generation (easy hash-jump negatives, hard same-similarity
   different-label negatives),
-- ``zipf_slope_terms`` — corpus naturalness via the rank-frequency slope.
+- ``zipf_slope_terms`` — corpus naturalness via the rank-frequency slope,
+- ``rrf_hybrid_retrieval`` — reciprocal-rank fusion of the cosine and
+  Hamming tiers (Cormack et al., SIGIR'09), integer-exact scores,
+- ``embedding_standardize`` — feature-wise z-scores (the apply side of
+  the dimension stats),
+- ``positional_attribution_daily`` — U-shaped multi-touch attribution
+  with largest-remainder ppm credits,
+- ``source_lang_mix_entropy`` — per-source language-mix entropy audit.
 
 House rules as everywhere (SURVEY.md §5.2): identical aliases both sides,
 deterministic tiebreaks, float math either quantized-to-int64/DECIMAL

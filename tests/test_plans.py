@@ -448,3 +448,21 @@ def test_mlprep_round2_late_plan_locks(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 0, p
     p = plan_of(QUERIES["hard_negative_mining"](spark, sf_dir))
     assert "WindowGroupLimit" in p and "CartesianProduct" not in p, p
+
+
+def test_mlprep_final_plan_locks(spark, sf_dir):
+    """Plan locks for the fusion / standardization / attribution ops."""
+    # RRF: both tiers prune per-partition; fusion never goes cartesian
+    p = plan_of(QUERIES["rrf_hybrid_retrieval"](spark, sf_dir))
+    assert p.count("WindowGroupLimit") >= 2, p
+    assert "CartesianProduct" not in p, p
+    # standardize: 64-row stats broadcast back over the scan
+    p = plan_of(QUERIES["embedding_standardize"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    # attribution: the touch pairing is an equi-join on user (+ time
+    # filter), never a nested loop over purchases × clicks
+    p = plan_of(QUERIES["positional_attribution_daily"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # zipf: top-K via TakeOrderedAndProject, not a global sort
+    p = plan_of(QUERIES["zipf_slope_terms"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
