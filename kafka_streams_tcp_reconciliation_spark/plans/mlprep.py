@@ -2343,3 +2343,102 @@ def source_lang_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((-CAST(sum(cnt * logp_micro) AS BIGINT)) DIV max(n) AS BIGINT)"
         ).alias("entropy_micro_nats"),
     )
+
+
+# --- vocabulary drift between splits (Jensen–Shannon) -------------------------
+
+
+@register(
+    "split_vocab_js_divergence",
+    oracle="""
+    WITH terms AS (
+        SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80
+                    THEN 'train' ELSE 'heldout' END AS split,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    cnts AS (
+        SELECT term,
+               CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS cp,
+               CAST(count(*) FILTER (WHERE split = 'heldout') AS BIGINT) AS cq
+        FROM terms WHERE term <> '' GROUP BY term
+    ),
+    tots AS (
+        SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq
+        FROM cnts
+    ),
+    contrib AS (
+        SELECT
+            CASE WHEN cp > 0 THEN cp * CAST(round(ln(
+                2.0 * cp * nq / CAST(cp * nq + cq * np AS DOUBLE))
+                * 1000000) AS BIGINT) ELSE 0 END AS wp,
+            CASE WHEN cq > 0 THEN cq * CAST(round(ln(
+                2.0 * cq * np / CAST(cp * nq + cq * np AS DOUBLE))
+                * 1000000) AS BIGINT) ELSE 0 END AS wq,
+            np, nq
+        FROM cnts CROSS JOIN tots
+    )
+    SELECT CAST(max(np) AS BIGINT) AS n_train_tokens,
+           CAST(max(nq) AS BIGINT) AS n_heldout_tokens,
+           CAST((CAST(sum(wp) AS BIGINT) * 1000000 // max(np)
+                 + CAST(sum(wq) AS BIGINT) * 1000000 // max(nq)) // 2000000
+                AS BIGINT) AS js_micro_nats
+    FROM contrib
+    """,
+)
+def split_vocab_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between the deterministic train and held-out
+    splits, as Jensen–Shannon divergence of their unigram distributions
+    in integer micro-nats — the distribution-shift alarm a pipeline
+    fires when a re-crawl or filter change skews what the eval set
+    measures (0 = identical mixes; ln 2 ≈ 693147 µnats = disjoint).
+
+    Determinism: each term's log-ratio argument is an EXACT integer
+    rational (2·c_P·N_Q / (c_P·N_Q + c_Q·N_P)); the log rounds ONCE to
+    micro-nats, the count-weighted sums are exact int64, and the final
+    normalization is integer division (the ``unigram_logprob_score``
+    recipe applied to two distributions at once).
+
+    Scale: one shuffle on the term for the dual-count aggregate
+    (map-side combinable); totals are a 1-row broadcast; everything
+    after is a narrow scan of the vocab relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.expr(
+            "CASE WHEN (doc_id * 2654435761) % 100 < 80"
+            " THEN 'train' ELSE 'heldout' END"
+        ).alias("split"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    cnts = terms.groupBy("term").agg(
+        F.count(F.when(F.col("split") == "train", 1)).cast("long").alias("cp"),
+        F.count(F.when(F.col("split") == "heldout", 1)).cast("long").alias("cq"),
+    )
+    tots = cnts.agg(
+        F.sum("cp").cast("long").alias("np_"),
+        F.sum("cq").cast("long").alias("nq_"),
+    )
+    contrib = cnts.crossJoin(F.broadcast(tots)).select(
+        F.expr(
+            "CASE WHEN cp > 0 THEN cp * CAST(round(ln("
+            "2.0 * cp * nq_ / CAST(cp * nq_ + cq * np_ AS DOUBLE))"
+            " * 1000000) AS BIGINT) ELSE 0 END"
+        ).alias("wp"),
+        F.expr(
+            "CASE WHEN cq > 0 THEN cq * CAST(round(ln("
+            "2.0 * cq * np_ / CAST(cp * nq_ + cq * np_ AS DOUBLE))"
+            " * 1000000) AS BIGINT) ELSE 0 END"
+        ).alias("wq"),
+        "np_",
+        "nq_",
+    )
+    return contrib.agg(
+        F.max("np_").cast("long").alias("n_train_tokens"),
+        F.max("nq_").cast("long").alias("n_heldout_tokens"),
+        F.expr(
+            "CAST((CAST(sum(wp) AS BIGINT) * 1000000 DIV max(np_)"
+            " + CAST(sum(wq) AS BIGINT) * 1000000 DIV max(nq_)) DIV 2000000"
+            " AS BIGINT)"
+        ).alias("js_micro_nats"),
+    )
