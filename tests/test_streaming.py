@@ -567,3 +567,22 @@ def test_bitmap_words_stream_converges_to_batch(spark, sf_dir, event_stream):
     batch = all_queries()["bitmap_distinct_users_by_type"](spark, sf_dir).toPandas()
     merged = batch.merge(counts, on="event_type")
     assert (merged["n_users"] == merged["pc"]).all(), merged
+
+
+def test_attribution_stream_converges_to_batch(spark, sf_dir, event_stream):
+    """Streaming U-shaped attribution: purchases resolve instantly from
+    the trailing click buffer, so the full replay's per-(day, position)
+    credit rollup equals the batch operator exactly."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.attribution import (
+        attribution_stream,
+    )
+
+    got = run_stream(
+        spark, attribution_stream(event_stream), "append", "t_attrib"
+    )
+    rolled = (
+        got.groupby(["day", "position_class"], as_index=False)
+        .agg(n_touches=("click_id", "size"), credit_ppm=("credit_ppm", "sum"))
+    )
+    want = all_queries()["positional_attribution_daily"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(rolled), canon(want))
