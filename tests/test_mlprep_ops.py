@@ -157,3 +157,50 @@ def test_knn_accuracy_output_invariants(spark, sf_dir):
     assert (
         out["is_correct"] == (out["pred_label"] == out["true_label"])
     ).all()
+
+
+def test_attribution_credits_conserve_ppm(spark, sf_dir):
+    """Total credited ppm equals exactly 1e6 × (purchases with ≥1 touch):
+    the largest-remainder schedule loses nothing to rounding."""
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    out = QUERIES["positional_attribution_daily"](spark, sf_dir).toPandas()
+    purchases = ev[ev["event_type"] == "purchase"]
+    clicks = ev[ev["event_type"] == "click"]
+    n_with_touch = 0
+    by_user = {u: g for u, g in clicks.groupby("user_id")}
+    for r in purchases.itertuples(index=False):
+        g = by_user.get(r.user_id)
+        if g is None:
+            continue
+        lo = r.ts - pd.Timedelta(minutes=30)
+        if ((g["ts"] <= r.ts) & (g["ts"] > lo)).any():
+            n_with_touch += 1
+    assert out["credit_ppm"].sum() == 1_000_000 * n_with_touch
+
+
+def test_kfold_partitions_corpus(spark, sf_dir):
+    """Folds partition the corpus: per-lang doc counts sum to the lang's
+    total and every fold id is in [0, 5)."""
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    out = QUERIES["stratified_kfold_sizes"](spark, sf_dir).toPandas()
+    assert set(out["fold"]).issubset(set(range(5)))
+    got = out.groupby("lang")["n_docs"].sum().sort_index()
+    want = docs.groupby("lang")["doc_id"].count().sort_index()
+    assert (got.values == want.values).all()
+
+
+def test_bitmap_distinct_is_exact(spark, sf_dir):
+    """The bitmap popcount equals the plain COUNT(DISTINCT) per type."""
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    out = QUERIES["bitmap_distinct_users_by_type"](spark, sf_dir).toPandas()
+    want = ev.groupby("event_type")["user_id"].nunique()
+    merged = out.set_index("event_type")["n_users"]
+    assert (merged.sort_index().values == want.sort_index().values).all()
+
+
+def test_cuped_arms_partition_users(spark, sf_dir):
+    """CUPED reports exactly the two parity arms and covers every user."""
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    out = QUERIES["cuped_ab_lift"](spark, sf_dir).toPandas()
+    assert sorted(out["arm"]) == [0, 1]
+    assert out["n_users"].sum() == ev["user_id"].nunique()
