@@ -70,7 +70,7 @@ def main() -> None:
             # slow GC buildup over the run
             spark.catalog.clearCache()
 
-    payload = json.dumps(
+    full = json.dumps(
         {
             "metric": "total_query_time",
             "value": round(total, 3),
@@ -80,8 +80,43 @@ def main() -> None:
         }
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
-        f.write(payload + "\n")
-    os.write(real_stdout, (payload + "\n").encode())
+        f.write(full + "\n")
+    # The driver keeps only a ~2 KB tail of stdout; at 212 queries the full
+    # per-query map is ~7 KB and was truncated to `parsed: null` two rounds
+    # running. The stdout line therefore carries the headline subset (the
+    # flagship / most expensive queries) plus a pointer to the on-disk
+    # BENCH.json holding the complete map.
+    headline = [
+        "q1_pricing_summary",
+        "reconcile_purchase_click",
+        "reconcile_unmatched_purchases",
+        "tumbling_window_hourly",
+        "session_window_stats",
+        "stream_table_enrich",
+        "dedup_minhash_lsh",
+        "dedup_exact_docs",
+        "similarity_topk_bruteforce",
+        "similarity_ivf_pq",
+        "curate_corpus",
+        "triangle_count_copurchase",
+        "mmr_diversified_topk",
+        "bloom_decontaminate_train_eval",
+        "pack_token_budget_bins",
+        "text_quality_score",
+    ]
+    compact = json.dumps(
+        {
+            "metric": "total_query_time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: timings[k] for k in headline if k in timings},
+            "n_queries": len(timings),
+            "n_failed": sum(1 for v in timings.values() if v < 0),
+            "queries_file": "BENCH.json",
+            "sf": sf,
+        }
+    )
+    os.write(real_stdout, (compact + "\n").encode())
     spark.stop()
 
 

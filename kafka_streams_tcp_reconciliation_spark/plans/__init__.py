@@ -83,18 +83,16 @@ def load_all() -> None:
     _loaded = True
 
 
-def _driver_green() -> set[str]:
-    """Names whose latest driver correctness check fully passed.
+def _driver_status() -> dict[str, str]:
+    """Latest driver verdict per query: 'green' | 'failed' | 'no_oracle'.
 
-    The driver checks queries in dict order with a per-round cap (r01: first
-    50 of 104), so ordering IS coverage. Reading its own CORRECTNESS_r*.json
-    artifacts back makes the registry self-rotating: anything never checked
-    or previously failing sorts first; proven-green queries (still guarded
-    by the local differential suite) yield their slot. Later rounds override
+    The driver checks queries in dict order with a per-round cap (r01/r02:
+    first 50), so ordering IS coverage. Reading its own CORRECTNESS_r*.json
+    artifacts back makes the registry self-rotating. Later rounds override
     earlier ones per query.
     """
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    status: dict[str, bool] = {}
+    status: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -106,18 +104,48 @@ def _driver_green() -> set[str]:
         for name, res in data.items():
             if not isinstance(res, dict):
                 continue
-            status[name] = (
+            green = (
                 bool(res.get("rows_match"))
                 and bool(res.get("schema_match"))
                 and res.get("hash_match") is not False
                 and res.get("err") in (None, "")
             )
-    return {n for n, ok in status.items() if ok}
+            if green:
+                status[name] = "green"
+            elif res.get("err") == "no_oracle":
+                status[name] = "no_oracle"
+            else:
+                status[name] = "failed"
+    return status
 
 
 def _ordered(names: list[str]) -> list[str]:
-    green = _driver_green()
-    return [n for n in names if n not in green] + [n for n in names if n in green]
+    """Driver-check order: previously-FAILED first, then never-checked, then
+    permanently-oracle-less sketch queries, then proven-green.
+
+    Failed-first guarantees any query whose latest driver row is red lands
+    inside the next round's check window immediately (a red row is the
+    highest-information re-check). Queries with no DuckDB oracle can only
+    ever earn a weak rows-only row, so they must not burn front-of-window
+    slots that could prove a real differential — they sort behind every
+    oracle-backed candidate. Within each tier, registration order is kept
+    so coverage drains deterministically module by module.
+    """
+    status = _driver_status()
+    tier = {"failed": 0, None: 1, "no_oracle": 2, "green": 3}
+
+    def key(item: tuple[int, str]) -> tuple[int, int]:
+        idx, name = item
+        st = status.get(name)
+        t = tier[st]
+        # Oracle-less queries can never upgrade past a rows-only row;
+        # park them behind all oracle-backed non-green work even before
+        # their first driver row exists.
+        if t < 2 and name not in ORACLES:
+            t = 2
+        return (t, idx)
+
+    return [n for _, n in sorted(enumerate(names), key=key)]
 
 
 def all_queries() -> dict[str, QueryFn]:

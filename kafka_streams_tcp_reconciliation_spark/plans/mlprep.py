@@ -593,9 +593,10 @@ def winsorize_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH series AS (
         SELECT user_id, ts, event_id,
-               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cum
+               sum(CAST(round(value * 1000000) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
         FROM events
     ),
     peaks AS (
@@ -605,7 +606,7 @@ def winsorize_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                               AND CURRENT ROW) AS peak
         FROM series
     )
-    SELECT user_id, round(max(peak - cum), 6) AS max_drawdown
+    SELECT user_id, round(max(peak - cum) / 1000000.0, 6) AS max_drawdown
     FROM peaks GROUP BY user_id
     """,
 )
@@ -614,11 +615,12 @@ def value_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     the largest peak-to-trough drop, the classic risk/engagement-decay
     statistic over a running total.
 
-    Determinism: the running sum is a SEQUENTIAL fold in (ts, event_id)
-    order — both engines accumulate the identical doubles in the
-    identical order (window running aggregates are order-defined, unlike
-    groupBy sums), the running max compares those exact doubles, and the
-    result is rounded once at output.
+    Determinism: ``value`` quantizes to integer micro-units BEFORE the
+    running sum (as ltv/cuped do), so the cumulative series, running max
+    and drawdown are exact int64 on both engines — no reliance on both
+    engines folding doubles in the same order (DuckDB's windowed sum may
+    combine via segment tree, which is only float-equal to the sequential
+    fold by accident); one float division + round at output.
 
     Scale: one shuffle on ``user_id``; the three stacked windows share
     the same partitioning+sort, so Catalyst plans one exchange and one
@@ -632,7 +634,12 @@ def value_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     series = ev.select(
-        "user_id", F.sum("value").over(w_run).alias("cum"), "ts", "event_id"
+        "user_id",
+        F.sum(
+            F.expr("CAST(round(value * 1000000) AS BIGINT)")
+        ).over(w_run).alias("cum"),
+        "ts",
+        "event_id",
     )
     w_peak = (
         Window.partitionBy("user_id")
@@ -643,7 +650,9 @@ def value_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "cum", F.max("cum").over(w_peak).alias("peak")
     )
     return peaks.groupBy("user_id").agg(
-        F.round(F.max(F.col("peak") - F.col("cum")), 6).alias("max_drawdown")
+        F.round(
+            F.max(F.col("peak") - F.col("cum")) / F.lit(1000000.0), 6
+        ).alias("max_drawdown")
     )
 
 
@@ -1138,7 +1147,7 @@ _BM_SET = (
     SELECT 'click_not_purchase',
            CAST(sum(bit_count(c & ~p)) AS BIGINT) FROM words
     UNION ALL
-    SELECT 'purchase_no_error',
+    SELECT 'click_purchase_no_error',
            CAST(sum(bit_count(c & p & ~e)) AS BIGINT) FROM words
     """,
 )
@@ -1183,7 +1192,7 @@ def bitmap_audience_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
     combos = [
         ("click_and_purchase", "c & p"),
         ("click_not_purchase", "c & ~p"),
-        ("purchase_no_error", "c & p & ~e"),
+        ("click_purchase_no_error", "c & p & ~e"),
     ]
     parts = [
         words.select(
@@ -1596,12 +1605,16 @@ def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     theta AS (
         SELECT CAST(round(
+                 CASE WHEN count(*) * sum(CAST(x_micro AS HUGEINT) * x_micro)
+                           - CAST(sum(x_micro) AS HUGEINT) * sum(x_micro) = 0
+                      THEN 0.0
+                      ELSE
                  CAST(count(*) * sum(CAST(x_micro AS HUGEINT) * y_micro)
                       - CAST(sum(x_micro) AS HUGEINT) * sum(y_micro)
                       AS DOUBLE)
                  / CAST(count(*) * sum(CAST(x_micro AS HUGEINT) * x_micro)
                         - CAST(sum(x_micro) AS HUGEINT) * sum(x_micro)
-                        AS DOUBLE) * 1000000) AS BIGINT) AS theta_ppm,
+                        AS DOUBLE) * 1000000 END) AS BIGINT) AS theta_ppm,
                CAST(sum(x_micro) AS BIGINT) AS sx_all,
                CAST(count(*) AS BIGINT) AS n_all
         FROM per_user
@@ -1668,14 +1681,22 @@ def cuped_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     theta = per_user.agg(
+        # var(x)=0 (degenerate fixtures with no pre-period purchases) must
+        # yield theta=0 identically on both engines — an unguarded 0/0 is
+        # NaN, and non-ANSI CAST(round(NaN) AS BIGINT) is 0 in Spark but
+        # NULL in DuckDB.
         F.expr(
             "CAST(round("
+            " CASE WHEN count(*) * sum(CAST(x_micro AS DECIMAL(38,0)) * x_micro)"
+            "           - CAST(sum(x_micro) AS DECIMAL(38,0)) * sum(x_micro) = 0"
+            "      THEN 0.0"
+            "      ELSE"
             " CAST(count(*) * sum(CAST(x_micro AS DECIMAL(38,0)) * y_micro)"
             "      - CAST(sum(x_micro) AS DECIMAL(38,0)) * sum(y_micro)"
             "      AS DOUBLE)"
             " / CAST(count(*) * sum(CAST(x_micro AS DECIMAL(38,0)) * x_micro)"
             "        - CAST(sum(x_micro) AS DECIMAL(38,0)) * sum(x_micro)"
-            "        AS DOUBLE) * 1000000) AS BIGINT)"
+            "        AS DOUBLE) * 1000000 END) AS BIGINT)"
         ).alias("theta_ppm"),
         F.sum("x_micro").cast("long").alias("sx_all"),
         F.count(F.lit(1)).cast("long").alias("n_all"),
@@ -1901,7 +1922,6 @@ def zipf_slope_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = vocab.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(
         _ZIPF_TOPK
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
     pts = top.select(
         F.expr(
             "CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, term)"

@@ -517,10 +517,12 @@ def test_growth_stream_converges(spark, sf_dir, event_stream):
 
 def test_nearest_enrich_stream_matches_batch(spark, sf_dir, event_stream):
     """J9 bidirectional: the pending-purchase FSM resolves each purchase at
-    its user's next click with exactly the batch nearest_event_join row.
-    Purchases with no later click have no decision point in the data and
-    stay in state (a production deployment evicts them with a T3 timer),
-    so the convergence set is the batch rows whose user clicks again."""
+    its user's next click, or at the T3 event-time timer (purchase_ts +
+    tolerance) for users who never click again. Every emitted row must be
+    bit-equal to the batch nearest_event_join row for that purchase; every
+    purchase with an in-replay decision point (a later click) must be
+    emitted; and the timer path must actually fire (click-less purchases
+    whose horizon the watermark passed are flushed, not held forever)."""
     from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
     from kafka_streams_tcp_reconciliation_spark.streaming.nearest import (
         nearest_enrich_stream,
@@ -535,9 +537,19 @@ def test_nearest_enrich_stream_matches_batch(spark, sf_dir, event_stream):
     purchases = ev[ev["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
     last_click = clicks.groupby("user_id")["ts"].max().rename("last_click_ts")
     decided = purchases.join(last_click, on="user_id")
-    decided = decided[decided["last_click_ts"] > decided["ts"]]["event_id"]
-    want = want[want["purchase_id"].isin(set(decided))]
-    assert len(want) > 0
+    decided = set(
+        decided[decided["last_click_ts"] > decided["ts"]]["event_id"]
+    )
+    emitted = set(got["purchase_id"])
+    # each purchase resolves exactly once (click OR timer, never both)
+    assert len(emitted) == len(got)
+    # completeness: every click-decided purchase emitted; timer path fired
+    assert decided <= emitted
+    timer_flushed = emitted - decided
+    assert timer_flushed, "event-time timer never flushed a pending purchase"
+    # correctness: whatever was emitted equals the batch row exactly
+    want = want[want["purchase_id"].isin(emitted)]
+    assert len(want) == len(got)
     pd.testing.assert_frame_equal(canon(got), canon(want))
 
 
