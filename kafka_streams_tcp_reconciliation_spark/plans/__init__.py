@@ -143,6 +143,11 @@ def _ordered(names: list[str]) -> list[str]:
         # their first driver row exists.
         if t < 2 and name not in ORACLES:
             t = 2
+        # ...but a query whose weak rows-only row predates it GAINING an
+        # oracle can now earn a full differential — re-check it with the
+        # failed tier.
+        elif t == 2 and name in ORACLES:
+            t = 0
         return (t, idx)
 
     return [n for _, n in sorted(enumerate(names), key=key)]
