@@ -978,3 +978,107 @@ def bloom_decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+# --- deterministic per-key reservoir sample ---------------------------------
+
+_RESERVOIR_K = 3  # kept events per user
+
+
+@register(
+    "reservoir_sample_per_user",
+    oracle=f"""
+    SELECT user_id, event_id, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY {duck_poly_hash("CAST(event_id AS VARCHAR)")},
+                            event_id
+               ) AS rn
+        FROM events
+    )
+    WHERE rn <= {_RESERVOIR_K}
+    """,
+)
+def reservoir_sample_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key reservoir sample: keep exactly K events per
+    user, chosen uniformly BUT reproducibly — rank by a deterministic
+    hash of the event id and keep the K smallest. The hash-rank trick is
+    the distributed, rerun-stable replacement for random.sample: the same
+    input always yields the same sample (training-data reproducibility),
+    yet the hash scrambles any correlation with time or id order.
+
+    Scale: one shuffle on user_id; the rn <= K filter compiles to
+    WindowGroupLimit, so each partition keeps a K-heap per key instead of
+    fully sorting its users' events (same plan class as top-k per group
+    F4). At 100 TB this is the canonical "cap any key's contribution"
+    primitive — the skew guard for per-user training caps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr(spark_poly_hash("CAST(event_id AS STRING)")), "event_id"
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= _RESERVOIR_K)
+        .select("user_id", "event_id", F.col("sample_rank").cast("long"))
+    )
+
+
+# --- hashing-trick feature vectorizer ---------------------------------------
+
+_FEATURE_DIM = 64  # hashed feature buckets
+_FEATURE_DOC_MOD = 10  # keep doc_id % 10 == 0 → bounded driver output
+
+
+@register(
+    "feature_hash_vectorizer",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({duck_poly_hash("tok")} % {_FEATURE_DIM} AS BIGINT) AS bucket,
+           count(*) AS n_tokens
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % {_FEATURE_DOC_MOD} = 0
+    )
+    WHERE tok <> ''
+    GROUP BY doc_id, bucket
+    """,
+)
+def feature_hash_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al., ICML'09 — public
+    method): each token maps to one of D buckets by deterministic hash;
+    per-document bucket counts ARE the sparse feature vector — no vocab
+    build, no dictionary shuffle, memory O(D) per doc. The long
+    (doc_id, bucket, n) shape is the sparse-matrix interchange format
+    feature stores and trainers ingest.
+
+    Scale: explode + hash stay inside whole-stage codegen (JVM higher-
+    order functions, no Python); the rollup is map-side combinable with
+    output bounded by docs x D, independent of corpus token count. No
+    vocabulary state means no second pass and no driver-side dictionary —
+    the property that makes the hashing trick THE 100 TB vectorizer.
+    The doc_id filter only bounds the checked output's size; remove it
+    and the plan is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("doc_id") % _FEATURE_DOC_MOD == 0)
+        .select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            (F.expr(spark_poly_hash("tok")) % _FEATURE_DIM).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
