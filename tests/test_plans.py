@@ -42,6 +42,13 @@ def test_topk_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_reservoir_sample_uses_window_group_limit(spark, sf_dir):
+    """The hash-rank keep-K must prune with per-key K-heaps, never a full
+    per-user sort — the property that makes it a 100 TB skew guard."""
+    plan = plan_of(QUERIES["reservoir_sample_per_user"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
 def test_global_topk_avoids_full_sort(spark, sf_dir):
     plan = plan_of(QUERIES["orderby_limit_top_lineitems"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
