@@ -1,0 +1,122 @@
+"""Driver-contract invariants locked as tests.
+
+These guard the round-3 artifact fixes: the bench stdout line must fit the
+driver's ~2 KB tail buffer, every registered query must carry a DuckDB
+oracle (a regression to rows-only silently weakens the correctness gate),
+and the new sampling/vectorizer ops keep their defining invariants.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.plans import (
+    ORACLES,
+    QUERIES,
+    all_queries,
+    load_all,
+)
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+
+def test_every_query_has_an_oracle():
+    """All 214 registered queries are oracle-backed as of round 3; a new
+    query without one should be a deliberate, test-visible decision."""
+    load_all()
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    assert not missing, (
+        "queries without a DuckDB oracle (add one, or consciously update "
+        f"this test): {missing}"
+    )
+
+
+def test_bench_stdout_line_fits_driver_tail_buffer():
+    """The driver keeps only ~2 KB of bench stdout; the compact payload
+    (headline queries + totals + pointer) must stay well inside it even
+    with worst-case float widths."""
+    import bench
+
+    headline_names = [
+        "q1_pricing_summary",
+        "reconcile_purchase_click",
+        "reconcile_unmatched_purchases",
+        "tumbling_window_hourly",
+        "session_window_stats",
+        "stream_table_enrich",
+        "dedup_minhash_lsh",
+        "dedup_exact_docs",
+        "similarity_topk_bruteforce",
+        "similarity_ivf_pq",
+        "curate_corpus",
+        "triangle_count_copurchase",
+        "mmr_diversified_topk",
+        "bloom_decontaminate_train_eval",
+        "pack_token_budget_bins",
+        "text_quality_score",
+    ]
+    payload = json.dumps(
+        {
+            "metric": "total_query_time",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {k: 99999.999 for k in headline_names},
+            "n_queries": 9999,
+            "n_failed": 9999,
+            "queries_file": "BENCH.json",
+            "sf": 0.1,
+        }
+    )
+    assert len(payload) < 1500, f"compact bench line too long: {len(payload)}"
+    assert bench  # imported without side effects
+
+
+def test_reservoir_sample_exactly_k_per_user(spark, sf_dir):
+    """Each user keeps exactly min(K, n_events) events, and a second run
+    keeps the SAME events (deterministic reservoir)."""
+    out = all_queries()["reservoir_sample_per_user"](spark, sf_dir)
+    per_user = (
+        out.groupBy("user_id").agg(F.count(F.lit(1)).alias("k")).toPandas()
+    )
+    ev_counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .set_index("user_id")["n"]
+    )
+    for r in per_user.itertuples(index=False):
+        assert r.k == min(3, ev_counts[r.user_id]), r
+    a = set(map(tuple, out.select("user_id", "event_id").toPandas().values))
+    b = set(
+        map(
+            tuple,
+            all_queries()["reservoir_sample_per_user"](spark, sf_dir)
+            .select("user_id", "event_id")
+            .toPandas()
+            .values,
+        )
+    )
+    assert a == b
+
+
+def test_feature_hash_counts_conserve_tokens(spark, sf_dir):
+    """Bucketing never loses tokens: sum of bucket counts per doc equals
+    the doc's non-empty token count, and buckets stay inside [0, D)."""
+    out = all_queries()["feature_hash_vectorizer"](spark, sf_dir).toPandas()
+    assert out["bucket"].between(0, 63).all()
+    got = out.groupby("doc_id")["n_tokens"].sum()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("n"),
+        )
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    assert got.to_dict() == docs.to_dict()
