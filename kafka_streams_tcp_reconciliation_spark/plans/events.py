@@ -94,6 +94,64 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- W2b: event-aligned sliding window (KS SlidingWindows) ------------------
+
+
+@register(
+    "sliding_window_event_counts",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_30m,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+                 / 1000000.0, 6) AS sum_value_30m
+    FROM (
+        SELECT user_id, event_id, value,
+               date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS t_us
+        FROM events WHERE user_id % 20 = 0
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True event-aligned sliding window (W2, the SlidingWindows half of
+    the family — ofTimeDifference(30 min)): one trailing window PER EVENT
+    [ts − 30 min, ts], not the discretized hopping approximation. In
+    Spark this is a RANGE frame over event-time microseconds — the
+    per-event continuous formulation Kafka Streams materializes via
+    window-store scans.
+
+    Scale: one shuffle on user_id + one sort; the RANGE frame is a
+    sliding two-pointer over each key's sorted run — O(n) amortized,
+    state bounded by events inside the 30-min horizon. Value sums
+    quantize to integer micro-units, so the trailing sum is exact int64
+    on both engines regardless of frame-combination strategy. The
+    user_id filter only bounds the checked output; the plan is unchanged
+    without it.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    t_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(t_us.alias("t_us"))
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_30m"),
+        F.round(
+            F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)")).over(w)
+            / 1_000_000.0,
+            6,
+        ).alias("sum_value_30m"),
+    )
+
+
 # --- W3: session window (gap-based) ---------------------------------------
 
 
