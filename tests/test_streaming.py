@@ -598,3 +598,28 @@ def test_attribution_stream_converges_to_batch(spark, sf_dir, event_stream):
     )
     want = all_queries()["positional_attribution_daily"](spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(canon(rolled), canon(want))
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_dir, event_stream):
+    """W2 SlidingWindows twin: per-event trailing (count, exact sum) from
+    the horizon-deque FSM equals the batch RANGE-frame query row-for-row
+    after full replay, including frames spanning micro-batch boundaries
+    and RANGE peer groups (equal-timestamp events sharing a frame)."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.sliding import (
+        sliding_window_stream,
+    )
+    from pyspark.sql import functions as F
+
+    got = run_stream(
+        spark,
+        sliding_window_stream(event_stream.filter(F.col("user_id") % 20 == 0)),
+        "append",
+        "t_sliding",
+    )
+    want = all_queries()["sliding_window_event_counts"](
+        spark, sf_dir
+    ).toPandas()
+    assert len(want) > 0
+    for c in ("n_30m",):
+        got[c] = got[c].astype(want[c].dtype)
+    pd.testing.assert_frame_equal(canon(got), canon(want))
