@@ -985,6 +985,15 @@ def bloom_decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFram
 _RESERVOIR_K = 3  # kept events per user
 
 
+# Affine scrambling hash for sequential integer ids. A char-fold poly hash
+# is length-dominant and near-monotone on sequential ids (h("99") < h("100")
+# < h("101")…), which silently degrades hash-rank sampling toward "first K
+# by id". The affine map a·x + b mod P (P prime, a the Knuth multiplier)
+# sends consecutive ids ~a apart mod P — uniform over the id range, still
+# pure int64 arithmetic identical in Spark and DuckDB (max id · a ≪ 2^63).
+_SAMPLE_HASH = "(event_id * 2654435761 + 1013904223) % 1000000007"
+
+
 @register(
     "reservoir_sample_per_user",
     oracle=f"""
@@ -993,8 +1002,7 @@ _RESERVOIR_K = 3  # kept events per user
         SELECT user_id, event_id,
                row_number() OVER (
                    PARTITION BY user_id
-                   ORDER BY {duck_poly_hash("CAST(event_id AS VARCHAR)")},
-                            event_id
+                   ORDER BY {_SAMPLE_HASH}, event_id
                ) AS rn
         FROM events
     )
@@ -1004,10 +1012,11 @@ _RESERVOIR_K = 3  # kept events per user
 def reservoir_sample_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-key reservoir sample: keep exactly K events per
     user, chosen uniformly BUT reproducibly — rank by a deterministic
-    hash of the event id and keep the K smallest. The hash-rank trick is
-    the distributed, rerun-stable replacement for random.sample: the same
-    input always yields the same sample (training-data reproducibility),
-    yet the hash scrambles any correlation with time or id order.
+    affine hash of the event id and keep the K smallest. The hash-rank
+    trick is the distributed, rerun-stable replacement for random.sample:
+    the same input always yields the same sample (training-data
+    reproducibility), and the affine scramble decorrelates the ranking
+    from id/time order (a char-fold hash would NOT — see _SAMPLE_HASH).
 
     Scale: one shuffle on user_id; the rn <= K filter compiles to
     WindowGroupLimit, so each partition keeps a K-heap per key instead of
@@ -1016,9 +1025,7 @@ def reservoir_sample_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive — the skew guard for per-user training caps.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.expr(spark_poly_hash("CAST(event_id AS STRING)")), "event_id"
-    )
+    w = Window.partitionBy("user_id").orderBy(F.expr(_SAMPLE_HASH), "event_id")
     return (
         ev.select(
             "user_id",

@@ -623,3 +623,32 @@ def test_sliding_window_stream_matches_batch(spark, sf_dir, event_stream):
     for c in ("n_30m",):
         got[c] = got[c].astype(want[c].dtype)
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_reservoir_sample_stream_converges_to_batch(spark, sf_dir, event_stream):
+    """Keep-K changelog: applying adds and evicts across the replay yields
+    exactly the batch hash-rank sample per user — bit-equal membership,
+    not statistical equivalence — including evictions spanning
+    micro-batch boundaries."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.reservoir import (
+        reservoir_sample_stream,
+    )
+
+    got = run_stream(
+        spark, reservoir_sample_stream(event_stream), "append", "t_reservoir"
+    )
+    assert (got["op"] == "evict").any(), "no evictions — changelog untested"
+    adds = set(
+        zip(got[got["op"] == "add"]["user_id"], got[got["op"] == "add"]["event_id"])
+    )
+    evicts = set(
+        zip(
+            got[got["op"] == "evict"]["user_id"],
+            got[got["op"] == "evict"]["event_id"],
+        )
+    )
+    assert evicts <= adds, "evicted something never added"
+    membership = adds - evicts
+    want = all_queries()["reservoir_sample_per_user"](spark, sf_dir).toPandas()
+    want_set = set(zip(want["user_id"], want["event_id"]))
+    assert membership == want_set
