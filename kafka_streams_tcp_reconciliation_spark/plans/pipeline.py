@@ -989,9 +989,11 @@ _RESERVOIR_K = 3  # kept events per user
 # is length-dominant and near-monotone on sequential ids (h("99") < h("100")
 # < h("101")…), which silently degrades hash-rank sampling toward "first K
 # by id". The affine map a·x + b mod P (P prime, a the Knuth multiplier)
-# sends consecutive ids ~a apart mod P — uniform over the id range, still
-# pure int64 arithmetic identical in Spark and DuckDB (max id · a ≪ 2^63).
-_SAMPLE_HASH = "(event_id * 2654435761 + 1013904223) % 1000000007"
+# sends consecutive ids ~a apart mod P — uniform over the id range. The id
+# reduces mod P BEFORE the multiply so the product stays < P·a < 2^62 for
+# ANY int64 id (no overflow at 100 TB id ranges), pure int64 arithmetic
+# identical in Spark and DuckDB.
+_SAMPLE_HASH = "((event_id % 1000000007) * 2654435761 + 1013904223) % 1000000007"
 
 
 @register(

@@ -47,7 +47,7 @@ STATE_SCHEMA = T.StructType(
 def _sample_hash(event_id: int) -> int:
     """Python twin of plans/pipeline._SAMPLE_HASH — the same affine
     scramble, so streaming picks match the batch ranking exactly."""
-    return (event_id * 2654435761 + 1013904223) % 1000000007
+    return ((event_id % 1000000007) * 2654435761 + 1013904223) % 1000000007
 
 
 def reservoir_sample_stream(events: DataFrame) -> DataFrame:
