@@ -17,6 +17,19 @@ pair cannot drift.
 
 All expressions stay JVM-side in Spark (whole-stage codegen covers
 ``aggregate``/``transform`` lambdas) — no Python UDFs in any hash path.
+
+Caveat — ranking by the RAW hash of a SEQUENTIAL integer id: the char
+fold is length-dominant and near-monotone on consecutive ids ("99" <
+"100" < "101" …), so ORDER BY h(CAST(id AS STRING)) largely reproduces
+id order (this silently degraded hash-rank reservoir sampling to
+first-K-by-id). Reduced uses (``h % m``) are unaffected: within each
+aligned id block the residues form a spread, permutation-like lattice
+(for base 31, h("..tu") % 100 walks 31·t+u — an exact permutation of
+0..99 per 100-block), i.e. low-discrepancy systematic stratification —
+exactly right for split/bucket/sample-order uses. When you need ranking
+DECORRELATED from id order, use the affine scramble on the integer id
+instead (see plans/pipeline._SAMPLE_HASH): ((id % P) · a + b) % P, pure
+int64, overflow-safe for any id.
 """
 
 from __future__ import annotations
