@@ -219,6 +219,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     ]
+    if not cents:  # empty corpus: no seed centroids, nothing to assign
+        return emb.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("double").alias("dist"),
+        ).where(F.lit(False))
     for rnd in range(1, _KM_ROUNDS + 1):
         assigned = assign(cents)
         if rnd == _KM_ROUNDS:
@@ -325,23 +331,39 @@ def _pq_dmicro_lit(codebook, vec_col: str, m: int, j: int) -> str:
     return f"CAST(round(1000000 * ({_pq_sqd_lit(codebook, vec_col, m, j)})) AS BIGINT)"
 
 
+def _pq_codewords(codebook) -> list[int]:
+    """Codeword ids actually present (corpus may hold < _PQ_K vectors —
+    e.g. a heavily filtered corpus, or an empty partition's table)."""
+    return sorted({j for (_, j) in codebook})
+
+
 def _pq_codes_expr(codebook, vec_col: str) -> str:
-    """codes[m] = argmin_j dmicro(m, j), ties to lowest j — a narrow map."""
+    """codes[m] = argmin_j dmicro(m, j), ties to lowest j — a narrow map.
+    Only codewords present in the codebook compete (matching the oracle,
+    whose cb CTE is built from the same data)."""
+    js = _pq_codewords(codebook)
     code_exprs = []
     for m in range(_PQ_M):
         structs = ", ".join(
             f"struct({_pq_dmicro_lit(codebook, vec_col, m, j)} AS d, {j} AS j)"
-            for j in range(_PQ_K)
+            for j in js
         )
         code_exprs.append(f"array_min(array({structs})).j")
     return "array({})".format(", ".join(code_exprs))
 
 
 def _pq_lut_expr(codebook, vec_col: str) -> str:
-    """Flattened M x K integer LUT of subspace distances for a query row."""
+    """Flattened M x K integer LUT of subspace distances for a query row.
+    Slots for absent codewords hold a 0 placeholder — argmin never emits
+    an absent code, so those slots are unreachable."""
+    js = set(_pq_codewords(codebook))
     return "array({})".format(
         ", ".join(
-            _pq_dmicro_lit(codebook, vec_col, m, j)
+            (
+                _pq_dmicro_lit(codebook, vec_col, m, j)
+                if j in js
+                else "CAST(0 AS BIGINT)"
+            )
             for m in range(_PQ_M)
             for j in range(_PQ_K)
         )
@@ -434,6 +456,13 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = scale_out(load_table(spark, sf_dir, "embeddings"))
     codebook = _pq_collect_codebook(emb)
+    if not codebook:  # empty corpus: no codewords, nothing to encode
+        return emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(None).cast("long").alias("adc_micro"),
+            F.lit(None).cast("long").alias("rank"),
+        ).where(F.lit(False))
     enc = emb.select(
         "vec_id", F.expr(_pq_codes_expr(codebook, "embedding")).alias("codes")
     )
@@ -559,6 +588,14 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = scale_out(load_table(spark, sf_dir, "embeddings"))
     codebook = _pq_collect_codebook(emb)
+    if not codebook:  # empty corpus: no codewords, nothing to encode
+        return emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.lit(None).cast("long").alias("adc_micro"),
+            F.lit(None).cast("long").alias("rank"),
+        ).where(F.lit(False))
     enc = emb.select(
         "vec_id",
         "label",

@@ -110,7 +110,9 @@ def dq_audit_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n"))
 
     def viol(pred) -> F.Column:
-        return F.sum(F.when(pred, 1).otherwise(0))
+        # coalesce: sum over an EMPTY table is NULL, but "no rows" means
+        # zero violations — and the oracle's count(*) forms yield 0
+        return F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
 
     orders_scan = orders.agg(
         F.count(F.lit(1)).alias("orders_rows"),
@@ -768,7 +770,7 @@ def skew_profile_lineitem_orderkey(spark: SparkSession, sf_dir: str) -> DataFram
            round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
            round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
            CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
-           CAST(count_if(l_discount > 0.05) AS BIGINT)            AS n_high_disc,
+           CAST(coalesce(count_if(l_discount > 0.05), 0) AS BIGINT) AS n_high_disc,
            bool_and(l_quantity > 0)                              AS all_qty_pos,
            bool_or(l_discount = 0)                               AS any_zero_disc
     FROM lineitem

@@ -1142,13 +1142,14 @@ _BM_SET = (
         FROM events GROUP BY w
     )
     SELECT 'click_and_purchase' AS segment,
-           CAST(sum(bit_count(c & p)) AS BIGINT) AS n_users FROM words
+           CAST(coalesce(sum(bit_count(c & p)), 0) AS BIGINT) AS n_users
+    FROM words
     UNION ALL
     SELECT 'click_not_purchase',
-           CAST(sum(bit_count(c & ~p)) AS BIGINT) FROM words
+           CAST(coalesce(sum(bit_count(c & ~p)), 0) AS BIGINT) FROM words
     UNION ALL
     SELECT 'click_purchase_no_error',
-           CAST(sum(bit_count(c & p & ~e)) AS BIGINT) FROM words
+           CAST(coalesce(sum(bit_count(c & p & ~e)), 0) AS BIGINT) FROM words
     """,
 )
 def bitmap_audience_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,13 +1195,18 @@ def bitmap_audience_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("click_not_purchase", "c & ~p"),
         ("click_purchase_no_error", "c & p & ~e"),
     ]
+    # global agg per combo (not groupBy on the literal segment): a report
+    # must carry every segment with n_users=0 even over an empty fact
+    # table, where a groupBy would emit no rows at all
     parts = [
-        words.select(
-            F.lit(name).alias("segment"),
-            F.expr(f"CAST(bit_count({expr}) AS BIGINT)").alias("pc"),
-        )
-        .groupBy("segment")
-        .agg(F.sum("pc").cast("long").alias("n_users"))
+        words.agg(
+            F.coalesce(
+                F.sum(F.expr(f"CAST(bit_count({expr}) AS BIGINT)")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_users")
+        ).select(F.lit(name).alias("segment"), "n_users")
         for name, expr in combos
     ]
     out = parts[0]
