@@ -2660,7 +2660,8 @@ def wilson_ctr_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
                AS z_seasonal
     FROM hourly JOIN prof ON prof.hod = hour(hourly.h)
-    WHERE abs((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+    WHERE n * s2 - s1 * s1 <> 0
+      AND abs((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
               / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) > 2.0
     """,
@@ -2699,7 +2700,10 @@ def hod_adjusted_outlier_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
         / (F.col("n").cast("double") * F.col("n").cast("double"))
     )
-    return joined.filter(F.abs(z) > 2.0).select(
+    # exact-integer guard: a hod profile with zero variance (constant
+    # counts, e.g. a single hour per hod) defines no z — flag nothing
+    var_nonzero = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) != 0
+    return joined.filter(var_nonzero & (F.abs(z) > 2.0)).select(
         F.date_format("h", _TS_FMT).alias("hour"),
         "hod",
         "c",
@@ -2733,19 +2737,23 @@ def hod_adjusted_outlier_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM xy
     )
     SELECT n AS n_hours,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round(CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS slope,
            round((CAST(sy AS DOUBLE)
-                  - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                  - CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE
+                    CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) END
                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
                AS intercept,
            round((CAST(sy AS DOUBLE)
-                  - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                  - CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE
+                    CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) END
                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
-                 + CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                 + CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 ELSE
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) END
                    * CAST(xmax + 1 AS DOUBLE), 4) AS forecast_next_hour
     FROM s
     """,
@@ -2781,9 +2789,14 @@ def hourly_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.max("x").cast("long").alias("xmax"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # a single distinct hour has zero x-variance: slope degenerates to 0
+    # (forecast = the flat mean), identically on both engines — CASE
+    # branches evaluate lazily, so the ANSI division never fires
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(denom == 0, F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / denom.cast("double")
+    )
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
     ) / F.col("n").cast("double")

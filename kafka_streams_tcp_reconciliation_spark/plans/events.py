@@ -587,7 +587,7 @@ def windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, e.value,
            round((e.value - s.mu) / s.sigma, 4) AS z
     FROM events e JOIN s USING (event_type)
-    WHERE abs((e.value - s.mu) / s.sigma) > 2
+    WHERE s.sigma <> 0 AND abs((e.value - s.mu) / s.sigma) > 2
     """,
 )
 def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,7 +608,9 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(z) > 2)
+        # sigma=0 (degenerate group: one event, or all-identical values)
+        # means nothing is an outlier — and guards the ANSI-mode division
+        .filter((F.col("sigma") != 0) & (F.abs(z) > 2))
         .select(
             "event_id",
             "event_type",

@@ -2113,12 +2113,14 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     z AS (
         SELECT e.vec_id, s.pos,
-               round((CAST(round(CAST(e.embedding[s.pos] AS DOUBLE)
+               round(CASE WHEN s.n * s.s2 - CAST(s.s1 AS HUGEINT) * s.s1 = 0
+                          THEN 0.0 ELSE
+               (CAST(round(CAST(e.embedding[s.pos] AS DOUBLE)
                                  * 1000000) AS BIGINT) * s.n - s.s1)
                      / (s.n * sqrt(CAST(s.n * s.s2
                                         - CAST(s.s1 AS HUGEINT) * s.s1
-                                        AS DOUBLE)) / sqrt(CAST(s.n AS DOUBLE))),
-                     6) AS zval
+                                        AS DOUBLE)) / sqrt(CAST(s.n AS DOUBLE)))
+                     END, 6) AS zval
         FROM embeddings e JOIN stats s ON true
     )
     SELECT vec_id, pos, zval FROM z
@@ -2167,10 +2169,14 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "pos",
+            # zero-variance dimension (n=1, or a constant feature):
+            # standardize to 0, mirrored in the oracle's CASE — the lazy
+            # branch also guards the ANSI division
             F.expr(
-                "round((qv * n - s1)"
+                "round(CASE WHEN n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 = 0"
+                " THEN 0.0 ELSE (qv * n - s1)"
                 " / (n * sqrt(CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"
-                " AS DOUBLE)) / sqrt(CAST(n AS DOUBLE))), 6)"
+                " AS DOUBLE)) / sqrt(CAST(n AS DOUBLE))) END, 6)"
             ).alias("zval"),
         )
     )
@@ -2395,10 +2401,12 @@ def source_lang_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     contrib AS (
         SELECT
-            CASE WHEN cp > 0 THEN cp * CAST(round(ln(
+            CASE WHEN cp > 0 AND cp * nq + cq * np > 0
+                 THEN cp * CAST(round(ln(
                 2.0 * cp * nq / CAST(cp * nq + cq * np AS DOUBLE))
                 * 1000000) AS BIGINT) ELSE 0 END AS wp,
-            CASE WHEN cq > 0 THEN cq * CAST(round(ln(
+            CASE WHEN cq > 0 AND cp * nq + cq * np > 0
+                 THEN cq * CAST(round(ln(
                 2.0 * cq * np / CAST(cp * nq + cq * np AS DOUBLE))
                 * 1000000) AS BIGINT) ELSE 0 END AS wq,
             np, nq
@@ -2406,9 +2414,10 @@ def source_lang_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(max(np) AS BIGINT) AS n_train_tokens,
            CAST(max(nq) AS BIGINT) AS n_heldout_tokens,
-           CAST((CAST(sum(wp) AS BIGINT) * 1000000 // max(np)
+           CAST(CASE WHEN max(np) = 0 OR max(nq) = 0 THEN 0 ELSE
+                (CAST(sum(wp) AS BIGINT) * 1000000 // max(np)
                  + CAST(sum(wq) AS BIGINT) * 1000000 // max(nq)) // 2000000
-                AS BIGINT) AS js_micro_nats
+                END AS BIGINT) AS js_micro_nats
     FROM contrib
     """,
 )
@@ -2445,14 +2454,19 @@ def split_vocab_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cp").cast("long").alias("np_"),
         F.sum("cq").cast("long").alias("nq_"),
     )
+    # the extra "mixture weight > 0" / "either split empty" guards only
+    # fire on degenerate corpora (one split holds every token): JS vs an
+    # empty distribution is undefined — 0 by convention, both engines
     contrib = cnts.crossJoin(F.broadcast(tots)).select(
         F.expr(
-            "CASE WHEN cp > 0 THEN cp * CAST(round(ln("
+            "CASE WHEN cp > 0 AND cp * nq_ + cq * np_ > 0"
+            " THEN cp * CAST(round(ln("
             "2.0 * cp * nq_ / CAST(cp * nq_ + cq * np_ AS DOUBLE))"
             " * 1000000) AS BIGINT) ELSE 0 END"
         ).alias("wp"),
         F.expr(
-            "CASE WHEN cq > 0 THEN cq * CAST(round(ln("
+            "CASE WHEN cq > 0 AND cp * nq_ + cq * np_ > 0"
+            " THEN cq * CAST(round(ln("
             "2.0 * cq * np_ / CAST(cp * nq_ + cq * np_ AS DOUBLE))"
             " * 1000000) AS BIGINT) ELSE 0 END"
         ).alias("wq"),
@@ -2463,8 +2477,9 @@ def split_vocab_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("np_").cast("long").alias("n_train_tokens"),
         F.max("nq_").cast("long").alias("n_heldout_tokens"),
         F.expr(
-            "CAST((CAST(sum(wp) AS BIGINT) * 1000000 DIV max(np_)"
+            "CAST(CASE WHEN max(np_) = 0 OR max(nq_) = 0 THEN 0 ELSE"
+            " (CAST(sum(wp) AS BIGINT) * 1000000 DIV max(np_)"
             " + CAST(sum(wq) AS BIGINT) * 1000000 DIV max(nq_)) DIV 2000000"
-            " AS BIGINT)"
+            " END AS BIGINT)"
         ).alias("js_micro_nats"),
     )

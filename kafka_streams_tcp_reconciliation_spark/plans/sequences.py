@@ -264,7 +264,8 @@ _MAD_Z = 3.0
     SELECT e.event_id, e.event_type, e.value,
            round((e.value - mad.med) / ({_MAD_K} * mad.mad), 6) AS robust_z
     FROM events e JOIN mad ON e.event_type = mad.event_type
-    WHERE abs((e.value - mad.med) / ({_MAD_K} * mad.mad)) > {_MAD_Z}
+    WHERE mad.mad <> 0
+      AND abs((e.value - mad.med) / ({_MAD_K} * mad.mad)) > {_MAD_Z}
     """,
 )
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,7 +294,9 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rz = (F.col("value") - F.col("med")) / (_MAD_K * F.col("mad"))
     return (
         ev.join(F.broadcast(mad), "event_type")
-        .filter(F.abs(rz) > _MAD_Z)
+        # MAD=0 (a majority-constant group) -> robust z undefined; by the
+        # same convention as sigma=0, nothing is flagged
+        .filter((F.col("mad") != 0) & (F.abs(rz) > _MAD_Z))
         .select(
             "event_id",
             "event_type",
