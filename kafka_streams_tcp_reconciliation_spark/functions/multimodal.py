@@ -123,9 +123,17 @@ def extract_features(mm: DataFrame) -> DataFrame:
         import pandas as _pd
 
         for pdf in batches:
+            # a missing/undecodable payload yields no feature row (the
+            # decoder-pipeline convention; NULL-proof for real data)
+            pdf = pdf[pdf["payload"].notna()]
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
-            checksum = payloads.map(lambda b: sum(b[:head]))
+            # checksum over the first `head` CODE POINTS of the decoded
+            # payload, not raw bytes: the oracle re-derives features from
+            # the text column, and bytes-vs-chars diverges on non-ASCII
+            checksum = payloads.map(
+                lambda b: sum(ord(c) for c in bytes(b).decode("utf-8")[:head])
+            )
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -153,11 +161,22 @@ def sample_frames(mm: DataFrame) -> DataFrame:
             idxs: list[int] = []
             sums: list[int] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = len(payload) // stride
+                if payload is None:  # missing payload: no frames
+                    continue
+                # frame over decoded CODE POINTS (see extract_features):
+                # char-based framing is what the text-derived oracle can
+                # mirror exactly on non-ASCII corpora
+                text = bytes(payload).decode("utf-8")
+                n_frames = len(text) // stride
                 for j in range(n_frames):
                     ids.append(doc_id)
                     idxs.append(j)
-                    sums.append(sum(payload[j * stride : j * stride + head]))
+                    sums.append(
+                        sum(
+                            ord(c)
+                            for c in text[j * stride : j * stride + head]
+                        )
+                    )
             yield _pd.DataFrame(
                 {
                     "doc_id": _pd.Series(ids, dtype="int64"),

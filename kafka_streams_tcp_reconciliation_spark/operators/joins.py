@@ -144,18 +144,23 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col(side).asc(), F.col(tb).asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the right row as ONE struct (NULL on left rows): a per-column
+    # last(ignorenulls) would skip a NULL member and splice values from
+    # DIFFERENT right rows; the struct is atomic, so a matched row's NULL
+    # columns survive as NULL — and a right row whose first value column
+    # is NULL still counts as a match
+    r_row = F.when(
+        F.col(side) == 0,
+        F.struct(*[F.col(f"__r_{c}").alias(c) for c in right_value_cols]),
+    )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in right_value_cols
-        ],
+        "*", F.last(r_row, ignorenulls=True).over(w).alias("__asof_row")
     )
     out = carried.filter(F.col(side) == 1).filter(
-        F.col(f"__asof_{right_value_cols[0]}").isNotNull()
+        F.col("__asof_row").isNotNull()
     )
     keep = [c for c in left.columns] + [
-        F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_value_cols
+        F.col("__asof_row")[c].alias(f"asof_{c}") for c in right_value_cols
     ]
     return out.select(*keep)
 

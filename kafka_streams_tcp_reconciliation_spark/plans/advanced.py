@@ -1205,6 +1205,7 @@ _N_CHUNKS = 3
                            - CAST((i * length(text)) / {_N_CHUNKS} AS BIGINT))
                    AS chunk
         FROM documents, (SELECT unnest(range(0, {_N_CHUNKS})) AS i)
+        WHERE text IS NOT NULL
     ),
     reassembled AS (
         SELECT doc_id,
@@ -1229,7 +1230,11 @@ def chunk_reassembly_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is by primary key. This is the plumbing a blob-ingest pipeline
     needs before any decode (functions/multimodal.py) can run.
     """.format(n=_N_CHUNKS)
-    docs = load_table(spark, sf_dir, "documents")
+    # a missing payload cannot be chunked (and concat-of-NULL semantics
+    # diverge: Spark array_join skips NULLs, DuckDB string_agg nulls out)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     n = _N_CHUNKS
     chunk_struct = F.expr(
         f"transform(sequence(0, {n - 1}), i -> struct(i AS chunk_id,"

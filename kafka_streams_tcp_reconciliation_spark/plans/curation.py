@@ -150,16 +150,21 @@ _LEV_MAX_REL = 0.3
 @register(
     "dedup_levenshtein",
     oracle=f"""
-    WITH {SIMHASH_CAND_CTES}
+    WITH {SIMHASH_CAND_CTES},
+    proj AS (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS ptext
+        FROM documents WHERE text IS NOT NULL
+    )
     SELECT p.doc_a, p.doc_b,
-           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
-           round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
-                 / greatest(length(a.text), length(b.text), 1), 6) AS rel_edit
+           CAST(levenshtein(a.ptext, b.ptext) AS BIGINT) AS edit_dist,
+           round(CAST(levenshtein(a.ptext, b.ptext) AS DOUBLE)
+                 / greatest(length(a.ptext), length(b.ptext), 1), 6) AS rel_edit
     FROM simhash_pairs p
-    JOIN documents a ON p.doc_a = a.doc_id
-    JOIN documents b ON p.doc_b = b.doc_id
-    WHERE round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
-                / greatest(length(a.text), length(b.text), 1), 6) <= {_LEV_MAX_REL}
+    JOIN proj a ON p.doc_a = a.doc_id
+    JOIN proj b ON p.doc_b = b.doc_id
+    WHERE round(CAST(levenshtein(a.ptext, b.ptext) AS DOUBLE)
+                / greatest(length(a.ptext), length(b.ptext), 1), 6) <= {_LEV_MAX_REL}
     """,
 )
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,11 +183,13 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle contract caveats (both engine-verified):
 
     - DuckDB's ``levenshtein`` counts BYTES while Spark's counts
-      CODEPOINTS, so the cross-engine equivalence holds only for ASCII
-      text. The fixture corpus is ASCII by construction
-      (``tests/test_sources.py`` asserts it); for a multi-byte corpus,
-      fold both sides to a common ASCII projection first or accept a
-      rows-only check.
+      CODEPOINTS, so raw cross-engine equivalence holds only for ASCII
+      text. Both sides therefore fold the text to a common ASCII
+      projection first (non-ASCII chars -> '?'), which is the identity
+      on the ASCII fixture corpus and keeps the distance engine-exact on
+      any corpus (at the cost of treating all non-ASCII chars as equal
+      — acceptable for a VERIFY stage whose candidates already share
+      shingle structure).
     - The denominator is ``greatest(len_a, len_b, 1)``: without the
       floor, a pair of empty documents — true duplicates with
       edit_dist = 0 — yields 0/0 (NULL in Spark, NaN in DuckDB) and is
@@ -193,7 +200,14 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel per pair and JVM-side (no Python).
     """
     pairs = simhash_pair_frame(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.regexp_replace("text", r"[^\x00-\x7f]", "?").alias("text"),
+        )
+    )
     j = pairs.join(
         docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")),
         "doc_a",

@@ -188,7 +188,11 @@ def _make_rms_udf():
     # session, which doesn't exist at plan-module import time
     @F.pandas_udf("double")
     def rms(v: pd.Series) -> float:  # GROUPED_AGG
-        return float(np.sqrt(np.mean(np.square(v.to_numpy(dtype="float64")))))
+        # dropna: SQL aggregates ignore NULLs — the kernel must too, or a
+        # single NULL poisons the group mean with NaN
+        return float(
+            np.sqrt(np.mean(np.square(v.dropna().to_numpy(dtype="float64"))))
+        )
 
     return rms
 
@@ -272,6 +276,8 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id: long, chunk_idx: long, chunk_text: string")
     class ChunkDoc:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # a NULL document yields no chunks
+                return
             words = text.split(" ")
             for i in range(0, len(words), _CHUNK_TOKENS):
                 yield doc_id, i // _CHUNK_TOKENS, " ".join(
@@ -397,7 +403,10 @@ def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the output canonicalizer-friendly — no array columns."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+        # count(value), not count(*): the sketch and the exact percentile
+        # both ignore NULLs, so the rank bound must rank over the same
+        # non-null population
+        F.count("value").alias("n"),
         F.expr("percentile(value, array(0.5, 0.95))").alias("exact_p"),
         F.expr("approx_percentile(value, array(0.5, 0.95), 1000)").alias("approx_p"),
     )

@@ -203,14 +203,18 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            {duck_hash64("text")} AS fp64,
            list_min(list_transform(range(1, length(text) - 6),
                     i -> {duck_poly_hash("substring(text, i, 8)")})) AS fp_min8
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (X4): whole-document rolling hash plus the
     minimum char-8-gram hash (winnowing-style representative). Pure int64
     arithmetic — identical in both engines, strong oracle check."""
-    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    # a missing document has no fingerprint (and the engines' hash folds
+    # disagree on NULL: Spark NULL vs DuckDB 0) — drop NULL text mirrored
+    docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     return docs.select(
         "doc_id",
         F.expr(spark_hash64("text")).alias("fp64"),
@@ -336,7 +340,7 @@ _JACC_THRESHOLD = 0.8
         SELECT doc_id,
                {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
                {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     sh AS (
         SELECT doc_id,
@@ -373,7 +377,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join to bound hot-key fanout (stop-shingle removal); unnecessary at
     test scale so semantics stay exact here.
     """
-    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    # NULL text carries no shingles; the engines' NULL-list semantics
+    # diverge (Spark drops such docs through NULL joins, DuckDB folds
+    # them to a zero signature pairing with everything) — filter mirrored
+    docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     wh = docs.select(
         "doc_id",
         dd.word_polyhashes_expr("text", 31).alias("wh1"),
@@ -418,7 +427,7 @@ _MH_ROWS = 2  # bands x rows == signature length
         SELECT doc_id,
                {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
                {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     hs AS (
         SELECT doc_id, {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS hs
@@ -470,7 +479,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow constraint). wh1/wh2 stay separate projected columns so the
     gram fold references them by name (inlining → O(words²)/doc).
     """
-    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    # NULL text carries no shingles; the engines' NULL-list semantics
+    # diverge (Spark drops such docs through NULL joins, DuckDB folds
+    # them to a zero signature pairing with everything) — filter mirrored
+    docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     wh = docs.select(
         "doc_id",
         dd.word_polyhashes_expr("text", 31).alias("wh1"),
@@ -505,7 +519,7 @@ SIMHASH_CAND_CTES = f"""
         SELECT doc_id,
                {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
                {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     gs AS (
         SELECT doc_id, {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS gs
@@ -538,7 +552,12 @@ def simhash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b, hamming) by SimHash chunk blocking —
     the Spark twin of the ``simhash_pairs`` CTE above. Shared by
     ``dedup_simhash`` and the cluster resolution in plans/clustering.py."""
-    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    # NULL text carries no shingles; the engines' NULL-list semantics
+    # diverge (Spark drops such docs through NULL joins, DuckDB folds
+    # them to a zero signature pairing with everything) — filter mirrored
+    docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     wh = docs.select(
         "doc_id",
         dd.word_polyhashes_expr("text", 31).alias("wh1"),
@@ -958,15 +977,15 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_features",
     oracle="""
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(list_sum(list_transform(range(1, 17),
-                mm_i -> ascii(substring(text, mm_i, 1)))) AS BIGINT)
+                mm_i -> unicode(substring(text, mm_i, 1)))) AS BIGINT)
                AS checksum16,
            CAST(64 + list_sum(list_transform(range(1, 17),
-                mm_i -> ascii(substring(text, mm_i, 1)))) % 960 AS BIGINT)
+                mm_i -> unicode(substring(text, mm_i, 1)))) % 960 AS BIGINT)
                AS fake_width,
-           CAST(64 + length(text) % 960 AS BIGINT) AS fake_height
-    FROM documents
+           CAST(64 + octet_length(encode(text)) % 960 AS BIGINT) AS fake_height
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,7 +1007,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            j AS frame_idx,
            CAST(list_sum(list_transform(range(1, 17),
-                mm_i -> ascii(substring(text, j * 64 + mm_i, 1)))) AS BIGINT)
+                mm_i -> unicode(substring(text, j * 64 + mm_i, 1)))) AS BIGINT)
                AS frame_checksum
     FROM documents, (SELECT unnest(range(0, 100)) AS j)
     WHERE j < length(text) // 64
@@ -1143,7 +1162,7 @@ _CONT_TAU = 0.7  # containment threshold — catches subsets Jaccard misses
         SELECT doc_id,
                {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
                {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     sh AS (
         SELECT doc_id,
@@ -1187,7 +1206,12 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys) is inherited unchanged. Exactness: integer intersection counts
     and set sizes; ONE double division mirrored in the oracle.
     """
-    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    # NULL text carries no shingles; the engines' NULL-list semantics
+    # diverge (Spark drops such docs through NULL joins, DuckDB folds
+    # them to a zero signature pairing with everything) — filter mirrored
+    docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     wh = docs.select(
         "doc_id",
         dd.word_polyhashes_expr("text", 31).alias("wh1"),
@@ -1233,7 +1257,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
                {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     hs AS (
         SELECT doc_id, {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS hs
@@ -1291,7 +1315,12 @@ def minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH bucket join (the candidate set), plus doc_id-keyed joins of
     signature (32 ints) and hash-set arrays.
     """
-    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    # NULL text carries no shingles; the engines' NULL-list semantics
+    # diverge (Spark drops such docs through NULL joins, DuckDB folds
+    # them to a zero signature pairing with everything) — filter mirrored
+    docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     wh = docs.select(
         "doc_id",
         dd.word_polyhashes_expr("text", 31).alias("wh1"),

@@ -504,7 +504,7 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY value, event_id) AS rn,
                CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     cuts AS (
         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
@@ -541,7 +541,12 @@ def winsorize_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-domain rollup used by ``equidepth_deciles_order_total``
     (group duplicate values first), which this fixture doesn't need.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values are un-winsorizable and the engines disagree on NULL
+    # sort position (Spark NULLS FIRST, DuckDB NULLS LAST) — drop them
+    # before ranking, identically on both sides
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
     w_all = Window.partitionBy("event_type")
     ranked = ev.select(
@@ -735,9 +740,10 @@ _KNN_K = 10
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv, label AS true_label
-        FROM embeddings WHERE vec_id < {_KNN_QUERIES}
+        FROM embeddings WHERE vec_id < {_KNN_QUERIES} AND label IS NOT NULL
     ),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+          FROM embeddings WHERE label IS NOT NULL),
     scored AS (
         SELECT query_id, true_label, neighbor_id, label,
                round({sim.duck_cosine_expr("qv", "cv")}, 6) AS cosine
@@ -779,7 +785,11 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave-one-out sweep at 100 TB, swap the broadcast side for the IVF
     cell join of ``knn_graph_within_cells`` — the vote stage is unchanged.
     """
-    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    # unlabeled vectors can neither vote nor be validated — and the
+    # engines disagree on NULL sort position in the vote tie-break
+    emb = scale_out(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("label").isNotNull()
+    )
     q = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -1840,7 +1850,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``knn_graph_within_cells`` — hard negatives are by definition near
     the query, so cell pruning loses almost nothing.
     """
-    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    # unlabeled vectors can neither vote nor be validated — and the
+    # engines disagree on NULL sort position in the vote tie-break
+    emb = scale_out(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("label").isNotNull()
+    )
     q = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

@@ -57,9 +57,16 @@ def empty_sf_dir(tmp_path_factory) -> str:
     return str(dst)
 
 
-@pytest.fixture(scope="module")
-def empty_duck(empty_sf_dir):
+@pytest.fixture(scope="function")
+def empty_duck(empty_sf_dir, tmp_path_factory):
     con = duckdb.connect()
+    # FUNCTION-scoped + cap + spill (same rationale as conftest.duck): a
+    # longer-lived connection accumulates buffer-pool memory across the
+    # 215 oracles until tiny allocations fail inside the limit
+    con.execute("SET memory_limit = '8GB'")
+    con.execute(
+        f"SET temp_directory = '{tmp_path_factory.mktemp('duck_spill')}'"
+    )
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -118,9 +125,16 @@ def one_row_sf_dir(tmp_path_factory) -> str:
     return str(dst)
 
 
-@pytest.fixture(scope="module")
-def one_row_duck(one_row_sf_dir):
+@pytest.fixture(scope="function")
+def one_row_duck(one_row_sf_dir, tmp_path_factory):
     con = duckdb.connect()
+    # FUNCTION-scoped + cap + spill (same rationale as conftest.duck): a
+    # longer-lived connection accumulates buffer-pool memory across the
+    # 215 oracles until tiny allocations fail inside the limit
+    con.execute("SET memory_limit = '8GB'")
+    con.execute(
+        f"SET temp_directory = '{tmp_path_factory.mktemp('duck_spill')}'"
+    )
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -146,5 +160,172 @@ def test_query_survives_single_row_tables(name, spark, one_row_sf_dir, one_row_d
                 assert (av.isna() == bv.isna()).all(), c
                 both = ~av.isna()
                 assert ((av[both] - bv[both].astype(float)).abs() < 1e-9).all(), c
+            else:
+                assert av.astype(str).equals(bv.astype(str)), c
+
+
+NULLABLE_COLUMNS = {
+    "events": ["value", "props"],
+    "documents": ["text", "lang", "source"],
+    "orders": ["o_comment"],
+    "lineitem": ["l_comment"],
+    "customer": ["c_comment"],
+    "embeddings": ["label"],
+}
+
+
+@pytest.fixture(scope="module")
+def nulls_sf_dir(tmp_path_factory) -> str:
+    """10% NULLs in every non-key column: real 100 TB data has them, the
+    driver fixtures don't. Round 3 found three Python-kernel crashes and
+    a dozen cross-engine NULL-semantics divergences (NULL-text docs
+    pairing with everything in DuckDB's dedup CTEs, per-column
+    last(ignorenulls) splicing different rows in the as-of carry, NULL
+    sort-position differences) — all fixed with mirrored guards."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("sf_nulls")
+    rng = np.random.default_rng(7)
+    for t in TABLE_NAMES:
+        tb = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        tb = tb.replace_schema_metadata(None)
+        cols = {}
+        for name in tb.schema.names:
+            col = tb.column(name)
+            if name in NULLABLE_COLUMNS.get(t, []):
+                mask = pa.array(rng.random(len(tb)) < 0.1)
+                arr = col.combine_chunks()
+                cols[name] = pc.if_else(mask, pa.nulls(len(tb), type=arr.type), arr)
+            else:
+                cols[name] = col
+        pq.write_table(
+            pa.table({n: cols[n] for n in tb.schema.names}),
+            str(dst / f"{t}.parquet"),
+        )
+    return str(dst)
+
+
+@pytest.fixture(scope="function")
+def nulls_duck(nulls_sf_dir, tmp_path_factory):
+    con = duckdb.connect()
+    # FUNCTION-scoped + cap + spill (same rationale as conftest.duck): a
+    # longer-lived connection accumulates buffer-pool memory across the
+    # 215 oracles until tiny allocations fail inside the limit
+    con.execute("SET memory_limit = '8GB'")
+    con.execute(
+        f"SET temp_directory = '{tmp_path_factory.mktemp('duck_spill')}'"
+    )
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{nulls_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_null_injection(name, spark, nulls_sf_dir, nulls_duck):
+    sdf = QUERIES[name](spark, nulls_sf_dir).toPandas()  # must not raise
+    if name not in ORACLES:
+        return
+    odf = nulls_duck.execute(ORACLES[name]).df()
+    assert len(sdf) == len(odf), f"rows {len(sdf)} vs {len(odf)}"
+    if len(sdf):
+        a, b = _canon(sdf), _canon(odf)
+        assert list(a.columns) == list(b.columns)
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                av = av.astype(float)
+                bv = bv.astype(float)
+                assert (av.isna() == bv.isna()).all(), c
+                both = ~av.isna()
+                assert ((av[both] - bv[both]).abs() < 1e-9).all(), c
+            else:
+                assert av.astype(str).equals(bv.astype(str)), c
+
+
+UNICODE_SNIPPETS = [
+    " café naïve über ",
+    " 日本語テスト ",
+    " \U0001F600\U0001F680 emoji ",
+    " русский ",
+    " a+b (c) [d] {e} .* |pipe| $5 ^caret\\ ",
+    " tab\tnewline\nquote\"'end ",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(tmp_path_factory) -> str:
+    """Multibyte/metacharacter text injected into 30% of documents: the
+    fixture corpus is pure ASCII, real corpora are not. Round 3 findings
+    this locks: DuckDB's levenshtein counts bytes while Spark's counts
+    codepoints (both sides now fold to a shared ASCII projection), and
+    the multimodal byte-kernels diverged from their char-based oracles
+    on non-ASCII payloads (kernels now decode and work in codepoints)."""
+    import numpy as np
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("sf_unicode")
+    rng = np.random.default_rng(11)
+    for t in TABLE_NAMES:
+        tb = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        tb = tb.replace_schema_metadata(None)
+        if t == "documents":
+            texts = tb.column("text").to_pylist()
+            out = []
+            for i, s in enumerate(texts):
+                if rng.random() < 0.3:
+                    sn = UNICODE_SNIPPETS[i % len(UNICODE_SNIPPETS)]
+                    mid = len(s) // 2
+                    s = s[:mid] + sn + s[mid:]
+                out.append(s)
+            tb = pa.table(
+                {
+                    n: (pa.array(out) if n == "text" else tb.column(n))
+                    for n in tb.schema.names
+                }
+            )
+        pq.write_table(tb, str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.fixture(scope="function")
+def unicode_duck(unicode_sf_dir, tmp_path_factory):
+    con = duckdb.connect()
+    con.execute("SET memory_limit = '8GB'")
+    con.execute(
+        f"SET temp_directory = '{tmp_path_factory.mktemp('duck_spill')}'"
+    )
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{unicode_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_unicode_text(name, spark, unicode_sf_dir, unicode_duck):
+    sdf = QUERIES[name](spark, unicode_sf_dir).toPandas()  # must not raise
+    if name not in ORACLES:
+        return
+    odf = unicode_duck.execute(ORACLES[name]).df()
+    assert len(sdf) == len(odf), f"rows {len(sdf)} vs {len(odf)}"
+    if len(sdf):
+        a, b = _canon(sdf), _canon(odf)
+        assert list(a.columns) == list(b.columns)
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                av = av.astype(float)
+                bv = bv.astype(float)
+                assert (av.isna() == bv.isna()).all(), c
+                both = ~av.isna()
+                assert ((av[both] - bv[both]).abs() < 1e-9).all(), c
             else:
                 assert av.astype(str).equals(bv.astype(str)), c
