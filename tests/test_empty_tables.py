@@ -329,3 +329,79 @@ def test_query_survives_unicode_text(name, spark, unicode_sf_dir, unicode_duck):
                 assert ((av[both] - bv[both]).abs() < 1e-9).all(), c
             else:
                 assert av.astype(str).equals(bv.astype(str)), c
+
+
+# Per-RECORD operators under duplicate delivery: each physical row gets an
+# output row in Spark (union-and-carry, runlength fragments, per-purchase
+# loss counts), but an ANSI oracle cannot partition by physical row — a
+# row_number over the key collapses verbatim duplicates. The divergence is
+# an oracle-expressibility limit, not an engine bug, and the production
+# answer is composition: at-least-once sources run exact dedup first
+# (dedup_exact_docs / dedup_first_event_per_user_type /
+# dropDuplicatesWithinWatermark), after which the baseline differentials
+# prove agreement. These five are crash-checked only on the dup fixture.
+PER_RECORD_UNDER_DUPLICATES = {
+    "asof_last_click_before_purchase",
+    "pit_click_purchase_context",
+    "event_type_runlengths",
+    "conversion_lag_percentiles",
+    "reconcile_loss_rate_hourly",
+}
+
+
+@pytest.fixture(scope="module")
+def dups_sf_dir(tmp_path_factory) -> str:
+    """10% of events re-appended verbatim: at-least-once delivery, the
+    reference domain's default failure mode."""
+    import numpy as np
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("sf_dups")
+    rng = np.random.default_rng(13)
+    for t in TABLE_NAMES:
+        tb = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        tb = tb.replace_schema_metadata(None)
+        if t == "events":
+            n = len(tb)
+            idx = rng.choice(n, size=n // 10, replace=False)
+            tb = pa.concat_tables([tb, tb.take(pa.array(sorted(idx)))])
+        pq.write_table(tb, str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.fixture(scope="function")
+def dups_duck(dups_sf_dir, tmp_path_factory):
+    con = duckdb.connect()
+    con.execute("SET memory_limit = '8GB'")
+    con.execute(
+        f"SET temp_directory = '{tmp_path_factory.mktemp('duck_spill')}'"
+    )
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dups_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_duplicate_delivery(name, spark, dups_sf_dir, dups_duck):
+    sdf = QUERIES[name](spark, dups_sf_dir).toPandas()  # must not raise
+    if name not in ORACLES or name in PER_RECORD_UNDER_DUPLICATES:
+        return
+    odf = dups_duck.execute(ORACLES[name]).df()
+    assert len(sdf) == len(odf), f"rows {len(sdf)} vs {len(odf)}"
+    if len(sdf):
+        a, b = _canon(sdf), _canon(odf)
+        assert list(a.columns) == list(b.columns)
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                av = av.astype(float)
+                bv = bv.astype(float)
+                assert (av.isna() == bv.isna()).all(), c
+                both = ~av.isna()
+                assert ((av[both] - bv[both]).abs() < 1e-9).all(), c
+            else:
+                assert av.astype(str).equals(bv.astype(str)), c
