@@ -105,3 +105,41 @@ def test_latest_by_key_is_argmin(spark, data):
         pdf.sort_values(["ts", "rid"]).groupby("k").first()["rid"].to_dict()
     )
     assert got == want
+
+
+@given(left=rows, right=rows, nullmask=st.lists(st.booleans(), min_size=25, max_size=25))
+@settings(**_SETTINGS)
+def test_asof_join_carries_null_value_columns_atomically(
+    spark, left, right, nullmask
+):
+    """The round-3 splice bug class, generatively: when a right row's value
+    column is NULL, the carry must still pick THAT row (atomic struct),
+    never reach back to an older right row's non-NULL value — and the
+    matched row's id must stay consistent with its (possibly NULL) value."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, lid long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    rrows = [
+        (k, t, i, None if nullmask[i] else float(i * 10))
+        for i, (k, t) in enumerate(right)
+    ]
+    rdf = spark.createDataFrame(
+        rrows, "k long, ts long, rid long, val double"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    got = {
+        r.lid: (r.asof_rid, r.asof_val)
+        for r in asof_join(
+            ldf, rdf, ["k"], "ts", "ts", ["rid", "val"], tiebreak="rid"
+        ).collect()
+    }
+
+    want = {}
+    for i, (lk, lt) in enumerate(left):
+        cands = [
+            (rt, j) for j, (rk, rt) in enumerate(right) if rk == lk and rt <= lt
+        ]
+        if cands:
+            j = max(cands)[1]
+            want[i] = (j, None if nullmask[j] else float(j * 10))
+    assert got == want
