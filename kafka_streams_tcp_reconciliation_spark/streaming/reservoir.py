@@ -70,6 +70,10 @@ def reservoir_sample_stream(events: DataFrame) -> DataFrame:
                 eid = int(r.event_id)
                 h = _sample_hash(eid)
                 cand = (h, eid)
+                if cand in kept:
+                    # at-least-once redelivery: already a member — an
+                    # idempotent no-op, never a self-evicting re-add
+                    continue
                 if len(kept) < K:
                     kept.append(cand)
                     kept.sort()
