@@ -40,10 +40,14 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# v_valid: 1 where value was non-NULL. SQL window sums IGNORE NULLs and
+# return NULL for an all-NULL frame — the deque mirrors that exactly
+# instead of crashing on int(NaN) or silently zero-filling.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("t_us", T.ArrayType(T.LongType())),
         T.StructField("v_micro", T.ArrayType(T.LongType())),
+        T.StructField("v_valid", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -60,10 +64,10 @@ def sliding_window_stream(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            t_us, v_micro = state.get
-            t_us, v_micro = list(t_us), list(v_micro)
+            t_us, v_micro, v_valid = state.get
+            t_us, v_micro, v_valid = list(t_us), list(v_micro), list(v_valid)
         else:
-            t_us, v_micro = [], []
+            t_us, v_micro, v_valid = [], [], []
         out: list[dict[str, Any]] = []
         wm_ms = state.getCurrentWatermarkMs()
 
@@ -71,10 +75,16 @@ def sliding_window_stream(events: DataFrame) -> DataFrame:
             # nothing older than (watermark - horizon) can enter a future
             # frame: future events carry ts >= watermark
             cut = wm_ms * 1000 - HORIZON_US
-            keep = [(t, v) for t, v in zip(t_us, v_micro) if t >= cut]
+            keep = [
+                (t, v, g)
+                for t, v, g in zip(t_us, v_micro, v_valid)
+                if t >= cut
+            ]
             if keep:
-                t_us, v_micro = [t for t, _ in keep], [v for _, v in keep]
-                state.update((t_us, v_micro))
+                t_us = [t for t, _, _ in keep]
+                v_micro = [v for _, v, _ in keep]
+                v_valid = [g for _, _, g in keep]
+                state.update((t_us, v_micro, v_valid))
                 state.setTimeoutTimestamp(
                     max((min(t_us) + HORIZON_US) // 1000 + 1, wm_ms + 1)
                 )
@@ -94,21 +104,32 @@ def sliding_window_stream(events: DataFrame) -> DataFrame:
                 while t_us and t_us[0] < cut:
                     t_us.pop(0)
                     v_micro.pop(0)
+                    v_valid.pop(0)
                 for r in grp.itertuples(index=False):
                     t_us.append(cur)
-                    v_micro.append(int(round(r.value * 1_000_000)))
-                n, s = len(t_us), sum(v_micro)
+                    if pd.isna(r.value):
+                        v_micro.append(0)
+                        v_valid.append(0)
+                    else:
+                        v_micro.append(int(round(r.value * 1_000_000)))
+                        v_valid.append(1)
+                n = len(t_us)
+                n_valid = sum(v_valid)
+                s = sum(v_micro)
+                sum_out = (
+                    round(s / 1_000_000.0, 6) if n_valid else None
+                )
                 for r in grp.sort_values("event_id").itertuples(index=False):
                     out.append(
                         {
                             "user_id": user_id,
                             "event_id": int(r.event_id),
                             "n_30m": n,
-                            "sum_value_30m": round(s / 1_000_000.0, 6),
+                            "sum_value_30m": sum_out,
                         }
                     )
         if t_us:
-            state.update((t_us, v_micro))
+            state.update((t_us, v_micro, v_valid))
             state.setTimeoutTimestamp(
                 max((min(t_us) + HORIZON_US) // 1000 + 1, wm_ms + 1)
             )
