@@ -735,9 +735,7 @@ _KNN_QUERIES = 100
 _KNN_K = 10
 
 
-@register(
-    "knn_label_accuracy",
-    oracle=f"""
+_KNN_ORACLE_CORE = f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv, label AS true_label
         FROM embeddings WHERE vec_id < {_KNN_QUERIES} AND label IS NOT NULL
@@ -770,7 +768,12 @@ _KNN_K = 10
         ) AS vr
         FROM votes
     ) WHERE vr = 1
-    """,
+    """
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=_KNN_ORACLE_CORE,
 )
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-vote label prediction (the label-quality / leave-one-out
@@ -2496,4 +2499,93 @@ def split_vocab_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(sum(wq) AS BIGINT) * 1000000 DIV max(nq_)) DIV 2000000"
             " END AS BIGINT)"
         ).alias("js_micro_nats"),
+    )
+
+
+# --- label-quality readout: Cohen's kappa of the kNN rater -------------------
+
+
+@register(
+    "knn_label_kappa",
+    oracle=f"""
+    WITH knn AS ({_KNN_ORACLE_CORE}),
+    counts AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN is_correct THEN 1 END) AS BIGINT)
+                   AS agree
+        FROM knn
+    ),
+    marg AS (
+        SELECT CAST(sum(nt * np) AS BIGINT) AS chance_cross
+        FROM (
+            SELECT COALESCE(t.label, p.label) AS label,
+                   COALESCE(nt, 0) AS nt, COALESCE(np, 0) AS np
+            FROM (SELECT true_label AS label, count(*) AS nt
+                  FROM knn GROUP BY true_label) t
+            FULL OUTER JOIN
+                 (SELECT pred_label AS label, count(*) AS np
+                  FROM knn GROUP BY pred_label) p
+              ON t.label = p.label
+        )
+    )
+    SELECT n, agree,
+           round(CASE WHEN n * n - chance_cross = 0 THEN 0.0 ELSE
+                 CAST(n * agree - chance_cross AS DOUBLE)
+                 / CAST(n * n - chance_cross AS DOUBLE) END, 6) AS kappa
+    FROM counts CROSS JOIN marg
+    """,
+)
+def knn_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the kNN rater against the stored labels — the
+    agreement-BEYOND-CHANCE readout that labels-vs-predictions accuracy
+    (``knn_label_accuracy``) alone overstates on imbalanced classes: with
+    po the observed agreement and pe the chance agreement from the two
+    raters' marginals, kappa = (po − pe)/(1 − pe).
+
+    Determinism: everything reduces to integer counts — kappa's numerator
+    n·agree − Σ n_true_k·n_pred_k and denominator n² − Σ n_true_k·n_pred_k
+    are exact int64 (one rounded float division; a degenerate single-class
+    corpus where pe = 1 yields kappa 0 by mirrored convention).
+
+    Scale: rides the kNN query's plan (broadcast queries + WindowGroupLimit
+    top-k); the kappa arithmetic touches |queries| rows, then two
+    label-cardinality marginals joined by label — all broadcast-sized.
+    """
+    knn = knn_label_accuracy(spark, sf_dir)
+    counts = knn.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("is_correct"), 1)).cast("long").alias("agree"),
+    )
+    nt = knn.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    np_ = knn.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("np")
+    )
+    marg = (
+        nt.join(np_, "label", "full_outer")
+        .select(
+            (
+                F.coalesce("nt", F.lit(0)) * F.coalesce("np", F.lit(0))
+            ).alias("cross")
+        )
+        .agg(F.sum("cross").cast("long").alias("chance_cross"))
+    )
+    return counts.crossJoin(F.broadcast(marg)).select(
+        "n",
+        "agree",
+        F.round(
+            F.when(
+                F.col("n") * F.col("n") - F.col("chance_cross") == 0,
+                F.lit(0.0),
+            ).otherwise(
+                (F.col("n") * F.col("agree") - F.col("chance_cross")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("n") - F.col("chance_cross")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("kappa"),
     )

@@ -1091,3 +1091,61 @@ def feature_hash_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n_tokens"))
     )
+
+
+# --- effective sample size under weighting -----------------------------------
+
+
+@register(
+    "ess_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(CAST(sum(n_chars) AS HUGEINT)
+                      * CAST(sum(n_chars) AS HUGEINT) AS DOUBLE)
+                 / CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE),
+                 6) AS ess,
+           round(CAST(CAST(sum(n_chars) AS HUGEINT)
+                      * CAST(sum(n_chars) AS HUGEINT) AS DOUBLE)
+                 / CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE)
+                 / count(*), 6) AS ess_frac
+    FROM documents
+    WHERE source IS NOT NULL AND n_chars > 0
+    GROUP BY source
+    """,
+)
+def ess_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of each source's documents under
+    length-proportional weighting — ESS = (Σw)²/Σw² with w = n_chars: the
+    diagnostic that tells a mixture designer how much a source's token
+    count is really worth in independent-document units (a source whose
+    mass sits in a few giant docs has ESS ≪ n_docs, so upweighting it
+    buys less diversity than the raw token share suggests).
+
+    Determinism: (Σw)² and Σw² are exact integers (DECIMAL/HUGEINT cross
+    products); ONE float division each, rounded at output. n_chars > 0
+    filters weightless docs identically on both engines (a zero-weight
+    doc contributes to neither sum but would inflate n_docs).
+
+    Scale: one map-side-combinable aggregate over the corpus — the
+    moment pattern of `profile_orders_columns`, per source.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & (F.col("n_chars") > 0)
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    ess = (F.col("s1") * F.col("s1")).cast("double") / F.col("s2").cast(
+        "double"
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n_docs"), 6).alias("ess_frac"),
+    )
