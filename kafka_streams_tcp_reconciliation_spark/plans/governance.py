@@ -81,6 +81,9 @@ _EVENT_TYPES = "'view', 'click', 'purchase', 'signup', 'error'"
     SELECT 'events_ts_out_of_range', count(*)
     FROM events WHERE ts < TIMESTAMP '2024-01-01'
                    OR ts >= TIMESTAMP '2025-01-01'
+    UNION ALL
+    SELECT 'events_value_out_of_domain', count(*)
+    FROM events WHERE abs(value) > 1000000000
     """,
 )
 def dq_audit_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,11 +156,20 @@ def dq_audit_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-01 00:00:00'"))
             | (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2025-01-01 00:00:00'"))
         ).alias("events_ts_out_of_range"),
+        # magnitude gate for the micro-unit quantization contract: every
+        # exact-integer money/value pipeline (drawdown, CUPED, LTV, ...)
+        # is exact for |value| <= 1e9 and FAILS LOUDLY (ANSI CAST_OVERFLOW
+        # at ~9.2e12) beyond int64/1e6 — this check is the ingest gate
+        # that catches such garbage before those jobs run
+        viol(F.abs(F.col("value")) > 1_000_000_000).alias(
+            "events_value_out_of_domain"
+        ),
     ).selectExpr(
-        """stack(3,
+        """stack(4,
             'events_rows', events_rows,
             'events_type_out_of_domain', events_type_out_of_domain,
-            'events_ts_out_of_range', events_ts_out_of_range
+            'events_ts_out_of_range', events_ts_out_of_range,
+            'events_value_out_of_domain', events_value_out_of_domain
         ) AS (check_name, n)"""
     )
     orphans = orders.join(
