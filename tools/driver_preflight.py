@@ -38,11 +38,17 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 
-con = duckdb.connect()
-for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    p = os.path.join(SF, t + ".parquet")
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+def fresh_con():
+    """A connection per query: a long-lived one accumulates buffer-pool
+    memory across ~200 oracles until tiny allocations fail (the same
+    lesson as tests/conftest.duck); registration is microseconds."""
+    c = duckdb.connect()
+    c.execute("SET memory_limit = '8GB'")
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        pq = os.path.join(SF, t + ".parquet")
+        if os.path.exists(pq):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pq}')")
+    return c
 
 qs = e.queries()
 oracles = e.oracle_sql()
@@ -64,7 +70,9 @@ for i, name in enumerate(names):
         if name not in oracles:
             print(f"{i:3d} {name}: NO-ORACLE rows={len(sdf)}")
             continue
+        con = fresh_con()
         odf = con.execute(oracles[name]).df()
+        con.close()
         a, b = canon(sdf), canon(odf)
         ok_rows = len(a) == len(b)
         ok_schema = list(a.columns) == list(b.columns)
