@@ -2589,3 +2589,115 @@ def knn_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+# --- difference-in-differences readout ---------------------------------------
+
+
+@register(
+    "did_ab_readout",
+    oracle="""
+    WITH tsu AS (
+        SELECT user_id, event_type, value,
+               date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS t_us
+        FROM events
+    ),
+    bounds AS (SELECT (min(t_us) + max(t_us)) // 2 AS mid_us FROM tsu),
+    cells AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(t_us >= mid_us AS BIGINT) AS post,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 1000000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS v_micro,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM tsu CROSS JOIN bounds
+        GROUP BY arm, post
+    )
+    SELECT arm, post, n_users,
+           round(v_micro / n_users / 1000000.0, 6) AS mean_value,
+           round((SELECT (t11.v_micro * 1.0 / t11.n_users
+                          - t10.v_micro * 1.0 / t10.n_users)
+                         - (t01.v_micro * 1.0 / t01.n_users
+                            - t00.v_micro * 1.0 / t00.n_users)
+                  FROM cells t00, cells t01, cells t10, cells t11
+                  WHERE t00.arm = 0 AND t00.post = 0
+                    AND t01.arm = 0 AND t01.post = 1
+                    AND t10.arm = 1 AND t10.post = 0
+                    AND t11.arm = 1 AND t11.post = 1
+                 ) / 1000000.0, 6) AS did_estimate
+    FROM cells
+    """,
+)
+def did_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences A/B readout (the identification cousin of
+    ``cuped_ab_lift``): per (arm, period) purchase-value cell means plus
+    the DiD estimate (Δ_treat − Δ_control) — the standard guard against a
+    pre-existing level difference between arms masquerading as lift.
+
+    Determinism: cell sums quantize to integer micro-units; per-cell user
+    counts are exact; the four-cell combination is one mirrored float
+    expression over exact integers, rounded at output. The same
+    broadcast-midpoint split as CUPED (never a collected literal).
+
+    Scale: one map-side-combined pass to 4 cells; the DiD scalar is a
+    4-row self-combination — O(1). Every row carries the global estimate
+    so the readout is self-contained.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tsu = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', ts)"
+        ).alias("t_us"),
+    )
+    bounds = tsu.agg(F.expr("(min(t_us) + max(t_us)) DIV 2").alias("mid_us"))
+    cells = (
+        tsu.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr("CAST(user_id % 2 AS BIGINT)").alias("arm"),
+            F.expr("CAST(t_us >= mid_us AS BIGINT)").alias("post"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN event_type = 'purchase'"
+                " THEN CAST(round(value * 1000000) AS BIGINT)"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("v_micro"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    # four-cell combination by conditional aggregation: always exactly one
+    # row, and a missing cell (degenerate fixtures with data in one arm or
+    # one period only) surfaces as a NULL estimate — matching the oracle's
+    # scalar subquery — instead of an empty cross join swallowing the
+    # entire readout
+    def cell_mean(a: int, p: int):
+        return F.max(
+            F.when(
+                (F.col("arm") == a) & (F.col("post") == p),
+                F.col("v_micro") * 1.0 / F.col("n_users"),
+            )
+        )
+
+    did = cells.agg(
+        (
+            (cell_mean(1, 1) - cell_mean(1, 0))
+            - (cell_mean(0, 1) - cell_mean(0, 0))
+        ).alias("did_micro")
+    )
+    return (
+        cells.crossJoin(F.broadcast(did))
+        .select(
+            "arm",
+            "post",
+            "n_users",
+            F.round(
+                F.col("v_micro") / F.col("n_users") / 1_000_000.0, 6
+            ).alias("mean_value"),
+            F.round(F.col("did_micro") / 1_000_000.0, 6).alias(
+                "did_estimate"
+            ),
+        )
+    )

@@ -1149,3 +1149,88 @@ def ess_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ess, 6).alias("ess"),
         F.round(ess / F.col("n_docs"), 6).alias("ess_frac"),
     )
+
+
+# --- tokenizer sizing: coverage-at-k curve -----------------------------------
+
+_COVERAGE_KS = (10, 100, 1000)
+
+
+@register(
+    "vocab_coverage_at_k",
+    oracle=f"""
+    WITH tf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ) WHERE term <> '' GROUP BY term
+    ),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+        FROM tf
+    ),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tf)
+    SELECT k,
+           CAST(coalesce(sum(CASE WHEN rnk <= k THEN cnt END), 0) AS BIGINT)
+               AS covered_tokens,
+           max(n_tokens) AS n_tokens,
+           round(coalesce(sum(CASE WHEN rnk <= k THEN cnt END), 0)
+                 / CAST(max(n_tokens) AS DOUBLE), 6) AS coverage
+    FROM ranked CROSS JOIN total
+    CROSS JOIN (SELECT CAST(unnest([{", ".join(str(k) for k in _COVERAGE_KS)}])
+                         AS BIGINT) AS k)
+    GROUP BY k
+    """,
+)
+def vocab_coverage_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token coverage of a top-k vocabulary — the tokenizer-sizing curve:
+    what fraction of all token OCCURRENCES the k most frequent terms
+    cover (the complement of ``vocab_oov_rate``'s fixed-vocab view, swept
+    over candidate sizes). The elbow of this curve is where vocabulary
+    growth stops buying coverage — the standard first read before fixing
+    a tokenizer budget.
+
+    Determinism: counts are exact integers; ranking ties break (cnt DESC,
+    term); one rounded division per k.
+
+    Scale: term frequency is a map-side-combinable aggregate (never a
+    window over occurrences); the rank runs over the VOCABULARY relation
+    — bounded by distinct terms, not corpus tokens — and the k-sweep is
+    a constant 3-row broadcast. A zipfian corpus makes the vocab rollup
+    skew-safe by construction (counts, not rows, reach the rank).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = tf.select("cnt", F.row_number().over(w).alias("rnk"))
+    total = tf.agg(F.sum("cnt").cast("long").alias("n_tokens"))
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in _COVERAGE_KS], "k long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("cnt"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("covered_tokens"),
+            F.max("n_tokens").alias("n_tokens"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("cnt"))),
+                    F.lit(0),
+                )
+                / F.max("n_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
