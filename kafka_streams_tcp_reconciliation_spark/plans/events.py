@@ -679,3 +679,77 @@ def reconcile_loss_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loss_rate"),
         )
     )
+
+
+# --- delivery-quality report (the reconciliation QoS readout) ---------------
+
+
+@register(
+    "delivery_quality_report",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_max_ts
+        FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+               AS n_dup_event_ids,
+           CAST(count(CASE WHEN ts < prev_max_ts THEN 1 END) AS BIGINT)
+               AS n_inversions,
+           round(CASE WHEN count(*) = 0 THEN 0.0 ELSE
+                 count(CASE WHEN ts < prev_max_ts THEN 1 END)
+                 / CAST(count(*) AS DOUBLE) END, 6) AS inversion_rate
+    FROM seq
+    """,
+)
+def delivery_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-quality QoS readout — the summary a TCP/Kafka
+    reconciliation pipeline publishes about its OWN transport: duplicate
+    event-id count (at-least-once redelivery volume) and sequence/time
+    INVERSIONS — events whose timestamp precedes the maximum timestamp of
+    any earlier-sequenced event of the same key (event_id as the producer
+    sequence), i.e. reordering that any in-order consumer will observe.
+
+    Determinism: counts are exact integers; the inversion test compares
+    stored timestamps (no arithmetic); one rounded division.
+
+    Scale: ONE shuffle on user_id for the running-max window (same
+    partitioning every sequence analytic shares), then a
+    map-side-combinable global rollup to a single row. The distinct-id
+    count rides Spark's partial-distinct aggregation — no second
+    full-rows shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_id",
+        "ts",
+        F.max("ts").over(w).alias("prev_max_ts"),
+    )
+    return seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id"))
+        .cast("long")
+        .alias("n_dup_event_ids"),
+        F.count(F.when(F.col("ts") < F.col("prev_max_ts"), 1))
+        .cast("long")
+        .alias("n_inversions"),
+        # empty input: zero events means a 0 rate, not 0/0 (lazy CASE —
+        # the ANSI division never fires; DuckDB mirrors)
+        F.round(
+            F.when(F.count(F.lit(1)) == 0, F.lit(0.0)).otherwise(
+                F.count(F.when(F.col("ts") < F.col("prev_max_ts"), 1))
+                / F.count(F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("inversion_rate"),
+    )
