@@ -122,18 +122,26 @@ def extract_features(mm: DataFrame) -> DataFrame:
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        for pdf in batches:
-            # a missing/undecodable payload yields no feature row (the
-            # decoder-pipeline convention; NULL-proof for real data)
-            pdf = pdf[pdf["payload"].notna()]
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
+        def head_checksum(b) -> int | None:
             # checksum over the first `head` CODE POINTS of the decoded
             # payload, not raw bytes: the oracle re-derives features from
             # the text column, and bytes-vs-chars diverges on non-ASCII
-            checksum = payloads.map(
-                lambda b: sum(ord(c) for c in bytes(b).decode("utf-8")[:head])
-            )
+            try:
+                return sum(ord(c) for c in bytes(b).decode("utf-8")[:head])
+            except UnicodeDecodeError:
+                return None
+
+        for pdf in batches:
+            # a missing/undecodable payload yields no feature row (the
+            # decoder-pipeline convention; NULL-proof for real data —
+            # non-text binary media drops here instead of crashing the
+            # kernel)
+            pdf = pdf[pdf["payload"].notna()]
+            checksum = pdf["payload"].map(head_checksum)
+            pdf = pdf[checksum.notna()]
+            checksum = checksum[checksum.notna()]
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -165,8 +173,12 @@ def sample_frames(mm: DataFrame) -> DataFrame:
                     continue
                 # frame over decoded CODE POINTS (see extract_features):
                 # char-based framing is what the text-derived oracle can
-                # mirror exactly on non-ASCII corpora
-                text = bytes(payload).decode("utf-8")
+                # mirror exactly on non-ASCII corpora; undecodable binary
+                # media yields no frames (decoder-pipeline convention)
+                try:
+                    text = bytes(payload).decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
                 n_frames = len(text) // stride
                 for j in range(n_frames):
                     ids.append(doc_id)

@@ -378,11 +378,11 @@ def map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
                quantile_cont(value, 0.5) AS exact_v
-        FROM events GROUP BY event_type
+        FROM events GROUP BY event_type HAVING count(value) > 0
         UNION ALL
         SELECT event_type, CAST(0.95 AS DOUBLE),
                quantile_cont(value, 0.95)
-        FROM events GROUP BY event_type
+        FROM events GROUP BY event_type HAVING count(value) > 0
     )
     """,
 )
@@ -400,7 +400,13 @@ def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     slack vs the nominal eps; pytest asserts the tight bound). The exact
     half (Spark ``percentile`` == DuckDB ``quantile_cont``, linear
     interpolation) is value-checked directly. Scalar rows (event_type, q)
-    keep the output canonicalizer-friendly — no array columns."""
+    keep the output canonicalizer-friendly — no array columns.
+
+    All-NULL groups are excluded by a mirrored ``count(value) > 0``
+    contract: Spark's ``percentile`` returns a NULL *array* for such a
+    group (posexplode then yields zero rows) while DuckDB emits NULL
+    scalars — filtering both sides keeps the row sets identical on any
+    corpus."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         # count(value), not count(*): the sketch and the exact percentile
@@ -410,6 +416,7 @@ def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, array(0.5, 0.95))").alias("exact_p"),
         F.expr("approx_percentile(value, array(0.5, 0.95), 1000)").alias("approx_p"),
     )
+    agg = agg.where(F.col("n") > 0)
     exploded = agg.select(
         "event_type",
         "n",

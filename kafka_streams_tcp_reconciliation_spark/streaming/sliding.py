@@ -4,21 +4,29 @@ SlidingWindows.ofTimeDifference half).
 
 Kafka Streams materializes sliding windows by scanning a window store per
 event; the Spark batch form is a RANGE frame. The streaming form keeps,
-per user, exactly the events inside the trailing horizon (a time-bounded
-deque) and emits each arriving event's trailing (count, sum) on arrival.
+per user, the events inside the trailing horizon plus the not-yet-final
+tail, and emits each event's trailing (count, sum) once its frame is
+provably complete.
 
-RANGE-frame peer semantics are preserved: events sharing an event-time
-microsecond are processed as one group — every peer's frame includes ALL
-peers, matching both engines' SQL-standard RANGE behaviour.
+RANGE-frame peer semantics are preserved across micro-batch boundaries by
+buffering at the watermark frontier: a timestamp group is emitted only
+once the watermark has passed it strictly, at which point Spark drops any
+further row at that timestamp as late — so every peer that will ever be
+admitted is already in the frame. Events at or ahead of the watermark
+stay pending (the standard append-mode finalization contract, identical
+to how Spark finalizes windowed aggregates); an event-time timer (T3)
+flushes them as the watermark advances even if the key never receives
+another event.
 
-State is bounded by the horizon (events inside 30 min per key), never
-stream length: arrivals evict eagerly, and an event-time timer (T3)
-clears what idle keys leave behind once the watermark passes their
-horizon, so abandoned keys drop to empty state.
+State is bounded by the horizon plus the pending frontier tail (events
+inside 30 min of the watermark per key), never stream length: flushes
+evict eagerly, and the timer clears what idle keys leave behind once the
+watermark passes their horizon, so abandoned keys drop to empty state.
 """
 
 from __future__ import annotations
 
+import bisect
 from collections.abc import Iterator
 from typing import Any
 
@@ -41,21 +49,30 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 # v_valid: 1 where value was non-NULL. SQL window sums IGNORE NULLs and
-# return NULL for an all-NULL frame — the deque mirrors that exactly
+# return NULL for an all-NULL frame — the log mirrors that exactly
 # instead of crashing on int(NaN) or silently zero-filling.
+# emitted_to_us: frontier marker — every event with t < emitted_to_us has
+# already produced its output row (kept in the log only while still inside
+# some future frame's horizon).
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("t_us", T.ArrayType(T.LongType())),
         T.StructField("v_micro", T.ArrayType(T.LongType())),
         T.StructField("v_valid", T.ArrayType(T.LongType())),
+        T.StructField("e_id", T.ArrayType(T.LongType())),
+        T.StructField("emitted_to_us", T.LongType()),
     ]
 )
+
+_NEG_INF = -(2**62)
 
 
 def sliding_window_stream(events: DataFrame) -> DataFrame:
     """Per-user trailing 30-minute (count, exact micro-unit sum) emitted
-    once per event — converges to the batch RANGE-frame query under
-    in-order replay."""
+    once per event when the watermark finalizes its frame — converges to
+    the batch RANGE-frame query for every event the watermark has passed
+    (the tail at/after the final watermark is legitimately still
+    pending)."""
 
     def fsm(
         key: tuple[Any, ...],
@@ -64,78 +81,90 @@ def sliding_window_stream(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            t_us, v_micro, v_valid = state.get
-            t_us, v_micro, v_valid = list(t_us), list(v_micro), list(v_valid)
+            t_us, v_micro, v_valid, e_id, emitted_to = state.get
+            rows = sorted(
+                zip(t_us, e_id, v_micro, v_valid), key=lambda r: (r[0], r[1])
+            )
         else:
-            t_us, v_micro, v_valid = [], [], []
-        out: list[dict[str, Any]] = []
+            rows = []
+            emitted_to = _NEG_INF
         wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
 
-        if state.hasTimedOut:
-            # nothing older than (watermark - horizon) can enter a future
-            # frame: future events carry ts >= watermark
-            cut = wm_ms * 1000 - HORIZON_US
-            keep = [
-                (t, v, g)
-                for t, v, g in zip(t_us, v_micro, v_valid)
-                if t >= cut
-            ]
-            if keep:
-                t_us = [t for t, _, _ in keep]
-                v_micro = [v for _, v, _ in keep]
-                v_valid = [g for _, _, g in keep]
-                state.update((t_us, v_micro, v_valid))
-                state.setTimeoutTimestamp(
-                    max((min(t_us) + HORIZON_US) // 1000 + 1, wm_ms + 1)
-                )
-            else:
-                state.remove()
-            yield pd.DataFrame(
-                out, columns=["user_id", "event_id", "n_30m", "sum_value_30m"]
-            )
-            return
-
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            # one group per event-time microsecond: peers share a frame
-            for ts_val, grp in pdf.groupby("ts", sort=True):
-                cur = int(pd.Timestamp(ts_val).value // 1000)
-                cut = cur - HORIZON_US
-                while t_us and t_us[0] < cut:
-                    t_us.pop(0)
-                    v_micro.pop(0)
-                    v_valid.pop(0)
-                for r in grp.itertuples(index=False):
-                    t_us.append(cur)
+        if not state.hasTimedOut:
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    cur = int(pd.Timestamp(r.ts).value // 1000)
                     if pd.isna(r.value):
-                        v_micro.append(0)
-                        v_valid.append(0)
+                        rows.append((cur, int(r.event_id), 0, 0))
                     else:
-                        v_micro.append(int(round(r.value * 1_000_000)))
-                        v_valid.append(1)
-                n = len(t_us)
-                n_valid = sum(v_valid)
-                s = sum(v_micro)
-                sum_out = (
-                    round(s / 1_000_000.0, 6) if n_valid else None
-                )
-                for r in grp.sort_values("event_id").itertuples(index=False):
-                    out.append(
-                        {
-                            "user_id": user_id,
-                            "event_id": int(r.event_id),
-                            "n_30m": n,
-                            "sum_value_30m": sum_out,
-                        }
-                    )
-        if t_us:
-            state.update((t_us, v_micro, v_valid))
-            state.setTimeoutTimestamp(
-                max((min(t_us) + HORIZON_US) // 1000 + 1, wm_ms + 1)
+                        rows.append(
+                            (
+                                cur,
+                                int(r.event_id),
+                                int(round(r.value * 1_000_000)),
+                                1,
+                            )
+                        )
+            # new events are never late (ts >= the admitting watermark >=
+            # emitted_to), so sorting keeps the emitted prefix a prefix
+            rows.sort(key=lambda r: (r[0], r[1]))
+
+        # flush: finalize every pending frame the watermark has passed.
+        # A group at t is complete once wm > t — any further peer at t
+        # would be dropped as late — so its RANGE frame [t - H, t] is
+        # exactly the batch frame.
+        out: list[dict[str, Any]] = []
+        ts_sorted = [r[0] for r in rows]
+        for i, (t, eid, _v, _g) in enumerate(rows):
+            if t < emitted_to or t >= wm_us:
+                continue
+            lo = bisect.bisect_left(ts_sorted, t - HORIZON_US)
+            hi = bisect.bisect_right(ts_sorted, t)
+            frame = rows[lo:hi]
+            n_valid = sum(g for _, _, _, g in frame)
+            s = sum(v for _, _, v, _ in frame)
+            out.append(
+                {
+                    "user_id": user_id,
+                    "event_id": eid,
+                    "n_30m": len(frame),
+                    "sum_value_30m": (
+                        round(s / 1_000_000.0, 6) if n_valid else None
+                    ),
+                }
             )
-        else:
-            if state.exists:
-                state.remove()
+        emitted_to = max(emitted_to, wm_us)
+
+        # evict: future frames (pending or not-yet-arrived) all sit at
+        # ts >= wm, so nothing below wm - horizon can ever be framed again
+        cut = wm_us - HORIZON_US
+        start = bisect.bisect_left(ts_sorted, cut)
+        rows = rows[start:]
+
+        if rows:
+            state.update(
+                (
+                    [r[0] for r in rows],
+                    [r[2] for r in rows],
+                    [r[3] for r in rows],
+                    [r[1] for r in rows],
+                    emitted_to,
+                )
+            )
+            # wake at whichever comes first: the earliest pending frame's
+            # finalization (wm passes its ts) or the earliest retained
+            # event's horizon expiry (state eviction for idle keys)
+            pending = [t for t, _, _, _ in rows if t >= emitted_to]
+            wakes = [(rows[0][0] + HORIZON_US) // 1000 + 1]
+            if pending:
+                # fires when wm_ms > t//1000, i.e. wm_us > t — the exact
+                # finalization point (a +1 here could strand the group if
+                # the stream ends within the same millisecond)
+                wakes.append(pending[0] // 1000)
+            state.setTimeoutTimestamp(max(min(wakes), wm_ms + 1))
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(
             out, columns=["user_id", "event_id", "n_30m", "sum_value_30m"]
         )

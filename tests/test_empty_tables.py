@@ -405,3 +405,49 @@ def test_query_survives_duplicate_delivery(name, spark, dups_sf_dir, dups_duck):
                 assert ((av[both] - bv[both]).abs() < 1e-9).all(), c
             else:
                 assert av.astype(str).equals(bv.astype(str)), c
+
+
+def test_approx_percentile_all_null_group(spark, tmp_path_factory):
+    """A group whose value column is entirely NULL must be excluded by the
+    mirrored count(value) > 0 contract on BOTH engines (Spark's percentile
+    returns a NULL array → posexplode drops the group; DuckDB's
+    quantile_cont emits NULL scalars — without the guard the row sets
+    diverge). The 10%-null sweep never produces an all-NULL group, so this
+    locks the case directly."""
+    import numpy as np
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("sf_allnull")
+    for t in TABLE_NAMES:
+        tb = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        tb = tb.replace_schema_metadata(None)
+        if t == "events":
+            etype = tb.column("event_type").to_pylist()
+            val = tb.column("value").to_pylist()
+            val = [None if e == "view" else v for e, v in zip(etype, val)]
+            assert any(e == "view" for e in etype)
+            idx = tb.schema.get_field_index("value")
+            tb = tb.set_column(
+                idx, "value", pa.array(val, type=pa.float64())
+            )
+        pq.write_table(tb, str(dst / f"{t}.parquet"))
+    sdf = QUERIES["approx_percentile_value"](spark, str(dst)).toPandas()
+    assert "view" not in set(sdf["event_type"])
+    con = duckdb.connect()
+    try:
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{dst}/{t}.parquet')"
+            )
+        odf = con.execute(ORACLES["approx_percentile_value"]).df()
+    finally:
+        con.close()
+    assert len(sdf) == len(odf)
+    a, b = _canon(sdf), _canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert (a["event_type"].values == b["event_type"].values).all()
+    assert np.allclose(
+        a["exact_v"].astype(float), b["exact_v"].astype(float), atol=1e-9
+    )
+    assert sdf["within_bound"].all()

@@ -40,3 +40,30 @@ def test_frame_fanout_counts(spark, sf_dir):
     }
     expected = {k: v for k, v in expected.items() if v > 0}
     assert got == expected
+
+
+def test_undecodable_payload_yields_no_rows(spark):
+    """A genuinely binary (non-UTF-8) payload must be skipped by both
+    kernels — the decoder-pipeline convention — not crash the stage, and
+    must not suppress valid rows sharing its Arrow batch."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    rows = [
+        (1, bytearray(b"\xff\xfe\x80" * 64)),  # invalid UTF-8 "media"
+        (2, bytearray(b"hello world, " * 16)),  # decodable text
+        (3, None),  # missing payload
+    ]
+    df = spark.createDataFrame(rows, schema)
+    feats = mm.extract_features(df).toPandas()
+    assert set(feats["doc_id"]) == {2}
+    frames = mm.sample_frames(df).toPandas()
+    assert set(frames["doc_id"]) == {2}
+    assert len(frames) == len(b"hello world, " * 16) // mm.FRAME_STRIDE
+    assert pd.api.types.is_integer_dtype(feats["checksum16"])

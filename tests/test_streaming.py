@@ -601,10 +601,13 @@ def test_attribution_stream_converges_to_batch(spark, sf_dir, event_stream):
 
 
 def test_sliding_window_stream_matches_batch(spark, sf_dir, event_stream):
-    """W2 SlidingWindows twin: per-event trailing (count, exact sum) from
-    the horizon-deque FSM equals the batch RANGE-frame query row-for-row
-    after full replay, including frames spanning micro-batch boundaries
-    and RANGE peer groups (equal-timestamp events sharing a frame)."""
+    """W2 SlidingWindows twin: per-event trailing (count, exact sum),
+    finalized at the watermark frontier so RANGE peer groups are complete
+    even when equal-timestamp events split across micro-batches. Every
+    event the final watermark strictly passed must be emitted with its
+    exact batch row; events at/after the final watermark are legitimately
+    still pending (the append-mode finalization contract)."""
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
     from kafka_streams_tcp_reconciliation_spark.streaming.sliding import (
         sliding_window_stream,
     )
@@ -620,9 +623,83 @@ def test_sliding_window_stream_matches_batch(spark, sf_dir, event_stream):
         spark, sf_dir
     ).toPandas()
     assert len(want) > 0
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select("event_id", "ts")
+        .toPandas()
+    )
+    # final watermark == max event ts of the filtered stream (0s delay);
+    # everything more than 2 ms below it must have been finalized (2 ms
+    # absorbs the ms-resolution watermark floor + the strictly-greater
+    # timer contract)
+    max_ts = ev["ts"].max()
+    must_emit = set(
+        ev[ev["ts"] < max_ts - pd.Timedelta(milliseconds=2)]["event_id"]
+    )
+    emitted = set(got["event_id"])
+    assert len(emitted) == len(got), "an event emitted twice"
+    missing = must_emit - emitted
+    assert not missing, f"{len(missing)} finalized events never emitted"
+    # correctness: every emitted row equals its batch RANGE-frame row
+    want = want[want["event_id"].isin(emitted)]
+    assert len(want) == len(got)
     for c in ("n_30m",):
         got[c] = got[c].astype(want[c].dtype)
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_sliding_window_stream_cross_batch_peers(spark, tmp_path):
+    """Regression for the frontier-buffering fix: equal-timestamp RANGE
+    peers split across two micro-batches must still share one complete
+    frame. Two peers at t=1000s land in different chunks; both rows must
+    report n_30m=3 (both peers + the earlier in-horizon event) — the
+    pre-fix FSM emitted the first peer with n_30m=2 on batch-1 arrival."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.sliding import (
+        sliding_window_stream,
+    )
+    from kafka_streams_tcp_reconciliation_spark.streaming.source import (
+        event_stream_from_dir,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    sec = pd.Timedelta(seconds=1)
+    chunk1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "user_id": [7, 7],
+            "event_type": ["view", "view"],
+            "ts": [base + 100 * sec, base + 1000 * sec],
+            "value": [1.0, 2.0],
+        }
+    )
+    chunk2 = pd.DataFrame(
+        {
+            # the peer: same ts as event 2, later micro-batch
+            "event_id": [3, 4],
+            "user_id": [7, 7],
+            "event_type": ["view", "view"],
+            "ts": [base + 1000 * sec, base + 5000 * sec],
+            "value": [4.0, 8.0],
+        }
+    )
+    chunk_dir = str(tmp_path / "peer_chunks")
+    for i, pdf in enumerate((chunk1, chunk2)):
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(
+            f"{chunk_dir}/chunk_{i:02d}"
+        )
+    stream = event_stream_from_dir(spark, f"{chunk_dir}/chunk_*")
+    got = run_stream(
+        spark, sliding_window_stream(stream), "append", "t_sliding_peers"
+    )
+    rows = {int(r.event_id): r for r in got.itertuples(index=False)}
+    # event 4 (the final watermark) is legitimately still pending
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_30m == 1 and rows[1].sum_value_30m == 1.0
+    # BOTH peers see the full 3-event frame (1 is 900s back, in horizon)
+    assert rows[2].n_30m == 3 and rows[2].sum_value_30m == 7.0
+    assert rows[3].n_30m == 3 and rows[3].sum_value_30m == 7.0
 
 
 def test_reservoir_sample_stream_converges_to_batch(spark, sf_dir, event_stream):
