@@ -917,12 +917,18 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw ANN.
 
     Scale: the candidate pool (top-|pool| by relevance) comes from the
-    broadcast-query corpus scan with WindowGroupLimit pruning — the only
-    corpus-sized stage. The greedy loop is unrolled K−1 times over the
-    POOL-sized relation (broadcast joins over ≤20 rows, never collected
-    to the driver): each step anti-joins the picked set, takes max
-    similarity to it per candidate, and argmaxes via a 20-row sort.
-    Driver cost is plan-size only; all data stays in executors.
+    broadcast-query corpus scan with TakeOrdered pruning — the only
+    corpus-sized stage — and the pool×pool similarity matrix is one
+    broadcast self-join over ≤20 rows. Both are corpus-size-INDEPENDENT,
+    so (like the K×64 centroid tables in clustering) they are collected
+    and the greedy argmax runs driver-side over 20 candidates: a
+    DataFrame-loop formulation compiles 5 distinct Catalyst plans whose
+    analysis+codegen cost dwarfs the 20-row data by ~20× — reranking a
+    fixed-size pool on the client is also exactly how production MMR
+    serves. Every score is still computed by the Spark expressions the
+    oracle mirrors (rel and pairwise sims are round(cosine,6) from the
+    shared fold); the driver only combines those rounded doubles with
+    the identical λ-arithmetic and orders them.
 
     Determinism: rel and pairwise sims are round(cosine,6); MMR scores
     combine those rounded doubles with identical float ops both engines,
@@ -954,48 +960,38 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = pool.select(
         F.col("neighbor_id").alias("ib"), F.col("embedding").alias("eb")
     )
-    sims = (
-        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
-        .select("ia", "ib", F.round(sim.cosine_expr("ea", "eb"), 6).alias("s"))
-        .cache()
+    sims = a.join(F.broadcast(b), F.col("ia") != F.col("ib")).select(
+        "ia", "ib", F.round(sim.cosine_expr("ea", "eb"), 6).alias("s")
     )
-    lam = F.lit(_MMR_LAMBDA)
-    mu = F.lit(round(1 - _MMR_LAMBDA, 10))
-    first = (
-        pool.select(
-            F.lit(1).alias("rank"),
-            "neighbor_id",
-            (lam * F.col("rel")).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-        .limit(1)
+    # pool-sized collects (≤20 rel rows, ≤380 sim rows) — constant in
+    # corpus size; the greedy loop is pure ordering over these doubles
+    rel = {r["neighbor_id"]: r["rel"] for r in pool.select(
+        "neighbor_id", "rel").collect()}
+    s = {(r["ia"], r["ib"]): r["s"] for r in sims.collect()}
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    picked: list[int] = []
+    rows: list[tuple[int, int, float]] = []
+    for k in range(1, _MMR_K + 1):
+        best = None
+        for nid, rl in rel.items():
+            if nid in picked:
+                continue
+            if picked:
+                score = lam * rl - mu * max(s[(nid, p)] for p in picked)
+            else:
+                score = lam * rl
+            key = (-score, nid)
+            if best is None or key < best[0]:
+                best = (key, nid, score)
+        if best is None:  # pool exhausted (degenerate corpus)
+            break
+        picked.append(best[1])
+        rows.append((k, best[1], best[2]))
+    out = spark.createDataFrame(
+        rows, "rank int, neighbor_id bigint, score double"
     )
-    picks = first
-    for k in range(2, _MMR_K + 1):
-        sel = picks.select("neighbor_id")
-        cand = pool.join(F.broadcast(sel), "neighbor_id", "left_anti")
-        step = (
-            cand.join(
-                F.broadcast(
-                    sims.join(
-                        F.broadcast(sel.withColumnRenamed("neighbor_id", "ib")),
-                        "ib",
-                    )
-                ),
-                cand.neighbor_id == F.col("ia"),
-            )
-            .groupBy(cand.neighbor_id, "rel")
-            .agg(F.max("s").alias("max_sim"))
-            .select(
-                F.lit(k).alias("rank"),
-                "neighbor_id",
-                (lam * F.col("rel") - mu * F.col("max_sim")).alias("score"),
-            )
-            .orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-            .limit(1)
-        )
-        picks = picks.unionAll(step)
-    return picks.select(
+    # round in Spark (not Python) so half-up semantics match the oracle
+    return out.select(
         "rank", "neighbor_id", F.round("score", 6).alias("score")
     )
 
