@@ -547,6 +547,18 @@ def test_nearest_enrich_stream_matches_batch(spark, sf_dir, event_stream):
     assert decided <= emitted
     timer_flushed = emitted - decided
     assert timer_flushed, "event-time timer never flushed a pending purchase"
+    # state DRAIN: at end of replay the watermark sits at max event ts, so
+    # every purchase whose decision horizon (ts + tolerance) that watermark
+    # passed must have been flushed — exactly; pending state may hold ONLY
+    # the purchases whose horizon is still open. This is the bounded-state
+    # guarantee: no click-less user pins rows forever.
+    tol = pd.Timedelta(microseconds=600 * 1_000_000)
+    wm = ev["ts"].max()
+    expired = set(purchases[purchases["ts"] + tol <= wm]["event_id"])
+    assert emitted == decided | expired, (
+        f"pending state failed to drain: {len((decided | expired) - emitted)}"
+        " expired purchases still held"
+    )
     # correctness: whatever was emitted equals the batch row exactly
     want = want[want["purchase_id"].isin(emitted)]
     assert len(want) == len(got)
