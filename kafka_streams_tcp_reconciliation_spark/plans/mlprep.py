@@ -61,6 +61,8 @@ ONE final rounding before output.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -965,9 +967,19 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pool-sized collects (≤20 rel rows, ≤380 sim rows) — constant in
     # corpus size; the greedy loop is pure ordering over these doubles
-    rel = {r["neighbor_id"]: r["rel"] for r in pool.select(
-        "neighbor_id", "rel").collect()}
-    s = {(r["ia"], r["ib"]): r["s"] for r in sims.collect()}
+    # guard NULL/NaN cosines (zero-norm or null embeddings): drop the
+    # entry rather than let None/NaN poison the greedy max()/key compare —
+    # matches Spark's behavior of such rows losing every DESC comparison
+    rel = {
+        r["neighbor_id"]: r["rel"]
+        for r in pool.select("neighbor_id", "rel").collect()
+        if r["rel"] is not None and not math.isnan(r["rel"])
+    }
+    s = {
+        (r["ia"], r["ib"]): r["s"]
+        for r in sims.collect()
+        if r["s"] is not None and not math.isnan(r["s"])
+    }
     lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
     picked: list[int] = []
     rows: list[tuple[int, int, float]] = []
@@ -977,7 +989,10 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if nid in picked:
                 continue
             if picked:
-                score = lam * rl - mu * max(s[(nid, p)] for p in picked)
+                score = lam * rl - mu * max(
+                    (s[(nid, p)] for p in picked if (nid, p) in s),
+                    default=0.0,
+                )
             else:
                 score = lam * rl
             key = (-score, nid)

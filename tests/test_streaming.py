@@ -553,11 +553,26 @@ def test_nearest_enrich_stream_matches_batch(spark, sf_dir, event_stream):
     # the purchases whose horizon is still open. This is the bounded-state
     # guarantee: no click-less user pins rows forever.
     tol = pd.Timedelta(microseconds=600 * 1_000_000)
-    wm = ev["ts"].max()
-    expired = set(purchases[purchases["ts"] + tol <= wm]["event_id"])
-    assert emitted == decided | expired, (
-        f"pending state failed to drain: {len((decided | expired) - emitted)}"
-        " expired purchases still held"
+    # the FSM's withWatermark sits AFTER the click/purchase filter, so the
+    # stream's final watermark tracks max(click/purchase ts), not the global
+    # max event ts (a later view does not advance it). 2 ms slack absorbs
+    # the ms-floored watermark + the strictly-greater timer contract (same
+    # rationale as the sliding-window test).
+    wm = ev[ev["event_type"].isin(["click", "purchase"])]["ts"].max()
+    slack = pd.Timedelta(milliseconds=2)
+    must_flush = set(
+        purchases[purchases["ts"] + tol <= wm - slack]["event_id"]
+    )
+    may_flush = set(
+        purchases[purchases["ts"] + tol <= wm + slack]["event_id"]
+    )
+    assert decided | must_flush <= emitted, (
+        "pending state failed to drain:"
+        f" {len((decided | must_flush) - emitted)} expired purchases held"
+    )
+    assert emitted <= decided | may_flush, (
+        "FSM emitted purchases whose horizon the watermark never passed:"
+        f" {sorted(emitted - (decided | may_flush))[:5]}"
     )
     # correctness: whatever was emitted equals the batch row exactly
     want = want[want["purchase_id"].isin(emitted)]
