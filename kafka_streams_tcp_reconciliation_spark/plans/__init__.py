@@ -53,6 +53,9 @@ _PLAN_MODULES = (
     "relational",
     "analytics",
     "events",
+    # last: wraps per-record operators registered above with exact-dedup
+    # compositions for at-least-once sources (imports their base fns)
+    "atleastonce",
 )
 
 

@@ -1392,7 +1392,9 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lags GROUP BY day
     """,
 )
-def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conversion_lag_percentiles(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """Time-to-convert distribution: per purchase day, exact p50/p90/p99 of
     the lag between each purchase and that user's LAST PRIOR click — the
     reference's per-flow latency percentiles generalized to the funnel.
@@ -1402,8 +1404,10 @@ def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale); percentiles are exact per day (daily volumes are groupBy-local),
     with the same interpolation + 6-dp rounding contract as
     ``percentile_value_by_user``.
+
+    ``events`` overrides the table scan for the ``*_deduped`` composition.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = events if events is not None else load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"

@@ -307,15 +307,20 @@ def reconcile_unmatched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame
     WHERE rn = 1
     """,
 )
-def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+def asof_last_click_before_purchase(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """As-of join (J9): each purchase picks up the latest click at or
     before its event time, per user.
 
     Implemented union-and-carry (one shuffle, linear state per key) — see
     operators/joins.asof_join. The oracle uses the quadratic join+rank
     formulation, correct at oracle scale.
+
+    ``events`` overrides the table scan — the at-least-once composition
+    (``*_deduped`` registration) passes the exact-deduped stream here.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = events if events is not None else load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase")
     clicks = ev.filter(F.col("event_type") == "click")
     out = asof_join(
@@ -647,7 +652,9 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
-def reconcile_loss_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def reconcile_loss_rate_hourly(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """The reconciliation KPI: per hour, how many purchases found no
     click within the ±10-minute window, and the loss fraction — the
     reference domain's per-interval segment-loss-rate dashboard.
@@ -656,8 +663,10 @@ def reconcile_loss_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``reconcile_unmatched_purchases`` tagged back onto all purchases
     (left_anti → left join on the anti result's id, so the count and the
     denominator come from one purchase scan), then an hourly rollup.
+
+    ``events`` overrides the table scan for the ``*_deduped`` composition.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = events if events is not None else load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase")
     clicks = ev.filter(F.col("event_type") == "click")
     lost = windowed_anti_join(

@@ -308,7 +308,9 @@ def star_flatten_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM runs GROUP BY event_type, run_len
     """,
 )
-def event_type_runlengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def event_type_runlengths(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """Run-length encoding of consecutive same-type events per user
     (gaps-and-islands), rolled up into the distribution of run lengths
     per event type — the repetition-structure diagnostic that feeds
@@ -322,8 +324,10 @@ def event_type_runlengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle + one sort; the run aggregate keys on (user_id, run_id),
     which hash(user_id) already satisfies (no exchange), and only the
     tiny (type, run_len) rollup shuffles again. All arithmetic is int64.
+
+    ``events`` overrides the table scan for the ``*_deduped`` composition.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = events if events is not None else load_table(spark, sf_dir, "events")
     w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = ev.select(

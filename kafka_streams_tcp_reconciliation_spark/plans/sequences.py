@@ -332,7 +332,9 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn = 1
     """,
 )
-def pit_click_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pit_click_purchase_context(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """Point-in-time join (the feature-store lookup): each click is
     enriched with the user's purchase state AS OF the click's event time
     — no leakage from future purchases. The inverse direction of
@@ -343,10 +345,12 @@ def pit_click_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the quadratic join+rank in the oracle is the semantics spec, not
     the plan. This is how training-feature extraction must read mutable
     state at 100 TB (joining the current dimension row would leak).
+
+    ``events`` overrides the table scan for the ``*_deduped`` composition.
     """
     from kafka_streams_tcp_reconciliation_spark.operators.joins import asof_join
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = events if events is not None else load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
     out = asof_join(

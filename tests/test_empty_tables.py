@@ -339,7 +339,10 @@ def test_query_survives_unicode_text(name, spark, unicode_sf_dir, unicode_duck):
 # answer is composition: at-least-once sources run exact dedup first
 # (dedup_exact_docs / dedup_first_event_per_user_type /
 # dropDuplicatesWithinWatermark), after which the baseline differentials
-# prove agreement. These five are crash-checked only on the dup fixture.
+# prove agreement. These five BASE registrations are crash-checked only on
+# the dup fixture; their `*_deduped` compositions (plans/atleastonce.py)
+# are NOT in this set, so the sweep below proves the composed contract
+# bit-for-bit against the dedup-rebound oracle.
 PER_RECORD_UNDER_DUPLICATES = {
     "asof_last_click_before_purchase",
     "pit_click_purchase_context",
