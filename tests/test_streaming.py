@@ -756,3 +756,262 @@ def test_reservoir_sample_stream_converges_to_batch(spark, sf_dir, event_stream)
     want = all_queries()["reservoir_sample_per_user"](spark, sf_dir).toPandas()
     want_set = set(zip(want["user_id"], want["event_id"]))
     assert membership == want_set
+
+
+# --- adversarial replay fuzzer (round-5, VERDICT r04 task 6) ----------------
+#
+# The round-4 sliding-FSM bug came from a cross-batch equal-timestamp split
+# the ntile-chunked replay never generated. This matrix replays each FSM
+# twin under randomized chunkings that stay INSIDE the delivery contract the
+# FSM documents (rows arrive in the FSM's canonical (ts[, side], event_id)
+# order across batches; any order within a batch — the FSM re-sorts) but are
+# adversarial everywhere else:
+#   - random batch boundaries, including cuts INSIDE equal-timestamp runs;
+#   - injected duplicate timestamps (~8% of rows copy the previous row's ts,
+#     creating multi-row equal-ts runs that straddle boundaries);
+#   - idle keys: a random user subsample whose early-finishing users sit
+#     idle across many later batches (their timers/evictions must still fire);
+#   - shuffled rows within each chunk (intra-batch disorder is legal).
+# Each case asserts convergence to the batch twin computed on the SAME
+# fuzzed table, using the identical contract as the dedicated test above.
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_FUZZ_SEEDS = 3  # x 7 FSMs = 21 distinct fuzz cases
+
+
+def _fuzz_replay(spark, sf_dir, tmp_path, seed: int, side_order: bool):
+    """Build one fuzzed replay; returns (stream_df, batch_dir)."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.source import (
+        event_stream_from_dir,
+    )
+    import os
+
+    rng = np.random.default_rng(seed)
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    users = np.sort(ev["user_id"].unique())
+    # keep ~1/3 of users, always including some user_id % 20 == 0 (the
+    # sliding query's checked subset must be nonempty)
+    keep = set(rng.choice(users, size=max(8, len(users) // 3), replace=False))
+    keep |= set(u for u in users if u % 20 == 0 and rng.random() < 0.5)
+    sub = ev[ev["user_id"].isin(keep)].copy()
+    order = ["ts", "event_id"]
+    if side_order:  # clicks sort before purchases at equal ts
+        sub["__side"] = (sub["event_type"] == "purchase").astype(int)
+        order = ["ts", "__side", "event_id"]
+    sub = sub.sort_values(order).reset_index(drop=True)
+    # duplicate-timestamp injection: ~8% of rows copy the previous row's ts
+    ts = sub["ts"].to_numpy().copy()
+    for i in np.flatnonzero(rng.random(len(sub)) < 0.08):
+        if i > 0:
+            ts[i] = ts[i - 1]
+    sub["ts"] = ts
+    sub = sub.sort_values(order).reset_index(drop=True)
+    sub = sub.drop(columns=["__side"], errors="ignore")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    sub = sub[cols]
+    batch_dir = tmp_path / "batch"
+    batch_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(sub, preserve_index=False),
+        str(batch_dir / "events.parquet"),
+    )
+    # random chunk boundaries — cuts may land inside equal-ts runs
+    n_chunks = int(rng.integers(3, 8))
+    cuts = np.sort(
+        rng.choice(np.arange(1, len(sub)), size=n_chunks - 1, replace=False)
+    )
+    bounds = [0, *cuts.tolist(), len(sub)]
+    chunk_dir = tmp_path / "chunks"
+    chunk_dir.mkdir()
+    for i in range(n_chunks):
+        part = sub.iloc[bounds[i] : bounds[i + 1]]
+        part = part.sample(frac=1.0, random_state=int(rng.integers(0, 2**31)))
+        p = str(chunk_dir / f"chunk_{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), p)
+        # file source replays oldest-mtime-first: force strictly increasing
+        os.utime(p, (1_600_000_000 + i * 10, 1_600_000_000 + i * 10))
+    stream = event_stream_from_dir(spark, str(chunk_dir / "chunk_*"))
+    return stream, str(batch_dir)
+
+
+def _check_sliding(spark, stream, batch_dir, got):
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    want = all_queries()["sliding_window_event_counts"](spark, batch_dir).toPandas()
+    ev = (
+        load_table(spark, batch_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select("event_id", "ts")
+        .toPandas()
+    )
+    max_ts = ev["ts"].max()
+    must_emit = set(
+        ev[ev["ts"] < max_ts - pd.Timedelta(milliseconds=2)]["event_id"]
+    )
+    emitted = set(got["event_id"])
+    assert len(emitted) == len(got), "an event emitted twice"
+    assert must_emit <= emitted, f"{len(must_emit - emitted)} never emitted"
+    want = want[want["event_id"].isin(emitted)]
+    assert len(want) == len(got)
+    got = got.copy()
+    got["n_30m"] = got["n_30m"].astype(want["n_30m"].dtype)
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def _check_nearest(spark, stream, batch_dir, got):
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+    want = all_queries()["nearest_event_join"](spark, batch_dir).toPandas()
+    ev = load_table(spark, batch_dir, "events").toPandas()
+    purchases = ev[ev["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+    clicks = ev[ev["event_type"] == "click"][["user_id", "ts"]]
+    last_click = clicks.groupby("user_id")["ts"].max().rename("last_click_ts")
+    decided = purchases.join(last_click, on="user_id")
+    decided = set(decided[decided["last_click_ts"] > decided["ts"]]["event_id"])
+    emitted = set(got["purchase_id"])
+    assert len(emitted) == len(got)
+    assert decided <= emitted
+    tol = pd.Timedelta(microseconds=600 * 1_000_000)
+    wm = ev[ev["event_type"].isin(["click", "purchase"])]["ts"].max()
+    slack = pd.Timedelta(milliseconds=2)
+    must = set(purchases[purchases["ts"] + tol <= wm - slack]["event_id"])
+    may = set(purchases[purchases["ts"] + tol <= wm + slack]["event_id"])
+    assert decided | must <= emitted
+    assert emitted <= decided | may
+    want = want[want["purchase_id"].isin(emitted)]
+    assert len(want) == len(got)
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def _check_asof(spark, stream, batch_dir, got):
+    want = all_queries()["asof_last_click_before_purchase"](
+        spark, batch_dir
+    ).toPandas()
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def _check_transitions(spark, stream, batch_dir, got):
+    got_counts = (
+        got.groupby(["from_type", "to_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    want = all_queries()["event_transition_matrix"](spark, batch_dir).toPandas()[
+        ["from_type", "to_type", "n"]
+    ]
+    got_counts["n"] = got_counts["n"].astype(want["n"].dtype)
+    pd.testing.assert_frame_equal(canon(got_counts), canon(want))
+
+
+def _check_scd2(spark, stream, batch_dir, got):
+    want = all_queries()["scd2_purchase_value_history"](spark, batch_dir).toPandas()
+    want = want[want["valid_to"].notna()].drop(columns=["is_current"])
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def _check_attribution(spark, stream, batch_dir, got):
+    rolled = got.groupby(["day", "position_class"], as_index=False).agg(
+        n_touches=("click_id", "size"), credit_ppm=("credit_ppm", "sum")
+    )
+    want = all_queries()["positional_attribution_daily"](spark, batch_dir).toPandas()
+    for c in ("n_touches", "credit_ppm"):
+        rolled[c] = rolled[c].astype(want[c].dtype)
+    pd.testing.assert_frame_equal(canon(rolled), canon(want))
+
+
+def _check_reservoir(spark, stream, batch_dir, got):
+    adds = set(
+        zip(got[got["op"] == "add"]["user_id"], got[got["op"] == "add"]["event_id"])
+    )
+    evicts = set(
+        zip(
+            got[got["op"] == "evict"]["user_id"],
+            got[got["op"] == "evict"]["event_id"],
+        )
+    )
+    assert evicts <= adds
+    want = all_queries()["reservoir_sample_per_user"](spark, batch_dir).toPandas()
+    assert adds - evicts == set(zip(want["user_id"], want["event_id"]))
+
+
+def _fuzz_build_sliding(stream):
+    from kafka_streams_tcp_reconciliation_spark.streaming.sliding import (
+        sliding_window_stream,
+    )
+    from pyspark.sql import functions as F
+
+    return sliding_window_stream(stream.filter(F.col("user_id") % 20 == 0))
+
+
+def _fuzz_build_nearest(stream):
+    from kafka_streams_tcp_reconciliation_spark.streaming.nearest import (
+        nearest_enrich_stream,
+    )
+
+    return nearest_enrich_stream(stream)
+
+
+def _fuzz_build_asof(stream):
+    from kafka_streams_tcp_reconciliation_spark.streaming.asof import (
+        asof_enrich_stream,
+    )
+
+    return asof_enrich_stream(stream)
+
+
+def _fuzz_build_transitions(stream):
+    from kafka_streams_tcp_reconciliation_spark.streaming.sequences import (
+        transition_stream,
+    )
+
+    return transition_stream(stream)
+
+
+def _fuzz_build_scd2(stream):
+    from kafka_streams_tcp_reconciliation_spark.streaming.sequences import scd2_stream
+
+    return scd2_stream(stream)
+
+
+def _fuzz_build_attribution(stream):
+    from kafka_streams_tcp_reconciliation_spark.streaming.attribution import (
+        attribution_stream,
+    )
+
+    return attribution_stream(stream)
+
+
+def _fuzz_build_reservoir(stream):
+    from kafka_streams_tcp_reconciliation_spark.streaming.reservoir import (
+        reservoir_sample_stream,
+    )
+
+    return reservoir_sample_stream(stream)
+
+
+# (name, build, check, side_order): side_order=True for FSMs whose canonical
+# cross-batch delivery order puts clicks before purchases at equal ts
+_FUZZ_MATRIX = [
+    ("sliding", _fuzz_build_sliding, _check_sliding, False),
+    ("nearest", _fuzz_build_nearest, _check_nearest, True),
+    ("asof", _fuzz_build_asof, _check_asof, True),
+    ("transitions", _fuzz_build_transitions, _check_transitions, False),
+    ("scd2", _fuzz_build_scd2, _check_scd2, False),
+    ("attribution", _fuzz_build_attribution, _check_attribution, True),
+    ("reservoir", _fuzz_build_reservoir, _check_reservoir, False),
+]
+
+
+@pytest.mark.parametrize("seed", range(_FUZZ_SEEDS))
+@pytest.mark.parametrize(
+    "name,build,check,side_order", _FUZZ_MATRIX, ids=[m[0] for m in _FUZZ_MATRIX]
+)
+def test_fsm_replay_fuzz(spark, sf_dir, tmp_path, name, build, check, side_order, seed):
+    full_seed = hash((name, seed)) & 0x7FFFFFFF
+    stream, batch_dir = _fuzz_replay(spark, sf_dir, tmp_path, full_seed, side_order)
+    got = run_stream(spark, build(stream), "append", f"t_fuzz_{name}_{seed}")
+    check(spark, stream, batch_dir, got)
