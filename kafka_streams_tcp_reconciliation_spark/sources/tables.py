@@ -181,13 +181,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(_SCHEMAS[name]).parquet(path)
 
 
+_TS_PROBE_CACHE: dict[str, bool] = {}
+
+
 def _events_ts_is_nanos(path: str) -> bool:
     """Probe the physical parquet type of ``events.ts`` (footer-only read).
 
     Never assume the timestamp unit — derive it from the file. A wrong
     assumption here compresses/stretches every event time 1000× and corrupts
-    every absolute-time query downstream.
+    every absolute-time query downstream. Memoized per path: the probe is
+    a per-query fixed cost otherwise (hundreds of queries × a pyarrow
+    footer read), and a testdata file's physical type never changes within
+    a process lifetime.
     """
+    if path in _TS_PROBE_CACHE:
+        return _TS_PROBE_CACHE[path]
+    _TS_PROBE_CACHE[path] = _probe_ts_is_nanos(path)
+    return _TS_PROBE_CACHE[path]
+
+
+def _probe_ts_is_nanos(path: str) -> bool:
     try:
         import pyarrow.parquet as pq
 
@@ -224,6 +237,15 @@ def scale_out(df: DataFrame) -> DataFrame:
     collapses existing parallelism.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # number of input splits ≈ number of files for small local parquet
+        # (each file below maxPartitionBytes is one split). inputFiles() is
+        # a cheap catalog call; the old df.rdd.getNumPartitions() probe
+        # forced a full plan→RDD conversion through Py4J per call — a
+        # measurable per-query fixed cost across a 200+-query bench run.
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = df.rdd.getNumPartitions()
+    if n_splits < target:
         return df.repartition(target)
     return df
