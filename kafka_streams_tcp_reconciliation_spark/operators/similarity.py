@@ -35,52 +35,13 @@ _KNUTH = 2_654_435_761
 # ---------------------------------------------------------------------------
 
 
-def dot_fold_expr(a: str, b: str) -> str:
-    """Spark SQL: ordered-fold dot product of two float-array columns of
-    ANY length (higher-order functions; interpreted per element)."""
+def dot_expr(a: str, b: str) -> str:
+    """Spark SQL: ordered-fold dot product of two float-array columns."""
     return (
         f"aggregate(zip_with({a}, {b},"
         f" (cs_x, cs_y) -> CAST(cs_x AS DOUBLE) * CAST(cs_y AS DOUBLE)),"
         f" CAST(0 AS DOUBLE), (cs_a, cs_v) -> cs_a + cs_v)"
     )
-
-
-def dot_expr(a: str, b: str) -> str:
-    """Spark SQL: dot product of two {DIM}-dim float-array columns, unrolled
-    to straight-line arithmetic.
-
-    Bit-identical to ``dot_fold_expr``: the chain starts from the fold's
-    ``CAST(0 AS DOUBLE)`` zero and ``+`` is left-associative, so the
-    floating-point association is EXACTLY the fold's
-    ``((0 + t0) + t1) + ...`` — same IEEE result, same signed zeros, and
-    the DuckDB oracle's ``list_reduce`` twin still matches. Unlike the
-    HOF form this is whole-stage-codegen-able straight-line code (no
-    per-element lambda interpretation), which matters in the pair-scoring
-    loops (kNN graph, SemDeDup, IVF) where it runs millions of times.
-    NULL semantics match on well-formed rows: a NULL array gives NULL
-    either way. Requires both arrays to carry >= {DIM} elements — true of
-    every embedding column in this schema; use ``dot_fold_expr`` for
-    variable-length arrays.
-    """
-    terms = " + ".join(
-        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
-        for i in range(DIM)
-    )
-    return f"(CAST(0 AS DOUBLE) + {terms})"
-
-
-def dot_lit_expr(vec: str, values: list[float]) -> str:
-    """Spark SQL: dot product of a {DIM}-dim float-array column with a
-    driver-resident constant vector, unrolled with per-element scalar
-    literals (NOT a repeated array literal — keeps the SQL text linear in
-    DIM). Same left-fold association as ``dot_expr``; float repr
-    round-trips exactly, so the inlined literals equal the stored
-    doubles."""
-    terms = " + ".join(
-        f"CAST({vec}[{i}] AS DOUBLE) * CAST({v!r} AS DOUBLE)"
-        for i, v in enumerate(values)
-    )
-    return f"(CAST(0 AS DOUBLE) + {terms})"
 
 
 def duck_dot_expr(a: str, b: str) -> str:

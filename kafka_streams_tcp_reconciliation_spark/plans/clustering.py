@@ -182,13 +182,16 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
         choices = []
         for cid, cvec in sorted(cents):
+            lit = "array({})".format(
+                ", ".join(f"CAST({v!r} AS DOUBLE)" for v in cvec)
+            )
             cnorm = 0.0
             for v in cvec:  # same left-fold order as dot_expr/duck_dot_expr
                 cnorm = cnorm + v * v
             dist = F.round(
                 F.col("sqn")
                 + F.lit(cnorm)
-                - 2 * F.expr(sim.dot_lit_expr("embedding", list(cvec))),
+                - 2 * F.expr(sim.dot_expr("embedding", lit)),
                 6,
             )
             choices.append(
@@ -309,25 +312,19 @@ def _pq_collect_codebook(emb: DataFrame) -> dict[tuple[int, int], list[float]]:
 def _pq_sqd_lit(
     codebook: dict[tuple[int, int], list[float]], vec_col: str, m: int, j: int
 ) -> str:
-    """Spark SQL: squared L2 between subvector m of a vector column and the
-    literal codeword (m, j), UNROLLED to straight-line arithmetic.
-
-    Bit-identical to the previous ``aggregate(zip_with(slice(...)))`` fold
-    (and to ``_pq_duck_sqd``): the chain starts from the fold's zero and
-    ``+`` is left-associative, so the IEEE association is unchanged. The
-    codes/LUT projections instantiate this {M}x{K} = 128 times per row —
-    as interpreted HOF lambdas that dominated the query's fixed cost;
-    unrolled, the whole projection is codegen-able arithmetic. Float repr
-    round-trips exactly, so inlined codeword literals equal the stored
-    doubles."""
-    cw = codebook[(m, j)]
-    off = m * _PQ_SUBDIM
-    terms = " + ".join(
-        f"(CAST({vec_col}[{off + i}] AS DOUBLE) - CAST({cw[i]!r} AS DOUBLE))"
-        f" * (CAST({vec_col}[{off + i}] AS DOUBLE) - CAST({cw[i]!r} AS DOUBLE))"
-        for i in range(_PQ_SUBDIM)
+    """Spark SQL: ordered-fold squared L2 between subvector m of a vector
+    column and the literal codeword (m, j) — same fold order as
+    ``_pq_duck_sqd``; float repr round-trips exactly."""
+    lit = "array({})".format(
+        ", ".join(f"CAST({v!r} AS DOUBLE)" for v in codebook[(m, j)])
     )
-    return f"(CAST(0 AS DOUBLE) + {terms})"
+    off = m * _PQ_SUBDIM + 1
+    return (
+        f"aggregate(zip_with(slice({vec_col}, {off}, {_PQ_SUBDIM}), {lit},"
+        f" (pq_x, pq_c) -> (CAST(pq_x AS DOUBLE) - pq_c)"
+        f" * (CAST(pq_x AS DOUBLE) - pq_c)),"
+        f" CAST(0 AS DOUBLE), (pq_a, pq_v) -> pq_a + pq_v)"
+    )
 
 
 def _pq_dmicro_lit(codebook, vec_col: str, m: int, j: int) -> str:
@@ -373,11 +370,10 @@ def _pq_lut_expr(codebook, vec_col: str) -> str:
     )
 
 
-# per-candidate ADC sum, unrolled (integer adds — associativity exact);
-# this runs once per scored pair, the hottest expression in both PQ plans
-_PQ_ADC_EXPR = "CAST(0 AS BIGINT) + " + " + ".join(
-    f"element_at(lut, {m * _PQ_K} + element_at(codes, {m + 1}) + 1)"
-    for m in range(_PQ_M)
+_PQ_ADC_EXPR = (
+    f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0 AS BIGINT),"
+    f" (pa_a, pa_m) -> pa_a"
+    f" + element_at(lut, pa_m * {_PQ_K} + element_at(codes, pa_m + 1) + 1))"
 )
 
 

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_tcp_reconciliation_spark.operators.similarity import (
-    dot_lit_expr,
+    dot_expr,
     duck_dot_expr,
 )
 from kafka_streams_tcp_reconciliation_spark.plans import register
@@ -259,6 +259,10 @@ def _jl_sign_rows() -> list[list[float]]:
     return rows
 
 
+def _jl_spark_lit(row: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in row) + ")"
+
+
 def _jl_duck_lit(row: list[float]) -> str:
     return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in row) + "]"
 
@@ -288,7 +292,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cols = [F.col("vec_id")] + [
-        F.expr(f"round({dot_lit_expr('embedding', row)}, 6)").alias(
+        F.expr(f"round({dot_expr('embedding', _jl_spark_lit(row))}, 6)").alias(
             f"y{k:02d}"
         )
         for k, row in enumerate(_JL_ROWS)

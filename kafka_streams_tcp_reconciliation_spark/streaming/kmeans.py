@@ -46,13 +46,14 @@ class MiniBatchKMeans:
         sqn = F.expr(sim.dot_expr("embedding", "embedding"))
         choices = []
         for cid, cvec in enumerate(self.centroids):
+            lit = "array({})".format(
+                ", ".join(f"CAST({v!r} AS DOUBLE)" for v in cvec)
+            )
             cnorm = 0.0
             for v in cvec:
                 cnorm = cnorm + v * v
             dist = F.round(
-                sqn
-                + F.lit(cnorm)
-                - 2 * F.expr(sim.dot_lit_expr("embedding", list(cvec))),
+                sqn + F.lit(cnorm) - 2 * F.expr(sim.dot_expr("embedding", lit)),
                 6,
             )
             choices.append(

@@ -204,28 +204,3 @@ def test_salted_replicate_join_matches_plain(spark, sf_dir):
     assert sorted((r.o_custkey, r["count"]) for r in plain) == sorted(
         (r.o_custkey, r["count"]) for r in salted
     )
-
-
-@pytest.mark.parametrize(
-    "name",
-    [
-        "knn_graph_within_cells",
-        "dedup_semantic_clusters",
-        "similarity_pq_adc",
-        "similarity_ivf_pq",
-        "embedding_random_projection",
-    ],
-)
-def test_pair_scoring_plans_are_hof_free(name, spark, sf_dir):
-    """The embedding pair-scoring hot paths must stay straight-line
-    arithmetic (whole-stage-codegen-able): a higher-order function in the
-    physical plan means the per-pair dot product regressed to interpreted
-    per-element lambdas — the difference between JVM codegen and a
-    lambda call per vector element across millions of pairs."""
-    from kafka_streams_tcp_reconciliation_spark.plans import all_queries
-
-    df = all_queries()[name](spark, sf_dir)
-    plan = _physical_plan(df)
-    assert "lambdafunction" not in plan.lower(), (
-        f"{name} physical plan contains an interpreted HOF lambda"
-    )
