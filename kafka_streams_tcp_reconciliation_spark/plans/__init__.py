@@ -23,6 +23,7 @@ import glob
 import importlib
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,8 +87,10 @@ def load_all() -> None:
     _loaded = True
 
 
-def _driver_status() -> dict[str, str]:
-    """Latest driver verdict per query: 'green' | 'failed' | 'no_oracle'.
+def _driver_status() -> dict[str, tuple[str, int]]:
+    """Latest driver verdict per query: (state, round) where state is
+    'green' | 'failed' | 'no_oracle' and round is the round number of the
+    latest row (for staleness-aware re-check ordering).
 
     The driver checks queries in dict order with a per-round cap (r01/r02:
     first 50), so ordering IS coverage. Reading its own CORRECTNESS_r*.json
@@ -95,8 +98,10 @@ def _driver_status() -> dict[str, str]:
     earlier ones per query.
     """
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    status: dict[str, str] = {}
+    status: dict[str, tuple[str, int]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -114,32 +119,37 @@ def _driver_status() -> dict[str, str]:
                 and res.get("err") in (None, "")
             )
             if green:
-                status[name] = "green"
+                status[name] = ("green", rnd)
             elif res.get("err") == "no_oracle":
-                status[name] = "no_oracle"
+                status[name] = ("no_oracle", rnd)
             else:
-                status[name] = "failed"
+                status[name] = ("failed", rnd)
     return status
 
 
 def _ordered(names: list[str]) -> list[str]:
     """Driver-check order: previously-FAILED first, then never-checked, then
-    permanently-oracle-less sketch queries, then proven-green.
+    permanently-oracle-less sketch queries, then proven-green — and within
+    the green tier, OLDEST proof first.
 
     Failed-first guarantees any query whose latest driver row is red lands
     inside the next round's check window immediately (a red row is the
     highest-information re-check). Queries with no DuckDB oracle can only
     ever earn a weak rows-only row, so they must not burn front-of-window
     slots that could prove a real differential — they sort behind every
-    oracle-backed candidate. Within each tier, registration order is kept
-    so coverage drains deterministically module by module.
+    oracle-backed candidate. Within the green tier, queries sort by the
+    round of their latest green row (stalest proof first) so that once all
+    queries are green, the driver's 50-query window continuously refreshes
+    the oldest evidence instead of re-checking the same 50 every round.
+    Within every other tier, registration order is kept so coverage drains
+    deterministically module by module.
     """
     status = _driver_status()
     tier = {"failed": 0, None: 1, "no_oracle": 2, "green": 3}
 
-    def key(item: tuple[int, str]) -> tuple[int, int]:
+    def key(item: tuple[int, str]) -> tuple[int, int, int]:
         idx, name = item
-        st = status.get(name)
+        st, rnd = status.get(name, (None, 0))
         t = tier[st]
         # Oracle-less queries can never upgrade past a rows-only row;
         # park them behind all oracle-backed non-green work even before
@@ -151,7 +161,10 @@ def _ordered(names: list[str]) -> list[str]:
         # failed tier.
         elif t == 2 and name in ORACLES:
             t = 0
-        return (t, idx)
+        # Stale-green-first applies only inside the green tier; elsewhere
+        # the round is irrelevant (failed/never-checked always lead).
+        age = rnd if t == 3 else 0
+        return (t, age, idx)
 
     return [n for _, n in sorted(enumerate(names), key=key)]
 

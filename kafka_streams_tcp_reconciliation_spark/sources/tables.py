@@ -196,11 +196,19 @@ def _events_ts_is_nanos(path: str) -> bool:
     """
     if path in _TS_PROBE_CACHE:
         return _TS_PROBE_CACHE[path]
-    _TS_PROBE_CACHE[path] = _probe_ts_is_nanos(path)
-    return _TS_PROBE_CACHE[path]
+    probed = _probe_ts_is_nanos(path)
+    if probed is None:
+        # Probe failed (file not generated yet, transient pyarrow hiccup):
+        # treat as µs for THIS load only — do NOT memoize, or a transient
+        # failure would poison the process and read a later ns-typed file
+        # as µs (the 1000× corruption the docstring above warns about).
+        return False
+    _TS_PROBE_CACHE[path] = probed
+    return probed
 
 
-def _probe_ts_is_nanos(path: str) -> bool:
+def _probe_ts_is_nanos(path: str) -> "bool | None":
+    """True/False when the footer was actually read; None when unknown."""
     try:
         import pyarrow.parquet as pq
 
@@ -212,12 +220,12 @@ def _probe_ts_is_nanos(path: str) -> bool:
                 if f.endswith(".parquet")
             ]
             if not parts:
-                return False
+                return None
             target = parts[0]
         field = pq.read_schema(target).field("ts")
         return str(field.type) == "timestamp[ns]"
     except Exception:
-        return False
+        return None
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -237,14 +245,22 @@ def scale_out(df: DataFrame) -> DataFrame:
     collapses existing parallelism.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    # File count is a cheap catalog call; the old df.rdd.getNumPartitions()
+    # probe forced a full plan→RDD conversion through Py4J per call — a
+    # measurable per-query fixed cost across a 200+-query bench run. But the
+    # file count is only a trustworthy *upper bound on splits* when it is
+    # below target: Spark bin-packs small files into splits
+    # (openCostInBytes/maxPartitionBytes), so many tiny files can scan as
+    # 1-2 splits — and a non-file-backed DataFrame returns [] (not an
+    # exception), which means "unknown", not "zero splits". In both of
+    # those cases fall back to the accurate (rare, so amortized) RDD probe.
     try:
-        # number of input splits ≈ number of files for small local parquet
-        # (each file below maxPartitionBytes is one split). inputFiles() is
-        # a cheap catalog call; the old df.rdd.getNumPartitions() probe
-        # forced a full plan→RDD conversion through Py4J per call — a
-        # measurable per-query fixed cost across a 200+-query bench run.
-        n_splits = len(df.inputFiles())
+        n_files = len(df.inputFiles())
     except Exception:
+        n_files = 0
+    if 0 < n_files < target:
+        n_splits = n_files
+    else:
         n_splits = df.rdd.getNumPartitions()
     if n_splits < target:
         return df.repartition(target)

@@ -26,27 +26,36 @@ def sf_dir() -> str:
     return SF_DIR
 
 
-@pytest.fixture(scope="function")
-def duck(sf_dir, tmp_path_factory):
-    """DuckDB connection with the same views the driver pre-registers.
+def make_duck_connection(sf_dir: str, spill_dir: str):
+    """Fresh DuckDB connection with the driver's pre-registered views.
 
-    FUNCTION-scoped with a memory cap + disk spill dir: a session-scoped
-    connection accumulates buffer-pool memory across the ~196 oracles
-    (by ~query 94 of an sf0.1 full run it had eaten everything up to its
-    limit — the machine's RAM at the default ~80%-of-RAM limit, killing
-    the run with MemoryError; a 24 GB cap merely moved the OOM inside
-    DuckDB). A fresh connection per test releases everything; view
-    registration is microseconds.
+    8 GB cap + disk spill: the cap keeps one oracle from competing with the
+    concurrently-running Spark JVM for host RAM under full-suite load (the
+    round-5 full run saw one transient OutOfMemoryException from DuckDB
+    while the host was busy); the spill dir lets DuckDB trade the rest to
+    disk instead of failing.
     """
     con = duckdb.connect()
-    con.execute("SET memory_limit = '24GB'")
-    con.execute(
-        f"SET temp_directory = '{tmp_path_factory.mktemp('duck_spill')}'"
-    )
+    con.execute("SET memory_limit = '8GB'")
+    con.execute(f"SET temp_directory = '{spill_dir}'")
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
+    return con
+
+
+@pytest.fixture(scope="function")
+def duck(sf_dir, tmp_path_factory):
+    """DuckDB connection with the same views the driver pre-registers.
+
+    FUNCTION-scoped: a session-scoped connection accumulates buffer-pool
+    memory across the ~200 oracles (by ~query 94 of an sf0.1 full run it
+    had eaten everything up to its limit, killing the run with
+    MemoryError). A fresh connection per test releases everything; view
+    registration is microseconds.
+    """
+    con = make_duck_connection(sf_dir, str(tmp_path_factory.mktemp("duck_spill")))
     yield con
     con.close()

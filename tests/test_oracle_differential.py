@@ -11,10 +11,12 @@ from __future__ import annotations
 
 import math
 
+import duckdb
 import pandas as pd
 import pytest
 
 from kafka_streams_tcp_reconciliation_spark.plans import all_oracles, all_queries
+from conftest import make_duck_connection
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
@@ -51,8 +53,26 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def run_oracle(duck, sql: str, sf_dir: str, tmp_path_factory) -> pd.DataFrame:
+    """Execute an oracle, retrying ONCE on a fresh connection if DuckDB OOMs.
+
+    A single transient allocation failure (busy host + concurrent Spark JVM)
+    must not redden a 1500+-test run; a *repeatable* OOM still fails.
+    """
+    try:
+        return duck.execute(sql).fetchdf()
+    except duckdb.OutOfMemoryException:
+        retry = make_duck_connection(
+            sf_dir, str(tmp_path_factory.mktemp("duck_spill_retry"))
+        )
+        try:
+            return retry.execute(sql).fetchdf()
+        finally:
+            retry.close()
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle(name, spark, duck, sf_dir):
+def test_query_matches_oracle(name, spark, duck, sf_dir, tmp_path_factory):
     try:
         spark_df = QUERIES[name](spark, sf_dir).toPandas()
     finally:
@@ -61,7 +81,7 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         # (at sf0.1 the buildup contributed to machine-wide memory
         # exhaustion alongside DuckDB's default 80%-of-RAM limit)
         spark.catalog.clearCache()
-    duck_df = duck.execute(ORACLES[name]).fetchdf()
+    duck_df = run_oracle(duck, ORACLES[name], sf_dir, tmp_path_factory)
 
     assert len(spark_df) == len(duck_df), (
         f"{name}: row count {len(spark_df)} (spark) != {len(duck_df)} (duckdb)"

@@ -7,7 +7,9 @@ ordering function IS the coverage strategy. These tests lock the contract:
    never-checked one (a red row is the highest-information re-check);
 2. oracle-less queries never occupy front-of-window slots (they can only
    earn a weak rows-only row);
-3. proven-green queries yield their slot entirely;
+3. proven-green queries yield their slot entirely — and within the green
+   tier, the STALEST green row sorts first, so an all-green registry keeps
+   refreshing its oldest evidence instead of re-checking the same window;
 4. ties break by registration order, so coverage drains deterministically.
 
 A future ordering change that re-buries failures goes red here instead of
@@ -25,7 +27,7 @@ from kafka_streams_tcp_reconciliation_spark.plans import (
 )
 
 
-def _fake_status(monkeypatch, status: dict[str, str]) -> None:
+def _fake_status(monkeypatch, status: dict[str, tuple[str, int]]) -> None:
     monkeypatch.setattr(plans, "_driver_status", lambda: status)
 
 
@@ -36,7 +38,7 @@ def test_failed_before_never_checked_before_no_oracle_before_green(monkeypatch):
     assert len(oracle_backed) >= 4
     failed, green = oracle_backed[5], oracle_backed[0]
     no_oracle = next((n for n in names if n not in ORACLES), None)
-    _fake_status(monkeypatch, {failed: "failed", green: "green"})
+    _fake_status(monkeypatch, {failed: ("failed", 3), green: ("green", 3)})
 
     out = _ordered(names)
     pos = {n: i for i, n in enumerate(out)}
@@ -58,7 +60,11 @@ def test_all_current_failed_rows_land_in_round_window(monkeypatch=None):
     slots (the driver's per-round cap)."""
     load_all()
     status = plans._driver_status()
-    failed = [n for n in QUERIES if status.get(n) == "failed" and n in ORACLES]
+    failed = [
+        n
+        for n in QUERIES
+        if status.get(n, (None, 0))[0] == "failed" and n in ORACLES
+    ]
     window = list(plans.all_queries())[:50]
     missing = [n for n in failed if n not in window]
     assert not missing, f"failed queries outside round window: {missing}"
@@ -71,6 +77,44 @@ def test_ties_break_by_registration_order(monkeypatch):
     assert _ordered(names) == names
 
 
+def test_stale_green_rows_refresh_first(monkeypatch):
+    """All-green registry: the query whose latest green row is OLDEST must
+    sort ahead of one proven green more recently, regardless of
+    registration order — so the driver's 50-query window continuously
+    refreshes the stalest proof."""
+    load_all()
+    names = [n for n in QUERIES if n in ORACLES][:6]
+    # everyone green; the LAST-registered query has the OLDEST green row
+    status = {n: ("green", 5) for n in names}
+    status[names[-1]] = ("green", 1)
+    status[names[2]] = ("green", 3)
+    _fake_status(monkeypatch, status)
+    out = _ordered(names)
+    assert out[0] == names[-1]  # round-1 proof refreshes first
+    assert out[1] == names[2]  # then round-3
+    # remaining round-5 greens keep registration order
+    assert out[2:] == [n for n in names[:-1] if n != names[2]]
+
+
+def test_all_green_window_contains_stalest_proofs():
+    """With the REAL on-disk artifacts and an all-green registry, the first
+    50 slots must be exactly the 50 queries with the oldest latest-green
+    round (no fresher-green query displaces a staler one)."""
+    load_all()
+    status = plans._driver_status()
+    greens = {
+        n: status[n][1]
+        for n in QUERIES
+        if n in status and status[n][0] == "green"
+    }
+    if len(greens) < len(QUERIES):
+        return  # not all-green: failed/never-checked correctly lead instead
+    window = list(plans.all_queries())[:50]
+    worst_in_window = max(greens[n] for n in window)
+    best_outside = min(greens[n] for n in QUERIES if n not in window)
+    assert worst_in_window <= best_outside
+
+
 def test_oracle_less_queries_not_in_front_even_when_failed(monkeypatch):
     """An oracle-less query whose driver row errored must still not displace
     oracle-backed work: it can never upgrade past rows-only."""
@@ -79,7 +123,7 @@ def test_oracle_less_queries_not_in_front_even_when_failed(monkeypatch):
     if not no_oracle:
         return
     target = no_oracle[0]
-    _fake_status(monkeypatch, {target: "no_oracle"})
+    _fake_status(monkeypatch, {target: ("no_oracle", 3)})
     out = _ordered(list(QUERIES))
     oracle_backed = [n for n in QUERIES if n in ORACLES]
     pos = {n: i for i, n in enumerate(out)}
