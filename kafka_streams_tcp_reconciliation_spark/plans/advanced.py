@@ -637,18 +637,23 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the Spark plan uses DEGREE-ORDERED ORIENTATION (each edge
     directed from its (degree, id)-smaller endpoint), which bounds
-    per-node out-degree by O(√m), so the wedge self-join fans out
-    O(m^1.5) worst-case instead of O(Σ deg²) — the hub-safe distributed
-    formulation. The oracle is the INDEPENDENT id-ordered 3-way self-join
-    (a<b<c), correct at oracle scale: two formulations must agree on the
-    count, a real cross-check of the orientation logic.
+    per-node out-degree by O(√m), then counts triangles EDGE-ITERATOR
+    style: per oriented edge (src, dst), |N⁺(src) ∩ N⁺(dst)| via
+    array_intersect over the two out-adjacency lists. Compared to the
+    wedge-join formulation this never materializes the O(m^1.5) wedge
+    set through a shuffle — the only corpus-sized relations are the edge
+    list and the O(√m)-bounded adjacency lists — and one final
+    aggregation yields BOTH outputs (count(*) over oriented edges IS the
+    edge count), removing a separate count pass + crossJoin. The oracle
+    is the INDEPENDENT id-ordered 3-way self-join (a<b<c), correct at
+    oracle scale: two formulations must agree on the count, a real
+    cross-check of the orientation logic.
     """
     edges = _copurchase_edges(load_table(spark, sf_dir, "lineitem")).cache()
-    # cache: consumed 4× (degrees, orientation, closure, edge count) —
-    # without the barrier Catalyst re-runs the pair generation per consumer
+    # cache: consumed 2× (degrees, orientation) — without the barrier
+    # Catalyst re-runs the pair generation per consumer
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -660,47 +665,38 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             (F.col("du") < F.col("dv"))
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-            F.struct(
-                F.col("u").alias("src"),
-                F.col("v").alias("dst"),
-                F.col("du").alias("sd"),
-                F.col("dv").alias("dd"),
-            ),
+            F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
         )
         .otherwise(
-            F.struct(
-                F.col("v").alias("src"),
-                F.col("u").alias("dst"),
-                F.col("dv").alias("sd"),
-                F.col("du").alias("dd"),
-            )
+            F.struct(F.col("v").alias("src"), F.col("u").alias("dst"))
         )
         .alias("e")
-    ).select("e.src", "e.dst", "e.sd", "e.dd")
-    w1 = oriented.select(
-        F.col("src"),
-        F.col("dst").alias("x"),
-        F.col("dd").alias("xd"),
+    ).select("e.src", "e.dst")
+    # out-adjacency under the orientation; sorted so array_intersect's
+    # cost profile is deterministic. Out-degree ≤ O(√m) bounds list width.
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("nbrs")
     )
-    w2 = oriented.select(
-        F.col("src"),
-        F.col("dst").alias("y"),
-        F.col("dd").alias("yd"),
+    a_src = adj.select(F.col("src"), F.col("nbrs").alias("nbrs_s"))
+    a_dst = adj.select(
+        F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_d")
     )
-    wedges = (
-        w1.join(w2, "src")
-        .filter(
-            (F.col("xd") < F.col("yd"))
-            | ((F.col("xd") == F.col("yd")) & (F.col("x") < F.col("y")))
-        )
-        .select("x", "y")
+    # left joins: a sink dst has no out-list; it closes zero triangles
+    per_edge = oriented.join(a_src, "src", "left").join(a_dst, "dst", "left")
+    return per_edge.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.coalesce(
+            F.sum(
+                F.size(
+                    F.array_intersect(
+                        F.coalesce("nbrs_s", F.array()),
+                        F.coalesce("nbrs_d", F.array()),
+                    )
+                )
+            ),
+            F.lit(0),
+        ).alias("n_triangles"),
     )
-    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    tri = wedges.join(closing, ["x", "y"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    return ne.crossJoin(tri)
 
 
 # --- gaps-and-islands: longest daily activity streak -------------------------

@@ -309,64 +309,77 @@ def _pq_collect_codebook(emb: DataFrame) -> dict[tuple[int, int], list[float]]:
     }
 
 
-def _pq_sqd_lit(
-    codebook: dict[tuple[int, int], list[float]], vec_col: str, m: int, j: int
-) -> str:
-    """Spark SQL: ordered-fold squared L2 between subvector m of a vector
-    column and the literal codeword (m, j) — same fold order as
-    ``_pq_duck_sqd``; float repr round-trips exactly."""
-    lit = "array({})".format(
-        ", ".join(f"CAST({v!r} AS DOUBLE)" for v in codebook[(m, j)])
-    )
-    off = m * _PQ_SUBDIM + 1
-    return (
-        f"aggregate(zip_with(slice({vec_col}, {off}, {_PQ_SUBDIM}), {lit},"
-        f" (pq_x, pq_c) -> (CAST(pq_x AS DOUBLE) - pq_c)"
-        f" * (CAST(pq_x AS DOUBLE) - pq_c)),"
-        f" CAST(0 AS DOUBLE), (pq_a, pq_v) -> pq_a + pq_v)"
-    )
-
-
-def _pq_dmicro_lit(codebook, vec_col: str, m: int, j: int) -> str:
-    return f"CAST(round(1000000 * ({_pq_sqd_lit(codebook, vec_col, m, j)})) AS BIGINT)"
-
-
 def _pq_codewords(codebook) -> list[int]:
     """Codeword ids actually present (corpus may hold < _PQ_K vectors —
     e.g. a heavily filtered corpus, or an empty partition's table)."""
     return sorted({j for (_, j) in codebook})
 
 
-def _pq_codes_expr(codebook, vec_col: str) -> str:
-    """codes[m] = argmin_j dmicro(m, j), ties to lowest j — a narrow map.
-    Only codewords present in the codebook compete (matching the oracle,
-    whose cb CTE is built from the same data)."""
+def _pq_cb_frame(spark: SparkSession, codebook) -> DataFrame:
+    """One-row broadcastable codebook frame: ``pq_cb`` is the dense
+    M·K-slot array of SUBDIM-double codewords (absent slots hold zeros
+    and are never referenced) and ``pq_js`` the present codeword ids.
+
+    The codebook used to be unrolled into 2×M×K literal
+    aggregate/zip_with expression trees per query (~256 HOF subtrees);
+    Catalyst analysis + whole-stage codegen of that tree dominated the
+    query's wall time at every SF (flat from sf0.001 to sf0.1 — pure
+    compile cost). Shipping the SAME doubles as a one-row broadcast
+    datum and folding over them with generic lambdas keeps the
+    arithmetic (and therefore every rounded micro-unit int) identical
+    while the expression tree shrinks to ~10 HOF nodes."""
     js = _pq_codewords(codebook)
-    code_exprs = []
-    for m in range(_PQ_M):
-        structs = ", ".join(
-            f"struct({_pq_dmicro_lit(codebook, vec_col, m, j)} AS d, {j} AS j)"
-            for j in js
-        )
-        code_exprs.append(f"array_min(array({structs})).j")
-    return "array({})".format(", ".join(code_exprs))
+    dense = [
+        codebook.get((m, j), [0.0] * _PQ_SUBDIM)
+        for m in range(_PQ_M)
+        for j in range(_PQ_K)
+    ]
+    return spark.createDataFrame(
+        [(dense, js)], "pq_cb array<array<double>>, pq_js array<int>"
+    )
 
 
-def _pq_lut_expr(codebook, vec_col: str) -> str:
-    """Flattened M x K integer LUT of subspace distances for a query row.
-    Slots for absent codewords hold a 0 placeholder — argmin never emits
-    an absent code, so those slots are unreachable."""
-    js = set(_pq_codewords(codebook))
-    return "array({})".format(
-        ", ".join(
-            (
-                _pq_dmicro_lit(codebook, vec_col, m, j)
-                if j in js
-                else "CAST(0 AS BIGINT)"
-            )
-            for m in range(_PQ_M)
-            for j in range(_PQ_K)
-        )
+def _pq_dmicro(sv: str, cv: str) -> str:
+    """Spark SQL: micro-unit squared L2 between an 8-dim slice expression
+    and a codeword-array expression — ordered fold, same order as
+    ``_pq_duck_sqd``; rounded ONCE to integer micro-units."""
+    return (
+        f"CAST(round(1000000 * aggregate(zip_with({sv}, {cv},"
+        f" (pq_x, pq_c) -> (CAST(pq_x AS DOUBLE) - pq_c)"
+        f" * (CAST(pq_x AS DOUBLE) - pq_c)),"
+        f" CAST(0 AS DOUBLE), (pq_a, pq_v) -> pq_a + pq_v)) AS BIGINT)"
+    )
+
+
+def _pq_codes_expr(vec_col: str) -> str:
+    """codes[m] = argmin_j dmicro(m, j), ties to lowest j — a narrow map
+    over the broadcast ``pq_cb``/``pq_js`` columns. Only codewords present
+    in the codebook compete (matching the oracle, whose cb CTE is built
+    from the same data)."""
+    d = _pq_dmicro(
+        f"slice({vec_col}, pq_m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})",
+        f"element_at(pq_cb, pq_m * {_PQ_K} + pq_j + 1)",
+    )
+    return (
+        f"transform(sequence(0, {_PQ_M - 1}), pq_m -> array_min("
+        f"transform(pq_js, pq_j -> named_struct('d', {d}, 'j', pq_j))).j)"
+    )
+
+
+def _pq_lut_expr(vec_col: str) -> str:
+    """Flattened M x K integer LUT of subspace distances for a query row,
+    from the broadcast ``pq_cb`` column. Slots for absent codewords hold
+    a 0 placeholder — argmin never emits an absent code, so those slots
+    are unreachable."""
+    d = _pq_dmicro(
+        f"slice({vec_col}, (pq_i div {_PQ_K}) * {_PQ_SUBDIM} + 1,"
+        f" {_PQ_SUBDIM})",
+        "element_at(pq_cb, pq_i + 1)",
+    )
+    return (
+        f"transform(sequence(0, {_PQ_M * _PQ_K - 1}), pq_i ->"
+        f" IF(array_contains(pq_js, CAST(pq_i % {_PQ_K} AS INT)), {d},"
+        f" CAST(0 AS BIGINT)))"
     )
 
 
@@ -441,7 +454,8 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd loop from that query into the same plan with no shape change.
 
     Scale shape: the codebook ({_PQ_M}×{_PQ_K}×{_PQ_SUBDIM} doubles) is
-    driver-resident and inlined as literals, so ENCODING is a
+    driver-resident and shipped as a one-row broadcast frame (data, not
+    literal expression trees — see ``_pq_cb_frame``), so ENCODING is a
     shuffle-free narrow map (128 eight-dim folds per row, JVM codegen);
     the encoded corpus carries 4 bytes/vector. Queries broadcast with
     their {_PQ_M}×{_PQ_K} integer LUTs; scoring a candidate is {_PQ_M}
@@ -463,13 +477,18 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("adc_micro"),
             F.lit(None).cast("long").alias("rank"),
         ).where(F.lit(False))
-    enc = emb.select(
-        "vec_id", F.expr(_pq_codes_expr(codebook, "embedding")).alias("codes")
+    cb = F.broadcast(_pq_cb_frame(spark, codebook))
+    enc = emb.crossJoin(cb).select(
+        "vec_id", F.expr(_pq_codes_expr("embedding")).alias("codes")
     )
     # queries ride with their flattened M x K integer LUTs
-    q = emb.filter(F.col("vec_id") < _PQ_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.expr(_pq_lut_expr(codebook, "embedding")).alias("lut"),
+    q = (
+        emb.filter(F.col("vec_id") < _PQ_QUERIES)
+        .crossJoin(cb)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(_pq_lut_expr("embedding")).alias("lut"),
+        )
     )
     adc = F.expr(_PQ_ADC_EXPR)
     scored = (
@@ -596,10 +615,11 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("adc_micro"),
             F.lit(None).cast("long").alias("rank"),
         ).where(F.lit(False))
-    enc = emb.select(
+    cb = F.broadcast(_pq_cb_frame(spark, codebook))
+    enc = emb.crossJoin(cb).select(
         "vec_id",
         "label",
-        F.expr(_pq_codes_expr(codebook, "embedding")).alias("codes"),
+        F.expr(_pq_codes_expr("embedding")).alias("codes"),
     )
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
@@ -613,10 +633,14 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
-    q = emb.filter(F.col("vec_id") < _PQ_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.expr(_pq_lut_expr(codebook, "embedding")).alias("lut"),
+    q = (
+        emb.filter(F.col("vec_id") < _PQ_QUERIES)
+        .crossJoin(cb)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.expr(_pq_lut_expr("embedding")).alias("lut"),
+        )
     )
     w_assign = Window.partitionBy("query_id").orderBy(
         F.round(sim.cosine_expr("qv", "centroid"), 6).desc(), F.col("label").asc()
