@@ -1467,31 +1467,35 @@ def two_hop_reach_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic that prices any graph algorithm before running it (reach
     explosion ⇒ iterate no further).
 
-    Scale: adjacency is the edge list doubled (map-side); the 2-hop set is
-    ONE self-join on the middle node — Σ deg² rows, the same hub exposure
-    the degree distribution measures first; reach dedup is a groupBy on
-    (src, dst). No iteration, no driver-side frontier.
+    Scale: adjacency is the edge list doubled (map-side) and is DISTINCT
+    BY CONSTRUCTION (the edge list is unique u<v pairs), so no 1-hop
+    dedup shuffle exists; the 2-hop set is ONE self-join on the middle
+    node — Σ deg² rows, the same hub exposure the degree distribution
+    measures first. 1-hop and 2-hop walks are tagged and deduped in a
+    SINGLE (src, dst) aggregation keeping the min hop tag (partial
+    map-side dedup bounds the shuffle to the deduped reach set), and one
+    per-src aggregation yields both counts — two exchanges total after
+    the join, versus five in the naive distinct-per-layer plan. No
+    iteration, no driver-side frontier.
     """
     edges = _copurchase_edges(load_table(spark, sf_dir, "lineitem")).cache()
     adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    one_hop = adj.distinct()
     mid = adj.select(F.col("src").alias("dst"), F.col("dst").alias("dst2"))
-    two_hop = (
-        one_hop.join(mid, "dst")
+    walks2 = (
+        adj.join(mid, "dst")
         .filter(F.col("dst2") != F.col("src"))
-        .select("src", F.col("dst2").alias("dst"))
-        .distinct()
+        .select("src", F.col("dst2").alias("dst"), F.lit(2).alias("h"))
     )
-    reach = one_hop.unionByName(two_hop).distinct()
-    n1 = one_hop.groupBy("src").agg(F.count(F.lit(1)).alias("n_1hop"))
-    return (
-        reach.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("n_within_2hops"))
-        .join(n1, "src")
-        .select(F.col("src").alias("part"), "n_1hop", "n_within_2hops")
-    )
+    tagged = adj.select("src", "dst", F.lit(1).alias("h")).unionByName(walks2)
+    reach = tagged.groupBy("src", "dst").agg(F.min("h").alias("h"))
+    return reach.groupBy("src").agg(
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_1hop"),
+        F.count(F.lit(1)).alias("n_within_2hops"),
+    ).select(F.col("src").alias("part"), "n_1hop", "n_within_2hops")
 
 
 # --- time-weighted average (TWAP) ----------------------------------------------

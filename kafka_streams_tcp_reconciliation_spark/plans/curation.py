@@ -103,13 +103,15 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     an iterative float algorithm gets a strong cross-engine oracle.
 
     Scale shape: one shuffle per iteration (join ranks→edges on src, then
-    re-aggregate on dst) — the standard Pregel pattern; the degree table
-    joins broadcast-style (node-sized, 16 bytes/node). The edge list is
-    cached across iterations. Since every node of a symmetric graph has
-    out-degree ≥ 1 there are no dangling-mass corrections. A skewed hub
-    node concentrates its IN-side aggregation; AQE skew-join handles the
-    join side and the sum is map-side combinable, so hot hubs cost one
-    tall partial-agg column, not a single-reducer stall.
+    re-aggregate on dst) — the standard Pregel pattern. The edge list is
+    PRE-JOINED with its source degree once and cached, so each iteration
+    is exactly one join + one aggregation (re-joining the degree table
+    inside every iteration tripled the join count for no information).
+    Since every node of a symmetric graph has out-degree ≥ 1 there are no
+    dangling-mass corrections. A skewed hub node concentrates its IN-side
+    aggregation; AQE skew-join handles the join side and the sum is
+    map-side combinable, so hot hubs cost one tall partial-agg column,
+    not a single-reducer stall.
     """
     pairs = simhash_pair_frame(spark, sf_dir)
     edges = (
@@ -120,16 +122,17 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    # (src, dst, deg) — degree rides with the edge so the Pregel loop
+    # never re-joins the degree table; cached once, consumed per iteration
+    edges_deg = edges.join(deg, "src").cache()
     ranks = deg.select(
         F.col("src").alias("doc_id"),
         F.lit(_PR_INIT_PPM).cast("long").alias("r"),
     )
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["doc_id"])
-            .join(deg, "src")
-            .select(F.col("dst"), F.expr("r DIV deg").alias("contrib"))
-        )
+        contrib = edges_deg.join(
+            ranks, edges_deg["src"] == ranks["doc_id"]
+        ).select(F.col("dst"), F.expr("r DIV deg").alias("contrib"))
         ranks = contrib.groupBy("dst").agg(
             F.expr(f"CAST({_PR_BASE_PPM} + (85 * sum(contrib)) DIV 100 AS BIGINT)").alias(
                 "r"

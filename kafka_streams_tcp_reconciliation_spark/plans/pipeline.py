@@ -906,27 +906,33 @@ def bloom_decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFram
     The eval split's distinct gram hashes are folded into a 2-probe,
     2^20-bit Bloom filter built from PUBLIC primitives: each gram sets
     bit ``pos & 63`` of int64 word ``pos >> 6``; ``bit_or`` per word
-    aggregates the sparse word table (≤16Ki rows — kilobytes), which is
-    then BROADCAST twice (once per probe). Train grams are filtered by
-    two broadcast hash joins + bitmask tests, so the full train relation
-    is never shuffled — only Bloom survivors (true matches + the
-    controlled false-positive trickle) reach the exact gram equi-join
-    that restores bit-exact results (a Bloom filter has NO false
-    negatives, so survivors ⊇ true matches and the verify join drops
-    the rest; the oracle is the plain exact-overlap query).
+    aggregates the word table, which is collected to the driver as a
+    DENSE 16,384-long bitset (128 KiB — CONSTANT in corpus size: sized
+    by m, not by the data) and shipped back as a one-row broadcast
+    frame. Train grams are then filtered by pure map-side
+    ``element_at`` + bitmask tests — no probe joins, no shuffle of the
+    train relation; only Bloom survivors (true matches + the controlled
+    false-positive trickle) reach the exact gram equi-join that restores
+    bit-exact results (a Bloom filter has NO false negatives, so
+    survivors ⊇ true matches and the verify join drops the rest; the
+    oracle is the plain exact-overlap query).
 
-    At 100 TB: the word table stays ≤128 KiB regardless of corpus size
-    (size m to the eval-set cardinality), the train scan streams, and
-    shuffle volume is O(true overlap), not O(train grams).
+    At 100 TB: the bitset stays 128 KiB regardless of corpus size (size
+    m to the eval-set cardinality), the train scan streams through two
+    in-memory bit probes per gram, and shuffle volume is O(true
+    overlap), not O(train grams).
     """
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.expr(_SPARK_DOC_HASH) % 100
+    # single projection scan→grams; only `hashed` (narrow: id, bucket,
+    # gram array) is cached — caching the intermediate word-hash arrays
+    # too would materialize a second, WIDER copy consumed exactly once
     wh = docs.select(
         "doc_id",
         bucket.alias("b"),
         word_polyhashes_expr("text", 31).alias("wh1"),
         word_polyhashes_expr("text", 131).alias("wh2"),
-    ).cache()
+    )
     hashed = wh.select(
         "doc_id", "b", gram_fold64_expr("wh1", "wh2", _DECON_N).alias("ghs")
     ).cache()
@@ -954,21 +960,22 @@ def bloom_decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("w")
         .agg(F.expr("bit_or(m)").alias("bits"))
     )
-    b1 = bloom.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
-    b2 = bloom.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
+    # Densify on the driver: ≤16,384 (w, bits) rows -> one 128 KiB long
+    # array, CONSTANT in corpus size (bounded by the filter's m, never by
+    # the data). A one-row broadcast frame makes both probes map-side
+    # bitmask tests instead of two broadcast-join builds.
+    dense = [0] * (_BLOOM_BITS // 64)
+    for r in bloom.collect():
+        dense[int(r.w)] = int(r.bits)
+    bits_frame = spark.createDataFrame([(dense,)], "bloom_bits array<bigint>")
+    probe_ok = (
+        "(element_at(bloom_bits, CAST({p} DIV 64 AS INT) + 1)"
+        " & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0"
+    )
     cand = (
-        train.withColumn("p1", F.expr(p1))
-        .withColumn("p2", F.expr(p2))
-        .join(F.broadcast(b1), F.expr("p1 DIV 64") == F.col("w1"))
-        .filter(
-            F.expr("bits1 & shiftleft(CAST(1 AS BIGINT), CAST(p1 % 64 AS INT))")
-            != 0
-        )
-        .join(F.broadcast(b2), F.expr("p2 DIV 64") == F.col("w2"))
-        .filter(
-            F.expr("bits2 & shiftleft(CAST(1 AS BIGINT), CAST(p2 % 64 AS INT))")
-            != 0
-        )
+        train.crossJoin(F.broadcast(bits_frame))
+        .filter(F.expr(probe_ok.format(p=p1)))
+        .filter(F.expr(probe_ok.format(p=p2)))
         .select("doc_id", "g")
     )
     return (
