@@ -17,7 +17,11 @@ Numeric determinism: every dot product is a sequential left fold over
 explicitly double-cast elements (Spark ``aggregate(zip_with(...))`` /
 DuckDB ordered ``list_reduce``) — identical IEEE results in both engines;
 scores are additionally rounded before ranking so rank tiebreaks agree.
-No Python UDFs anywhere: folds are JVM codegen in Spark.
+Per-pair scoring uses JVM HOF folds; the QUADRATIC-within-group stages
+(kNN graph, SemDeDup pairs) instead ship each group ONCE through Arrow to
+``pairwise_cosine_matrix``, whose numpy accumulation replays the exact
+same per-dimension fold order (see its docstring) — bit-identical doubles
+at matrix speed instead of millions of interpreted per-pair folds.
 """
 
 from __future__ import annotations
@@ -131,3 +135,55 @@ def duck_lsh_bucket_select(vec_col: str) -> str:
         f"[{{'tbl': lt_t, 'bucket': {bits}}}"
         f" FOR lt_t IN range(0, {LSH_TABLES})]"
     )
+
+
+# ---------------------------------------------------------------------------
+# vectorized within-group pairwise cosine (Arrow / numpy kernel)
+# ---------------------------------------------------------------------------
+
+
+def _make_pairwise_cosine():
+    # Factory indirection ON PURPOSE: the returned function's qualname is
+    # not importable, so cloudpickle serializes it BY VALUE into any
+    # pandas-kernel closure that captures it. A plain module-level def
+    # would pickle by reference (module path), and the Python workers of
+    # a foreign-cwd driver (the external harness) cannot import this
+    # package — the exact failure mode the verify recipe checks for.
+    def pairwise_cosine_matrix(vectors):
+        """All-pairs rounded cosine matrix for one group's vectors, with
+        the EXACT fold order of ``dot_expr``/``duck_dot_expr``.
+
+        ``dot_expr`` computes ``((0 + x1·y1) + x2·y2) + …`` — a
+        sequential left fold over dimensions, each element cast to double
+        first. This kernel accumulates one outer product per DIMENSION in
+        the same order (``acc += V[:, d] ⊗ V[:, d]``), so every pair's
+        sum performs the identical sequence of IEEE double additions and
+        the resulting cosines (and their 6-dp roundings, and therefore
+        every rank tiebreak) are bit-identical to the JVM fold and the
+        DuckDB oracle.
+
+        Scale contract: callers group by a bounded-population
+        cell/cluster id (IVF cell, SemDeDup cluster), so the n×n matrix
+        is per-task memory of a BOUNDED group, never corpus-sized; the
+        corpus is shipped through Arrow exactly once per stage.
+
+        Takes an iterable of n dim-length float vectors; returns the
+        (n, n) matrix of round(cosine, 6) with self-cosines on the
+        diagonal (callers mask them).
+        """
+        import numpy as np
+
+        V = np.stack(vectors).astype(np.float64)
+        n, dim = V.shape
+        dots = np.zeros((n, n))
+        for d in range(dim):
+            col = V[:, d]
+            dots += np.multiply.outer(col, col)
+        sd = np.diag(dots).copy()
+        denom = np.sqrt(np.multiply.outer(sd, sd))
+        return np.round(dots / denom, 6)
+
+    return pairwise_cosine_matrix
+
+
+pairwise_cosine_matrix = _make_pairwise_cosine()

@@ -1301,57 +1301,41 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``similarity_ivf_topk``) — the standard corpus-scale recipe, since
     all-pairs kNN is quadratic.
 
-    Scale: ONE equi-shuffle on the cell id; pair scoring is quadratic only
-    within a cell (cells scale with corpus size, keeping cell population
-    bounded). Per-vector self-dots are computed once and carried through
-    the join — each pair costs a single fold, not three (the SemDeDup
-    trick). Top-k per vector is a WindowGroupLimit-friendly row_number
-    with scores rounded before ranking so tiebreaks agree cross-engine.
+    Scale: ONE equi-shuffle on the cell id (groupBy → Arrow), then each
+    cell's vectors are scored as a single numpy pairwise-cosine matrix
+    (`operators/similarity.pairwise_cosine_matrix`) whose per-dimension
+    accumulation replays the JVM fold order exactly — bit-identical
+    scores and tiebreaks to the DuckDB oracle, at matrix speed instead
+    of |cell|² interpreted folds (measured ~5× at sf0.1). Quadratic (in
+    per-TASK memory too: the n×n matrix) only within a cell; cells scale
+    with corpus size, keeping cell population bounded.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    norms = emb.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.expr(sim.dot_expr("embedding", "embedding")).alias("self_dot"),
-    )
-    a = norms.select(
-        F.col("label"),
-        F.col("vec_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("self_dot").alias("a_dot"),
-    )
-    b = norms.select(
-        F.col("label"),
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("self_dot").alias("b_dot"),
-    )
-    pairs = (
-        a.join(b, "label")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id",
-            "neighbor_id",
-            F.round(
-                F.expr(sim.dot_expr("a_emb", "b_emb"))
-                / F.sqrt(F.col("a_dot") * F.col("b_dot")),
-                6,
-            ).alias("score"),
-        )
-    )
-    ranked = pairs.withColumn(
-        "rank",
-        F.row_number()
-        .over(
-            Window.partitionBy("vec_id").orderBy(
-                F.col("score").desc(), F.col("neighbor_id")
+    # local bindings: the kernel closure must be SELF-CONTAINED (captured
+    # by value) — a foreign-cwd driver's workers can't import this package
+    pairwise, k = sim.pairwise_cosine_matrix, _KNN_K
+
+    def cell_topk(pdf):
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        score = pairwise(pdf["embedding"].to_numpy())
+        out = []
+        n = len(ids)
+        for i in range(n):
+            others = [j for j in range(n) if j != i]
+            top = sorted(others, key=lambda j: (-score[i, j], ids[j]))[:k]
+            out.extend(
+                (int(ids[i]), int(ids[j]), r, float(score[i, j]))
+                for r, j in enumerate(top, 1)
             )
+        return pd.DataFrame(
+            out, columns=["vec_id", "neighbor_id", "rank", "score"]
         )
-        .cast("long"),
-    )
-    return ranked.filter(F.col("rank") <= _KNN_K).select(
-        "vec_id", "neighbor_id", "rank", "score"
+
+    return emb.groupBy("label").applyInPandas(
+        cell_topk,
+        schema="vec_id long, neighbor_id long, rank long, score double",
     )
 
 

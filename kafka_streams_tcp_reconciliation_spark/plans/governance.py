@@ -463,10 +463,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan (linear, no shuffle of the corpus); the pair stage
     shuffles once on cluster id and is quadratic only within a cluster —
     SemDeDup's contract is that K grows with corpus size so cluster
-    cardinality stays bounded (~N/K docs each). The per-cluster top-1 is
-    a WindowGroupLimit: each partition keeps one candidate row per
-    cluster before the final shuffle. Cosines are rounded to 6 before
-    every rank so tiebreaks agree across engines.
+    cardinality stays bounded (~N/K docs each). The within-cluster top
+    pair comes from one vectorized numpy cosine matrix per cluster (fold
+    order preserved — see the pair-stage comment below). Cosines are
+    rounded to 6 before every rank so tiebreaks agree across engines.
     """
     # Self-dots are computed ONCE per vector (and once per centroid) and
     # carried; every cosine downstream is then a single 64-d fold instead
@@ -508,42 +508,64 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "sd", "cid")
     )
-    left = assign.select(
-        "cid",
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("av"),
-        F.col("sd").alias("a_sd"),
-    )
-    right = assign.select(
-        "cid",
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("bv"),
-        F.col("sd").alias("b_sd"),
-    )
-    pairs = (
-        left.join(right, "cid")
-        .filter(F.col("b_id") > F.col("a_id"))
-        .select(
-            "cid",
-            "a_id",
-            "b_id",
-            F.round(
-                F.expr(sim.dot_expr("av", "bv"))
-                / F.sqrt(F.col("a_sd") * F.col("b_sd")),
-                6,
-            ).alias("cosine"),
+    # Pair stage: one shuffle on cluster id (groupBy → Arrow), then the
+    # whole within-cluster pair set is scored as a single numpy cosine
+    # matrix with the JVM fold order replayed exactly (see
+    # operators/similarity.pairwise_cosine_matrix) — bit-identical
+    # cosines and tiebreaks to the oracle's inline folds, without
+    # |cluster|² interpreted per-pair folds. The n×n matrix is per-task
+    # memory of a BOUNDED cluster (SemDeDup's K-grows-with-corpus
+    # contract). Single-member clusters have no pair and emit nothing,
+    # matching the oracle's inner join against top_pair. The local
+    # binding keeps the kernel closure self-contained (captured by
+    # value) — a foreign-cwd driver's workers can't import this package.
+    pairwise = sim.pairwise_cosine_matrix
+
+    def cluster_top_pair(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["cid", "n_members", "a_id", "b_id", "top_cosine"]
+            ).astype(
+                {
+                    "cid": "int64",
+                    "n_members": "int64",
+                    "a_id": "int64",
+                    "b_id": "int64",
+                    "top_cosine": "float64",
+                }
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        score = pairwise(pdf["embedding"].to_numpy())
+        best = max(
+            (
+                (score[i, j], ids[i], ids[j])
+                for i in range(n)
+                for j in range(i + 1, n)
+            ),
+            key=lambda t: (t[0], -t[1], -t[2]),
         )
+        return pd.DataFrame(
+            [
+                (
+                    int(pdf["cid"].iloc[0]),
+                    n,
+                    int(best[1]),
+                    int(best[2]),
+                    float(best[0]),
+                )
+            ],
+            columns=["cid", "n_members", "a_id", "b_id", "top_cosine"],
+        )
+
+    return assign.groupBy("cid").applyInPandas(
+        cluster_top_pair,
+        schema="cid long, n_members long, a_id long, b_id long,"
+        " top_cosine double",
     )
-    w_top = Window.partitionBy("cid").orderBy(
-        F.col("cosine").desc(), F.col("a_id").asc(), F.col("b_id").asc()
-    )
-    top_pair = (
-        pairs.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") == 1)
-        .select("cid", "a_id", "b_id", F.col("cosine").alias("top_cosine"))
-    )
-    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
-    return sizes.join(top_pair, "cid")
 
 
 # --- ANALYZE-style column profile -----------------------------------------

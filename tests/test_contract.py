@@ -120,3 +120,39 @@ def test_feature_hash_counts_conserve_tokens(spark, sf_dir):
         .set_index("doc_id")["n"]
     )
     assert got.to_dict() == docs.to_dict()
+
+
+def test_pairwise_cosine_kernel_pickles_by_value(tmp_path):
+    """The numpy pairwise-cosine kernel is captured inside pandas-kernel
+    closures (kNN graph, SemDeDup). The external driver runs from a
+    foreign cwd whose Python workers CANNOT import this package, so the
+    function must cloudpickle BY VALUE (factory-produced, non-importable
+    qualname) — a plain module-level def regresses to a by-reference
+    pickle and a worker-side ModuleNotFoundError. Proven the honest way:
+    unpickle and CALL it in a subprocess with the repo stripped from
+    sys.path."""
+    import subprocess
+    import sys
+
+    from pyspark import cloudpickle
+
+    from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
+
+    blob_path = tmp_path / "kern.pkl"
+    blob_path.write_bytes(cloudpickle.dumps(sim.pairwise_cosine_matrix))
+    code = f"""
+import sys
+sys.path = [p for p in sys.path if "repo" not in p]
+from pyspark import cloudpickle
+f = cloudpickle.loads(open({str(blob_path)!r}, "rb").read())
+m = f([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+assert m.shape == (3, 3) and m[0][0] == 1.0
+print("kernel-self-contained")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+    )
+    assert "kernel-self-contained" in r.stdout, r.stderr[-1000:]

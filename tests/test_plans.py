@@ -241,10 +241,11 @@ def test_unigram_logprob_total_broadcast(spark, sf_dir):
 
 
 def test_pq_adc_shape(spark, sf_dir):
-    """PQ-ADC: encoding must be a narrow map (codebook inlined as
-    literals — no join or exchange feeding the encode projection),
-    queries+LUTs must broadcast (nested-loop against the encoded scan),
-    and the per-query top-k must run as WindowGroupLimit."""
+    """PQ-ADC: encoding must be shuffle-free (the codebook arrives as a
+    one-row broadcast frame — broadcast nested-loop, never an exchange,
+    feeding the encode projection), queries+LUTs must broadcast
+    (nested-loop against the encoded scan), and the per-query top-k must
+    run as WindowGroupLimit."""
     plan = plan_of(QUERIES["similarity_pq_adc"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
@@ -425,10 +426,14 @@ def test_mlprep_plan_locks(spark, sf_dir):
     p = plan_of(QUERIES["knn_label_accuracy"](spark, sf_dir))
     assert "WindowGroupLimit" in p, p
     assert "CartesianProduct" not in p, p
-    # Bloom decontamination: word-table joins broadcast (the train side
-    # must never shuffle before the verify join), verify side broadcast too
+    # Bloom decontamination: the bitset arrives as a one-row broadcast
+    # frame (nested-loop) so both probes are map-side bitmask filters; the
+    # ONLY hash join is the exact verify join, broadcast; the train side
+    # must never shuffle before it
     p = plan_of(QUERIES["bloom_decontaminate_train_eval"](spark, sf_dir))
-    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
 
 
@@ -473,3 +478,23 @@ def test_mlprep_final_plan_locks(spark, sf_dir):
     # zipf: top-K via TakeOrderedAndProject, not a global sort
     p = plan_of(QUERIES["zipf_slope_terms"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_graph_rewrite_plan_locks(spark, sf_dir):
+    """Round-6 structural rewrites, locked: the shapes that made the graph
+    cold tier ~2x cheaper must not silently regress."""
+    # triangle edge-iterator: NO materialized wedge shuffle means no
+    # cartesian and a single final aggregation producing both outputs
+    # (no crossJoin of two single-row aggregates)
+    p = plan_of(QUERIES["triangle_count_copurchase"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p  # the old ne x tri crossJoin
+    # two-hop: one self-join, no nested loop; both counts come out of the
+    # single per-src rollup (the plan mentions n_1hop exactly once as an
+    # aggregate alias, not via a second aggregation + join)
+    p = plan_of(QUERIES["two_hop_reach_counts"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count(
+        "BroadcastHashJoin"
+    ) <= 1, p

@@ -775,15 +775,27 @@ def test_reservoir_sample_stream_converges_to_batch(spark, sf_dir, event_stream)
 # Each case asserts convergence to the batch twin computed on the SAME
 # fuzzed table, using the identical contract as the dedicated test above.
 
+import os
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_FUZZ_SEEDS = 3  # x 7 FSMs = 21 distinct fuzz cases
+_FUZZ_SEEDS = 5  # x {clean, redelivery} x 7 FSMs = 70 distinct fuzz cases
 
 
-def _fuzz_replay(spark, sf_dir, tmp_path, seed: int, side_order: bool):
-    """Build one fuzzed replay; returns (stream_df, batch_dir)."""
+def _fuzz_replay(
+    spark, sf_dir, tmp_path, seed: int, side_order: bool, redeliver: bool = False
+):
+    """Build one fuzzed replay; returns (stream_df, batch_dir).
+
+    With ``redeliver=True``, at-least-once delivery is simulated on top of
+    the adversarial chunking: ~5% of each chunk's rows are redelivered as
+    EXACT copies inside the same chunk, and a few rows from EARLIER chunks
+    are redelivered into each later chunk (arbitrary-lag redelivery). The
+    batch table never contains the duplicates — a correct consumer must
+    absorb them (see the dedup front in the fuzz test)."""
     from kafka_streams_tcp_reconciliation_spark.streaming.source import (
         event_stream_from_dir,
     )
@@ -828,6 +840,24 @@ def _fuzz_replay(spark, sf_dir, tmp_path, seed: int, side_order: bool):
     chunk_dir.mkdir()
     for i in range(n_chunks):
         part = sub.iloc[bounds[i] : bounds[i + 1]]
+        if redeliver and len(part):
+            extras = []
+            # same-batch redelivery: ~5% of this chunk's rows, exact copies
+            k = max(1, int(0.05 * len(part)))
+            extras.append(
+                part.sample(n=k, random_state=int(rng.integers(0, 2**31)))
+            )
+            # cross-batch redelivery: rows from ANY earlier chunk arrive
+            # again in this one (arbitrary redelivery lag)
+            earlier = sub.iloc[: bounds[i]]
+            if len(earlier):
+                extras.append(
+                    earlier.sample(
+                        n=min(3, len(earlier)),
+                        random_state=int(rng.integers(0, 2**31)),
+                    )
+                )
+            part = pd.concat([part, *extras], ignore_index=True)
         part = part.sample(frac=1.0, random_state=int(rng.integers(0, 2**31)))
         p = str(chunk_dir / f"chunk_{i:02d}.parquet")
         pq.write_table(pa.Table.from_pandas(part, preserve_index=False), p)
@@ -1006,12 +1036,90 @@ _FUZZ_MATRIX = [
 ]
 
 
+def _fuzz_seed(name: str, seed: int) -> int:
+    # crc32, not hash(): Python string hashing is salted per process, which
+    # would make a failing fuzz case irreproducible on re-run
+    return zlib.crc32(f"{name}:{seed}".encode()) & 0x7FFFFFFF
+
+
+@pytest.mark.parametrize("redeliver", [False, True], ids=["clean", "redeliver"])
 @pytest.mark.parametrize("seed", range(_FUZZ_SEEDS))
 @pytest.mark.parametrize(
     "name,build,check,side_order", _FUZZ_MATRIX, ids=[m[0] for m in _FUZZ_MATRIX]
 )
-def test_fsm_replay_fuzz(spark, sf_dir, tmp_path, name, build, check, side_order, seed):
-    full_seed = hash((name, seed)) & 0x7FFFFFFF
-    stream, batch_dir = _fuzz_replay(spark, sf_dir, tmp_path, full_seed, side_order)
-    got = run_stream(spark, build(stream), "append", f"t_fuzz_{name}_{seed}")
+def test_fsm_replay_fuzz(
+    spark, sf_dir, tmp_path, name, build, check, side_order, seed, redeliver
+):
+    """Every FSM twin under adversarial chunking — and, in the redeliver
+    variants, under at-least-once duplicate delivery absorbed by an
+    exactly-once dedup front (``dropDuplicates`` on the event key, the
+    streaming twin of the ``*_deduped`` batch compositions; unbounded
+    state here since a test replay is finite — production bounds it with
+    ``dropDuplicatesWithinWatermark`` and a max-redelivery-lag delay)."""
+    full_seed = _fuzz_seed(name, seed)
+    stream, batch_dir = _fuzz_replay(
+        spark, sf_dir, tmp_path, full_seed, side_order, redeliver=redeliver
+    )
+    if redeliver:
+        stream = stream.dropDuplicates(["event_id"])
+    got = run_stream(
+        spark, build(stream), "append", f"t_fuzz_{name}_{seed}_{int(redeliver)}"
+    )
     check(spark, stream, batch_dir, got)
+
+
+@pytest.mark.parametrize(
+    "name,build,check,side_order", _FUZZ_MATRIX, ids=[m[0] for m in _FUZZ_MATRIX]
+)
+def test_fsm_fuzz_kill_and_resume(
+    spark, sf_dir, tmp_path, name, build, check, side_order
+):
+    """Kill-and-resume at a random batch boundary for EVERY fuzzed FSM (not
+    just the transition FSM): run the fuzzed replay's first k chunks
+    through a checkpointed foreachBatch parquet sink, stop, reveal the
+    remaining chunks, restart FROM THE SAME CHECKPOINT, and apply the
+    exact convergence check to the combined delivery. Any state lost at
+    the restart boundary breaks cross-boundary emissions."""
+    import glob as _glob
+    import shutil
+
+    from kafka_streams_tcp_reconciliation_spark.streaming.sink import (
+        IdempotentBatchSink,
+    )
+    from kafka_streams_tcp_reconciliation_spark.streaming.source import (
+        event_stream_from_dir,
+    )
+
+    full_seed = _fuzz_seed(name, 977)
+    _, batch_dir = _fuzz_replay(spark, sf_dir, tmp_path, full_seed, side_order)
+    chunks = sorted(_glob.glob(str(tmp_path / "chunks" / "chunk_*")))
+    assert len(chunks) >= 3
+    rng = np.random.default_rng(full_seed)
+    k = int(rng.integers(1, len(chunks)))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+
+    def run() -> None:
+        s = event_stream_from_dir(spark, str(in_dir / "chunk_*"))
+        q = (
+            build(s)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    # copy2 preserves the forced strictly-increasing mtimes the replay
+    # builder set — the file source orders chunks oldest-mtime-first
+    for c in chunks[:k]:
+        shutil.copy2(c, in_dir / os.path.basename(c))
+    run()
+    for c in chunks[k:]:
+        shutil.copy2(c, in_dir / os.path.basename(c))
+    run()
+    got = spark.read.parquet(f"{tmp_path}/out/data").toPandas()
+    check(spark, None, batch_dir, got)
