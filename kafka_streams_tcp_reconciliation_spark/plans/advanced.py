@@ -1310,28 +1310,76 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-TASK memory too: the n×n matrix) only within a cell; cells scale
     with corpus size, keeping cell population bounded.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL-label rows join to nothing in the relational formulation (and
+    # the oracle), so they must not form a NULL group here
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
     # local bindings: the kernel closure must be SELF-CONTAINED (captured
     # by value) — a foreign-cwd driver's workers can't import this package
     pairwise, k = sim.pairwise_cosine_matrix, _KNN_K
 
     def cell_topk(pdf):
+        import math
+
         import pandas as pd
 
         ids = pdf["vec_id"].to_numpy()
-        score = pairwise(pdf["embedding"].to_numpy())
-        out = []
         n = len(ids)
+        # NULL embeddings pair with NULL cosine — they still rank (last,
+        # ties by neighbor id), exactly like the SQL fold the oracle runs
+        valid = [
+            i for i in range(n) if pdf["embedding"].iloc[i] is not None
+        ]
+        vpos = {i: p for p, i in enumerate(valid)}
+        score = (
+            pairwise(pdf["embedding"].iloc[valid].to_numpy())
+            if valid
+            else None
+        )
+
+        out = []
+        if len(valid) == n:
+            # fast path (the non-degenerate corpus): raw matrix indexing
+            for i in range(n):
+                others = [j for j in range(n) if j != i]
+                top = sorted(others, key=lambda j: (-score[i, j], ids[j]))[:k]
+                out.extend(
+                    (int(ids[i]), int(ids[j]), r, float(score[i, j]))
+                    for r, j in enumerate(top, 1)
+                )
+            df = pd.DataFrame(
+                out, columns=["vec_id", "neighbor_id", "rank", "score"]
+            )
+            return df.astype({"score": "float64"})
+
+        def s(i, j):
+            if i in vpos and j in vpos:
+                return float(score[vpos[i], vpos[j]])
+            return None
+
         for i in range(n):
             others = [j for j in range(n) if j != i]
-            top = sorted(others, key=lambda j: (-score[i, j], ids[j]))[:k]
+            top = sorted(
+                others,
+                key=lambda j: (
+                    (0, -s(i, j)) if s(i, j) is not None else (1, 0),
+                    ids[j],
+                ),
+            )[:k]
             out.extend(
-                (int(ids[i]), int(ids[j]), r, float(score[i, j]))
+                (
+                    int(ids[i]),
+                    int(ids[j]),
+                    r,
+                    s(i, j) if s(i, j) is not None else math.nan,
+                )
                 for r, j in enumerate(top, 1)
             )
-        return pd.DataFrame(
+        df = pd.DataFrame(
             out, columns=["vec_id", "neighbor_id", "rank", "score"]
         )
+        return df.astype({"score": "float64"})
 
     return emb.groupBy("label").applyInPandas(
         cell_topk,
