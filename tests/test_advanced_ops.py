@@ -345,6 +345,11 @@ def test_partitioning_invariance_of_sketch_ops(spark, sf_dir):
         "count_min_word_frequencies",
         "setsim_prefix_jaccard_join",
         "dedup_minhash_lsh",
+        # the round-6 Arrow pairwise-cosine kernels: group membership is
+        # data-derived (cell/cluster id), so a re-layout must not change
+        # any score, rank, or tiebreak
+        "knn_graph_within_cells",
+        "dedup_semantic_clusters",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}

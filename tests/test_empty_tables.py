@@ -46,6 +46,44 @@ GRAND_TOTAL_DIVERGENT = {
 }
 
 
+class ResilientDuck:
+    """DuckDB connection with the fixture views that survives ONE
+    transient OutOfMemoryException per execute by rebuilding itself on a
+    fresh connection (same contract as the differential harness's
+    run_oracle): under full-suite + concurrent-bench host pressure a
+    single tiny allocation can fail inside the 8 GB cap, and that must
+    not redden a 1600-test run. A repeatable OOM still fails."""
+
+    def __init__(self, sf_dir: str, tmp_path_factory):
+        self._sf_dir = sf_dir
+        self._tpf = tmp_path_factory
+        self._con = self._fresh()
+
+    def _fresh(self):
+        con = duckdb.connect()
+        con.execute("SET memory_limit = '8GB'")
+        con.execute(
+            f"SET temp_directory = '{self._tpf.mktemp('duck_spill')}'"
+        )
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{self._sf_dir}/{t}.parquet')"
+            )
+        return con
+
+    def execute(self, sql: str):
+        try:
+            return self._con.execute(sql)
+        except duckdb.OutOfMemoryException:
+            self._con.close()
+            self._con = self._fresh()
+            return self._con.execute(sql)
+
+    def close(self) -> None:
+        self._con.close()
+
+
 @pytest.fixture(scope="module")
 def empty_sf_dir(tmp_path_factory) -> str:
     src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -59,21 +97,9 @@ def empty_sf_dir(tmp_path_factory) -> str:
 
 @pytest.fixture(scope="function")
 def empty_duck(empty_sf_dir, tmp_path_factory):
-    con = duckdb.connect()
-    # FUNCTION-scoped + cap + spill (same rationale as conftest.duck): a
-    # longer-lived connection accumulates buffer-pool memory across the
-    # 215 oracles until tiny allocations fail inside the limit
-    con.execute("SET memory_limit = '8GB'")
-    con.execute(
-        f"SET temp_directory = '{tmp_path_factory.mktemp('duck_spill')}'"
-    )
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{empty_sf_dir}/{t}.parquet')"
-        )
-    yield con
-    con.close()
+    d = ResilientDuck(empty_sf_dir, tmp_path_factory)
+    yield d
+    d.close()
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -127,21 +153,9 @@ def one_row_sf_dir(tmp_path_factory) -> str:
 
 @pytest.fixture(scope="function")
 def one_row_duck(one_row_sf_dir, tmp_path_factory):
-    con = duckdb.connect()
-    # FUNCTION-scoped + cap + spill (same rationale as conftest.duck): a
-    # longer-lived connection accumulates buffer-pool memory across the
-    # 215 oracles until tiny allocations fail inside the limit
-    con.execute("SET memory_limit = '8GB'")
-    con.execute(
-        f"SET temp_directory = '{tmp_path_factory.mktemp('duck_spill')}'"
-    )
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{one_row_sf_dir}/{t}.parquet')"
-        )
-    yield con
-    con.close()
+    d = ResilientDuck(one_row_sf_dir, tmp_path_factory)
+    yield d
+    d.close()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -209,21 +223,9 @@ def nulls_sf_dir(tmp_path_factory) -> str:
 
 @pytest.fixture(scope="function")
 def nulls_duck(nulls_sf_dir, tmp_path_factory):
-    con = duckdb.connect()
-    # FUNCTION-scoped + cap + spill (same rationale as conftest.duck): a
-    # longer-lived connection accumulates buffer-pool memory across the
-    # 215 oracles until tiny allocations fail inside the limit
-    con.execute("SET memory_limit = '8GB'")
-    con.execute(
-        f"SET temp_directory = '{tmp_path_factory.mktemp('duck_spill')}'"
-    )
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{nulls_sf_dir}/{t}.parquet')"
-        )
-    yield con
-    con.close()
+    d = ResilientDuck(nulls_sf_dir, tmp_path_factory)
+    yield d
+    d.close()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -295,18 +297,9 @@ def unicode_sf_dir(tmp_path_factory) -> str:
 
 @pytest.fixture(scope="function")
 def unicode_duck(unicode_sf_dir, tmp_path_factory):
-    con = duckdb.connect()
-    con.execute("SET memory_limit = '8GB'")
-    con.execute(
-        f"SET temp_directory = '{tmp_path_factory.mktemp('duck_spill')}'"
-    )
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{unicode_sf_dir}/{t}.parquet')"
-        )
-    yield con
-    con.close()
+    d = ResilientDuck(unicode_sf_dir, tmp_path_factory)
+    yield d
+    d.close()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -374,18 +367,9 @@ def dups_sf_dir(tmp_path_factory) -> str:
 
 @pytest.fixture(scope="function")
 def dups_duck(dups_sf_dir, tmp_path_factory):
-    con = duckdb.connect()
-    con.execute("SET memory_limit = '8GB'")
-    con.execute(
-        f"SET temp_directory = '{tmp_path_factory.mktemp('duck_spill')}'"
-    )
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{dups_sf_dir}/{t}.parquet')"
-        )
-    yield con
-    con.close()
+    d = ResilientDuck(dups_sf_dir, tmp_path_factory)
+    yield d
+    d.close()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

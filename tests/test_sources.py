@@ -362,3 +362,41 @@ def test_binaryfile_source_roundtrip(spark, sf_dir, tmp_path):
     assert got == {k: v for k, v in payloads.items() if k.endswith(".img")}
     for r in rows:
         assert r.length == len(got[r.path.rsplit("/", 1)[-1]])
+
+
+def test_scale_out_many_tiny_files_still_widens(spark, tmp_path):
+    """scale_out's cheap inputFiles() count is only trusted when it is
+    BELOW target: Spark bin-packs tiny files into few splits, so a table
+    written as (target+) small part-files can still scan as 1-2 splits.
+    The fallback RDD probe must catch that and widen (the regression
+    would silently serialize CPU-heavy per-row operators)."""
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import scale_out
+
+    target = spark.sparkContext.defaultParallelism
+    n_files = target + 3
+    spark.range(0, n_files, 1, n_files).write.mode("overwrite").parquet(
+        str(tmp_path / "tiny")
+    )
+    df = spark.read.parquet(str(tmp_path / "tiny"))
+    assert len(df.inputFiles()) >= target  # the untrustworthy-count regime
+    assert df.rdd.getNumPartitions() < target  # bin-packed: few real splits
+    widened = scale_out(df)
+    assert widened.rdd.getNumPartitions() >= target
+    assert widened.count() == n_files
+
+
+def test_scale_out_non_file_frame_probes_instead_of_blind_shuffle(spark):
+    """A non-file-backed DataFrame returns [] from inputFiles() — that
+    means UNKNOWN, not zero splits. scale_out must fall through to the
+    RDD probe: widen when narrow, and NOT add a shuffle when the frame
+    is already at target parallelism."""
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import scale_out
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 2)
+    assert narrow.inputFiles() == []
+    assert scale_out(narrow).rdd.getNumPartitions() >= target
+    wide = spark.range(0, 1000, 1, target)
+    assert wide.inputFiles() == []
+    # already-parallel frame: no repartition node added
+    assert "Repartition" not in scale_out(wide)._jdf.queryExecution().logical().toString()

@@ -1068,18 +1068,22 @@ def test_fsm_replay_fuzz(
     check(spark, stream, batch_dir, got)
 
 
+@pytest.mark.parametrize("redeliver", [False, True], ids=["clean", "redeliver"])
 @pytest.mark.parametrize(
     "name,build,check,side_order", _FUZZ_MATRIX, ids=[m[0] for m in _FUZZ_MATRIX]
 )
 def test_fsm_fuzz_kill_and_resume(
-    spark, sf_dir, tmp_path, name, build, check, side_order
+    spark, sf_dir, tmp_path, name, build, check, side_order, redeliver
 ):
     """Kill-and-resume at a random batch boundary for EVERY fuzzed FSM (not
     just the transition FSM): run the fuzzed replay's first k chunks
     through a checkpointed foreachBatch parquet sink, stop, reveal the
     remaining chunks, restart FROM THE SAME CHECKPOINT, and apply the
     exact convergence check to the combined delivery. Any state lost at
-    the restart boundary breaks cross-boundary emissions."""
+    the restart boundary breaks cross-boundary emissions. The redeliver
+    variants inject duplicate delivery on top (exactly-once dedup front),
+    so the DEDUP operator's seen-keys state must survive the restart
+    too — a duplicate spanning the kill must still be absorbed."""
     import glob as _glob
     import shutil
 
@@ -1090,8 +1094,10 @@ def test_fsm_fuzz_kill_and_resume(
         event_stream_from_dir,
     )
 
-    full_seed = _fuzz_seed(name, 977)
-    _, batch_dir = _fuzz_replay(spark, sf_dir, tmp_path, full_seed, side_order)
+    full_seed = _fuzz_seed(name, 977 + int(redeliver))
+    _, batch_dir = _fuzz_replay(
+        spark, sf_dir, tmp_path, full_seed, side_order, redeliver=redeliver
+    )
     chunks = sorted(_glob.glob(str(tmp_path / "chunks" / "chunk_*")))
     assert len(chunks) >= 3
     rng = np.random.default_rng(full_seed)
@@ -1103,6 +1109,8 @@ def test_fsm_fuzz_kill_and_resume(
 
     def run() -> None:
         s = event_stream_from_dir(spark, str(in_dir / "chunk_*"))
+        if redeliver:
+            s = s.dropDuplicates(["event_id"])
         q = (
             build(s)
             .writeStream.foreachBatch(sink)
