@@ -400,3 +400,70 @@ def test_scale_out_non_file_frame_probes_instead_of_blind_shuffle(spark):
     assert wide.inputFiles() == []
     # already-parallel frame: no repartition node added
     assert "Repartition" not in scale_out(wide)._jdf.queryExecution().logical().toString()
+
+
+def test_ts_probe_failure_is_not_memoized(tmp_path):
+    """A FAILED footer probe must not poison the cache: if events.parquet
+    is missing (or pyarrow hiccups) the loader assumes µs for that load
+    only; once an ns-typed file appears at the same path, the next probe
+    must see it — memoizing the failure would read ns event-times as µs,
+    the 1000× corruption the loader exists to prevent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_tcp_reconciliation_spark.sources import tables as T
+
+    path = str(tmp_path / "sfdir")
+    probe_target = f"{path}/events.parquet"
+    T._TS_PROBE_CACHE.pop(probe_target, None)
+    assert T._events_ts_is_nanos(probe_target) is False  # nothing there yet
+    assert probe_target not in T._TS_PROBE_CACHE  # failure NOT cached
+    (tmp_path / "sfdir").mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([0], type=pa.timestamp("ns"))}),
+        probe_target,
+    )
+    assert T._events_ts_is_nanos(probe_target) is True  # sees the ns file
+    assert T._TS_PROBE_CACHE[probe_target] is True  # success IS cached
+
+
+def test_pairwise_cosine_kernel_bitwise_equals_jvm_fold(spark):
+    """The numpy pairwise-cosine kernel claims BIT-IDENTICAL results to
+    the JVM sequential fold (same per-dimension add order). Prove it on
+    adversarial float32 vectors (mixed magnitudes, negatives, exact
+    halves near the 6-dp rounding boundary): every rounded cosine from
+    the kernel must equal the Spark SQL fold EXACTLY, not approximately."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(20260815)
+    n, dim = 24, 64
+    vecs = (
+        rng.uniform(-1e3, 1e3, size=(n, dim)).astype(np.float32)
+        * (10.0 ** rng.integers(-3, 3, size=(n, 1))).astype(np.float32)
+    )
+    kernel = sim.pairwise_cosine_matrix(list(vecs))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id int, v array<float>")
+    a = df.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = df.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    got = (
+        a.crossJoin(b)
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                F.expr(sim.dot_expr("va", "vb"))
+                / F.sqrt(
+                    F.expr(sim.dot_expr("va", "va"))
+                    * F.expr(sim.dot_expr("vb", "vb"))
+                ),
+                6,
+            ).alias("c"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert float(kernel[r.ia, r.ib]) == r.c, (r.ia, r.ib)
