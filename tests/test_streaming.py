@@ -782,7 +782,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_FUZZ_SEEDS = 5  # x {clean, redelivery} x 7 FSMs = 70 distinct fuzz cases
+_FUZZ_SEEDS = 6  # x {clean, redelivery} x 7 FSMs = 84 distinct fuzz cases
 
 
 def _fuzz_replay(
@@ -1055,8 +1055,10 @@ def test_fsm_replay_fuzz(
     exactly-once dedup front (``dropDuplicates`` on the event key, the
     streaming twin of the ``*_deduped`` batch compositions; unbounded
     state here since a test replay is finite — production bounds it with
-    ``dropDuplicatesWithinWatermark`` and a max-redelivery-lag delay)."""
-    full_seed = _fuzz_seed(name, seed)
+    ``dropDuplicatesWithinWatermark`` and a max-redelivery-lag delay).
+    The two delivery modes use DISJOINT replay seeds, so every case is a
+    distinct chunking: 12 distinct seeds per FSM."""
+    full_seed = _fuzz_seed(f"{name}:{int(redeliver)}", seed)
     stream, batch_dir = _fuzz_replay(
         spark, sf_dir, tmp_path, full_seed, side_order, redeliver=redeliver
     )
