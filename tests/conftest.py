@@ -37,6 +37,13 @@ def make_duck_connection(sf_dir: str, spill_dir: str):
     """
     con = duckdb.connect()
     con.execute("SET memory_limit = '8GB'")
+    # 4 worker threads, not the default all-32: the oracles run on
+    # sf0.001-0.01 data inside a long-lived process that already hosts a
+    # 32-thread Spark JVM — DuckDB 1.0.0's full-width thread pool there
+    # is pure native allocation churn (the round-6 full-suite segfaults
+    # and the round-5 transient OOM both struck inside DuckDB's native
+    # allocator under that pressure, never in isolation)
+    con.execute("SET threads TO 4")
     con.execute(f"SET temp_directory = '{spill_dir}'")
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")

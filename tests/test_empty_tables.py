@@ -62,6 +62,10 @@ class ResilientDuck:
     def _fresh(self):
         con = duckdb.connect()
         con.execute("SET memory_limit = '8GB'")
+        # 4 threads, not all 32 — same rationale as conftest.duck: tiny
+        # fixture data, shared process with a 32-thread JVM, and DuckDB
+        # 1.0.0 native-allocator fragility under full-width thread churn
+        con.execute("SET threads TO 4")
         con.execute(
             f"SET temp_directory = '{self._tpf.mktemp('duck_spill')}'"
         )
