@@ -49,12 +49,23 @@ def dot_expr(a: str, b: str) -> str:
 
 
 def duck_dot_expr(a: str, b: str) -> str:
-    """DuckDB SQL: same ordered fold (1-based element indexing)."""
-    return (
+    """DuckDB SQL: same ordered fold (1-based element indexing).
+
+    NULL-propagating like Spark's ``aggregate(zip_with(...))``: without
+    the guard, ``list_prepend(0, NULL)`` is ``[0.0]`` and DuckDB folds a
+    NULL list to 0.0 while Spark returns NULL — a silent divergence for
+    every bare-dot oracle the moment a corpus has NULL embeddings
+    (round-7 NULL-embedding sweep finding).
+    """
+    fold = (
         f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
         f" list_transform(range(1, len({a}) + 1),"
         f" cs_i -> CAST({a}[cs_i] AS DOUBLE) * CAST({b}[cs_i] AS DOUBLE))),"
         f" (cs_a, cs_v) -> cs_a + cs_v)"
+    )
+    return (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL"
+        f" ELSE {fold} END)"
     )
 
 
@@ -170,6 +181,27 @@ def _make_pairwise_cosine():
         Takes an iterable of n dim-length float vectors; returns the
         (n, n) matrix of round(cosine, 6) with self-cosines on the
         diagonal (callers mask them).
+
+        Preconditions / boundary caveats:
+
+        - **Vectors must be non-None** — callers valid-mask NULL
+          embeddings out first (NULL pairs get NULL cosine, ranked last,
+          like the oracle's fold over a NULL list).
+        - **Zero-norm vectors diverge between engines**: this kernel and
+          Spark's double arithmetic give 0/0 = NaN (which Spark sorts
+          GREATEST), while DuckDB 1.x maps double 0/0 to NULL (sorted
+          LAST under DESC). Non-zero norms are therefore a precondition
+          of the oracle differential, not just of this kernel. Callers
+          still map NaN to an explicit +inf/-inf sort key so Python-side
+          ordering is deterministic and matches Spark's NaN-greatest.
+        - **Rounding is float, not decimal**: ``np.round`` scales by 1e6
+          and rounds half-to-even in binary, whereas Spark's ``round()``
+          goes through ``BigDecimal`` HALF_UP. For a cosine within ~1 ulp
+          of an exact 6-dp half boundary the two can differ in the last
+          digit (~1e-10 per value empirically; never observed in the
+          differential suite). "Bit-identical" below therefore holds for
+          the fold and division; the final rounding is identical except
+          on exact half boundaries.
         """
         import numpy as np
 

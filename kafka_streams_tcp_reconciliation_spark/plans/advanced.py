@@ -1338,12 +1338,21 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             else None
         )
 
+        # NaN scores (zero-norm vectors) are GREATEST in Spark's sort
+        # order; Python sorted() is arbitrary under NaN keys, so negate
+        # through a NaN→-inf map (see pairwise_cosine_matrix's docstring
+        # for the zero-norm oracle caveat)
+        def neg(v):
+            return -math.inf if math.isnan(v) else -v
+
         out = []
         if len(valid) == n:
             # fast path (the non-degenerate corpus): raw matrix indexing
             for i in range(n):
                 others = [j for j in range(n) if j != i]
-                top = sorted(others, key=lambda j: (-score[i, j], ids[j]))[:k]
+                top = sorted(
+                    others, key=lambda j: (neg(score[i, j]), ids[j])
+                )[:k]
                 out.extend(
                     (int(ids[i]), int(ids[j]), r, float(score[i, j]))
                     for r, j in enumerate(top, 1)
@@ -1363,7 +1372,7 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             top = sorted(
                 others,
                 key=lambda j: (
-                    (0, -s(i, j)) if s(i, j) is not None else (1, 0),
+                    (0, neg(s(i, j))) if s(i, j) is not None else (1, 0),
                     ids[j],
                 ),
             )[:k]

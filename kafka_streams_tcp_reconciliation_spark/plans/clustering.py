@@ -139,14 +139,16 @@ def _km_assign_ctes(rnd: int) -> str:
     "kmeans_embeddings",
     oracle=f"""
     WITH q AS (
+        -- a missing vector cannot be clustered: NULL embeddings are
+        -- excluded from corpus AND seeds (mirrored by the Spark filter)
         SELECT vec_id, embedding,
                {sim.duck_dot_expr("embedding", "embedding")} AS sqn
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     c0 AS (
         SELECT vec_id AS cluster,
                list_transform(embedding, cs_x -> CAST(cs_x AS DOUBLE)) AS cvec
-        FROM embeddings WHERE vec_id < {_KM_K}
+        FROM embeddings WHERE vec_id < {_KM_K} AND embedding IS NOT NULL
     ),
     {",".join(_km_assign_ctes(r) for r in range(1, _KM_ROUNDS + 1))}
     SELECT vec_id, cluster, dist FROM a{_KM_ROUNDS} WHERE rn = 1
@@ -173,7 +175,11 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     order as the engines' folds (IEEE doubles — bit-identical). The
     oracle unrolls the same rounds as CTEs — bit-identical path.
     """
-    emb = scale_out(load_table(spark, sf_dir, "embeddings")).select(
+    emb = scale_out(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
+    ).select(
         "vec_id",
         "embedding",
         F.expr(sim.dot_expr("embedding", "embedding")).alias("sqn"),
@@ -395,12 +401,13 @@ _PQ_ORACLE = f"""
     cb AS (
         SELECT m, vec_id AS j,
                embedding[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS cv
-        FROM embeddings, ms WHERE vec_id < {_PQ_K}
+        FROM embeddings, ms
+        WHERE vec_id < {_PQ_K} AND embedding IS NOT NULL
     ),
     sub AS (
         SELECT vec_id, m,
                embedding[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS sv
-        FROM embeddings, ms
+        FROM embeddings, ms WHERE embedding IS NOT NULL
     ),
     enc AS (
         SELECT vec_id, m, j AS code
@@ -468,7 +475,13 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. The oracle re-derives encoding + LUT relationally from the
     same codebook construction — an independent path to the same ints.
     """
-    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    # NULL embeddings are excluded: a PQ index never encodes a missing
+    # vector (mirrored in the oracle's IS NOT NULL filters)
+    emb = scale_out(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
+    )
     codebook = _pq_collect_codebook(emb)
     if not codebook:  # empty corpus: no codewords, nothing to encode
         return emb.select(
@@ -516,12 +529,13 @@ _IVFPQ_ORACLE = f"""
     cb AS (
         SELECT m, vec_id AS j,
                embedding[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS cv
-        FROM embeddings, ms WHERE vec_id < {_PQ_K}
+        FROM embeddings, ms
+        WHERE vec_id < {_PQ_K} AND embedding IS NOT NULL
     ),
     sub AS (
         SELECT vec_id, label, m,
                embedding[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS sv
-        FROM embeddings, ms
+        FROM embeddings, ms WHERE embedding IS NOT NULL
     ),
     enc AS (
         SELECT vec_id, label, m, j AS code
@@ -541,13 +555,15 @@ _IVFPQ_ORACLE = f"""
             SELECT label, pos,
                    round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS cval
             FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+            WHERE embedding IS NOT NULL
             GROUP BY label, pos
         )
         GROUP BY label
     ),
     q AS (
         SELECT vec_id AS query_id, embedding AS qv
-        FROM embeddings WHERE vec_id < {_PQ_QUERIES}
+        FROM embeddings
+        WHERE vec_id < {_PQ_QUERIES} AND embedding IS NOT NULL
     ),
     assign AS (
         SELECT query_id, label FROM (
@@ -605,7 +621,13 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic init-only PQ convention. All distances round once to
     integer micro-units so ADC sums and rank ties are engine-exact.
     """
-    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    # NULL embeddings are excluded: a PQ index never encodes a missing
+    # vector (mirrored in the oracle's IS NOT NULL filters)
+    emb = scale_out(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
+    )
     codebook = _pq_collect_codebook(emb)
     if not codebook:  # empty corpus: no codewords, nothing to encode
         return emb.select(

@@ -522,6 +522,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise = sim.pairwise_cosine_matrix
 
     def cluster_top_pair(pdf):
+        import math
+
         import pandas as pd
 
         n = len(pdf)
@@ -539,27 +541,48 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
-        score = pairwise(pdf["embedding"].to_numpy())
-        best = max(
-            (
-                (score[i, j], ids[i], ids[j])
-                for i in range(n)
-                for j in range(i + 1, n)
-            ),
-            key=lambda t: (t[0], -t[1], -t[2]),
-        )
-        return pd.DataFrame(
-            [
+        # NULL embeddings score NULL cosine against everything (the
+        # oracle's fold over a NULL list is NULL); both engines rank NULL
+        # below every real cosine under DESC, so a NULL-cosine pair can
+        # only win when the cluster has <2 non-NULL embeddings — then the
+        # smallest (a_id, b_id) pair wins with a NULL top_cosine, exactly
+        # the oracle's row_number tiebreak. Same valid-mask shape as the
+        # kNN cell_topk kernel (plans/advanced.py).
+        valid = [
+            i for i in range(n) if pdf["embedding"].iloc[i] is not None
+        ]
+        if len(valid) >= 2:
+            score = pairwise(pdf["embedding"].iloc[valid].to_numpy())
+            m = len(valid)
+            # NaN (zero-norm vectors) is GREATEST in Spark's sort order;
+            # Python's max() is arbitrary under NaN keys, so map NaN to
+            # +inf explicitly (see pairwise_cosine_matrix's docstring for
+            # the zero-norm oracle caveat).
+            best = max(
                 (
-                    int(pdf["cid"].iloc[0]),
-                    n,
-                    int(best[1]),
-                    int(best[2]),
-                    float(best[0]),
-                )
-            ],
-            columns=["cid", "n_members", "a_id", "b_id", "top_cosine"],
+                    (score[i, j], ids[valid[i]], ids[valid[j]])
+                    for i in range(m)
+                    for j in range(i + 1, m)
+                ),
+                key=lambda t: (
+                    math.inf if math.isnan(t[0]) else t[0],
+                    -t[1],
+                    -t[2],
+                ),
+            )
+            a_id, b_id = int(best[1]), int(best[2])
+            top = float(best[0])
+        else:
+            a_id, b_id = int(ids[0]), int(ids[1])
+            top = None
+        out = pd.DataFrame(
+            [(int(pdf["cid"].iloc[0]), n, a_id, b_id)],
+            columns=["cid", "n_members", "a_id", "b_id"],
         )
+        # object dtype so a None survives Arrow conversion as a true SQL
+        # NULL (a float64 column would coerce it to NaN ≠ NULL)
+        out["top_cosine"] = pd.Series([top], dtype="object")
+        return out
 
     return assign.groupBy("cid").applyInPandas(
         cluster_top_pair,

@@ -370,7 +370,10 @@ def event_type_runlengths(
         FROM embeddings
     ),
     stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
+        -- count(n2_micro), not count(*): NULL embeddings carry NULL
+        -- norms and must not inflate the moment denominator (mirrored
+        -- in the Spark plan's count("n2_micro"))
+        SELECT CAST(count(n2_micro) AS BIGINT) AS n,
                CAST(sum(n2_micro) AS BIGINT) AS s1,
                CAST(sum(CAST(n2_micro AS HUGEINT) * n2_micro)
                     AS HUGEINT) AS s2
@@ -409,7 +412,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n2_micro"),
     )
     stats = norms.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("n2_micro").cast("long").alias("n"),
         F.sum("n2_micro").cast("long").alias("s1"),
         F.sum(
             F.col("n2_micro").cast("decimal(38,0)") * F.col("n2_micro")
@@ -1256,7 +1259,9 @@ def bitmap_audience_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
     ),
     moments AS (
-        SELECT pos, CAST(count(*) AS BIGINT) AS n,
+        -- count(qv), not count(*): the cross-join keeps NULL-embedding
+        -- rows (qv NULL) that Spark's posexplode never emits
+        SELECT pos, CAST(count(qv) AS BIGINT) AS n,
                CAST(sum(qv) AS BIGINT) AS s1,
                CAST(sum(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS s2
         FROM q GROUP BY pos
@@ -1551,7 +1556,10 @@ _SIG_DUCK = (
     "similarity_hamming_topk",
     oracle=f"""
     WITH sigs AS (
+        -- an ANN index never indexes a missing vector: NULL embeddings
+        -- are excluded (mirrored by the Spark plan's isNotNull filter)
         SELECT vec_id, {_SIG_DUCK} AS sig FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     q AS (SELECT vec_id AS query_id, sig AS qs FROM sigs
           WHERE vec_id < {_HAM_QUERIES}),
@@ -1584,7 +1592,11 @@ def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     make rank tiebreaks exact on both engines. WindowGroupLimit prunes
     per partition before the single query_id shuffle.
     """
-    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    emb = scale_out(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
+    )
     sigs = emb.select("vec_id", F.expr(_SIG_SPARK).alias("sig"))
     q = sigs.filter(F.col("vec_id") < _HAM_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("sig").alias("qs")
@@ -1999,6 +2011,7 @@ def _rrf_duck() -> str:
                    ) AS rnk
             FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
             WHERE q.vec_id < {_RRF_QUERIES}
+              AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL
         ) WHERE rnk <= {_RRF_LIST_K}
     """
     ham_list = f"""
@@ -2013,7 +2026,8 @@ def _rrf_duck() -> str:
         ) WHERE rnk <= {_RRF_LIST_K}
     """
     return f"""
-    WITH sigs AS (SELECT vec_id, {_SIG_DUCK} AS sig FROM embeddings),
+    WITH sigs AS (SELECT vec_id, {_SIG_DUCK} AS sig FROM embeddings
+                  WHERE embedding IS NOT NULL),
     cosl AS ({cos_list}),
     haml AS ({ham_list}),
     fused AS (
@@ -2053,7 +2067,13 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF, re-ranker) joins the same way — cost grows per-list, never
     multiplicatively.
     """
-    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    # NULL embeddings are excluded from BOTH retrieval tiers (an index
+    # never holds a missing vector) — mirrored in the oracle's filters
+    emb = scale_out(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
+    )
     q = emb.filter(F.col("vec_id") < _RRF_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -2138,7 +2158,9 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
     ),
     stats AS (
-        SELECT pos, CAST(count(*) AS BIGINT) AS n,
+        -- count(qv), not count(*): NULL-embedding rows (qv NULL from
+        -- the cross join) are invisible to Spark's posexplode moments
+        SELECT pos, CAST(count(qv) AS BIGINT) AS n,
                CAST(sum(qv) AS BIGINT) AS s1,
                CAST(sum(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS s2
         FROM q GROUP BY pos
@@ -2154,6 +2176,7 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         AS DOUBLE)) / sqrt(CAST(s.n AS DOUBLE)))
                      END, 6) AS zval
         FROM embeddings e JOIN stats s ON true
+        WHERE e.embedding IS NOT NULL
     )
     SELECT vec_id, pos, zval FROM z
     """,

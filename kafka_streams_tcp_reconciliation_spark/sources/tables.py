@@ -245,23 +245,67 @@ def scale_out(df: DataFrame) -> DataFrame:
     collapses existing parallelism.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    # File count is a cheap catalog call; the old df.rdd.getNumPartitions()
+    # File listing is a cheap catalog call; the old df.rdd.getNumPartitions()
     # probe forced a full plan→RDD conversion through Py4J per call — a
     # measurable per-query fixed cost across a 200+-query bench run. But the
-    # file count is only a trustworthy *upper bound on splits* when it is
-    # below target: Spark bin-packs small files into splits
-    # (openCostInBytes/maxPartitionBytes), so many tiny files can scan as
-    # 1-2 splits — and a non-file-backed DataFrame returns [] (not an
-    # exception), which means "unknown", not "zero splits". In both of
-    # those cases fall back to the accurate (rare, so amortized) RDD probe.
+    # file COUNT is only a trustworthy *upper bound on splits* for
+    # SMALL-FILE layouts below target: Spark bin-packs small files into
+    # splits (openCostInBytes/maxPartitionBytes), yet a single file LARGER
+    # than maxPartitionBytes scans as ceil(size/maxPartitionBytes) splits,
+    # so a 1-file table can already be at full parallelism. Local file://
+    # paths are free to stat, so the shortcut only applies when every file
+    # is provably sub-split-size; multi-split-sized files, non-local URIs,
+    # and a [] listing (non-file-backed plan — "unknown", not "zero") all
+    # fall back to the accurate (rare, so amortized) RDD probe.
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_files = 0
-    if 0 < n_files < target:
-        n_splits = n_files
-    else:
+        files = []
+    n_splits = None
+    if 0 < len(files) < target:
+        try:
+            max_bytes = _conf_bytes(
+                df.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728b"
+                )
+            )
+            if all(
+                os.path.getsize(_local_path(f)) < max_bytes for f in files
+            ):
+                n_splits = len(files)
+        except (OSError, ValueError):
+            pass  # non-local URI or unparsable conf -> RDD probe
+    if n_splits is None:
         n_splits = df.rdd.getNumPartitions()
     if n_splits < target:
         return df.repartition(target)
     return df
+
+
+def _local_path(uri: str) -> str:
+    """file:// URI -> local path; raises ValueError for non-local URIs."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    if parsed.scheme not in ("file", ""):
+        raise ValueError(f"non-local input file: {uri}")
+    return unquote(parsed.path)
+
+
+def _conf_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('128m', '134217728b', ...)."""
+    s = v.strip().lower()
+    for suf, mult in (
+        ("tb", 1024**4),
+        ("gb", 1024**3),
+        ("mb", 1024**2),
+        ("kb", 1024),
+        ("t", 1024**4),
+        ("g", 1024**3),
+        ("m", 1024**2),
+        ("k", 1024),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(s[: -len(suf)]) * mult
+    return int(s)

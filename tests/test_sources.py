@@ -467,3 +467,56 @@ def test_pairwise_cosine_kernel_bitwise_equals_jvm_fold(spark):
     )
     for r in got:
         assert float(kernel[r.ia, r.ib]) == r.c, (r.ia, r.ib)
+
+
+def test_scale_out_single_big_file_skips_redundant_repartition(spark, tmp_path):
+    """A single file LARGER than maxPartitionBytes already scans as many
+    splits, so a below-target file COUNT is not a split upper bound there
+    (round-7 ADVICE): scale_out must stat local files and fall through to
+    the accurate probe instead of stacking a redundant repartition
+    shuffle on an already-parallel scan."""
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import scale_out
+
+    target = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384b")
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, "".join(chr(rng.randrange(33, 127)) for _ in range(64)))
+            for i in range(40_000)
+        ]
+        (
+            spark.createDataFrame(rows, "id long, txt string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / "big"))
+        )
+        df = spark.read.parquet(str(tmp_path / "big"))
+        assert len(df.inputFiles()) == 1  # the regime the ADVICE flagged
+        assert df.rdd.getNumPartitions() >= target  # already parallel
+        plan = scale_out(df)._jdf.queryExecution().logical().toString()
+        assert "Repartition" not in plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_scale_out_conf_and_uri_helpers():
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import (
+        _conf_bytes,
+        _local_path,
+    )
+
+    assert _conf_bytes("134217728b") == 128 * 1024 * 1024
+    assert _conf_bytes("128m") == 128 * 1024 * 1024
+    assert _conf_bytes("128MB") == 128 * 1024 * 1024
+    assert _conf_bytes("1g") == 1024**3
+    assert _conf_bytes("4096") == 4096
+    assert _local_path("file:///tmp/a%20b/x.parquet") == "/tmp/a b/x.parquet"
+    assert _local_path("/tmp/x.parquet") == "/tmp/x.parquet"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _local_path("s3a://bucket/key.parquet")
