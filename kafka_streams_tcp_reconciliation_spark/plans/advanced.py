@@ -470,7 +470,7 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok t JOIN dfreq d ON d.w = t.w
     ),
     prefix AS (
-        SELECT r.doc_id, r.lang, r.source, r.w
+        SELECT r.doc_id, r.lang, r.source, r.w, r.rn, s.n_tok
         FROM ranked r JOIN sz s ON s.doc_id = r.doc_id
         WHERE r.rn <= s.n_tok - CAST(ceil({_SETSIM_TAU} * s.n_tok) AS BIGINT) + 1
     ),
@@ -479,6 +479,11 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM prefix a JOIN prefix b
           ON a.lang = b.lang AND a.source = b.source
          AND a.w = b.w AND a.doc_id < b.doc_id
+         AND b.n_tok >= {_SETSIM_TAU} * a.n_tok - 1e-9
+         AND b.n_tok <= a.n_tok / {_SETSIM_TAU} + 1e-9
+         AND 1 + least(a.n_tok - a.rn, b.n_tok - b.rn)
+             >= {_SETSIM_TAU} / (1 + {_SETSIM_TAU})
+                * (a.n_tok + b.n_tok) - 1e-9
     ),
     overlap AS (
         SELECT c.doc_a, c.doc_b, count(*) AS ov
@@ -511,8 +516,18 @@ def setsim_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index). This synthetic corpus is a SMALL-vocabulary word soup where
     every "rare" token still has df in the thousands — prefix filtering
     alone degenerates to all-pairs — so the candidate join also blocks on
-    (lang, source): the incremental within-ingestion-batch dedup semantics
-    (cross-batch near-dups are the MinHash-LSH family's job). The global
+    (lang, source) — the incremental within-ingestion-batch dedup
+    semantics (cross-batch near-dups are the MinHash-LSH family's job) —
+    and applies PPJoin's LENGTH filter (tau*|a| <= |b| <= |a|/tau) and
+    POSITIONAL filter (overlap reachable from the shared prefix ranks
+    must meet tau/(1+tau)*(|a|+|b|)), both lossless for Jaccard >= tau
+    and both decisive on this corpus: the round-7 sf1.0 sweep measured
+    the unfiltered candidate join at 74.6 s (~30x for 10x docs) vs
+    17.9 s with them — and the remaining time is OUTPUT-bound: this
+    word soup genuinely contains 1.12M Jaccard>=0.9 pairs at 50k docs
+    (distinct-token sets over a 31-word vocabulary collapse toward each
+    other), so the result set itself is quadratic and the filters leave
+    per-result cost flat (SCALE.md round-7 section). The global
     token ordering is (df, token) via a per-document window over a df-join
     — NO vocabulary-sized global sort. Verification is an exact overlap
     count on candidates only. The oracle mirrors the pipeline
@@ -540,8 +555,23 @@ def setsim_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = (
         ranked.join(sz, "doc_id")
         .filter(F.col("rn") <= plen)
-        .select("doc_id", "lang", "source", "w")
+        .select("doc_id", "lang", "source", "w", "rn", "n_tok")
     )
+    # PPJoin's two other LOSSLESS prunes (both verified exactly
+    # downstream, and both carried with a 1e-9 slack so float boundaries
+    # can only ADMIT an extra candidate, never drop a true pair; the
+    # oracle applies bit-identical predicates so candidates — and
+    # therefore results — stay engine-equal):
+    #  - length filter: J >= tau forces tau*|a| <= |b| <= |a|/tau. On
+    #    this 31-word-vocabulary corpus it is the decisive prune — the
+    #    round-7 sf1.0 sweep measured the prefix filter alone degrading
+    #    toward all-pairs (74.6 s, ~30x for 10x docs) because every
+    #    token's df is in the thousands; near-equal-length blocking is
+    #    what keeps the candidate set ~linear.
+    #  - positional filter: the overlap reachable from a shared prefix
+    #    token at ranks (ra, rb) is at most 1 + min(|a|-ra, |b|-rb),
+    #    which must reach ceil(tau/(1+tau)*(|a|+|b|)).
+    tau = float(_SETSIM_TAU)
     cand = (
         prefix.alias("a")
         .join(
@@ -549,7 +579,18 @@ def setsim_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_tok") >= tau * F.col("a.n_tok") - 1e-9)
+            & (F.col("b.n_tok") <= F.col("a.n_tok") / tau + 1e-9)
+            & (
+                1
+                + F.least(
+                    F.col("a.n_tok") - F.col("a.rn"),
+                    F.col("b.n_tok") - F.col("b.rn"),
+                )
+                >= tau / (1 + tau) * (F.col("a.n_tok") + F.col("b.n_tok"))
+                - 1e-9
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

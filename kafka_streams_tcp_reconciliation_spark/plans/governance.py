@@ -411,7 +411,17 @@ def rolling_active_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SemDeDup-style clustered semantic dedup ------------------------------
 
-_SEM_K = 8  # seed centroids (vec_id < K); K scales with corpus size
+# Seed centroids (vec_id < K). SemDeDup's scale contract is K GROWS WITH
+# THE CORPUS so per-cluster population (and the quadratic within-cluster
+# pair stage) stays bounded — the round-7 sf1.0 sweep measured exactly
+# the n²/K growth this predicts at fixed K (SCALE.md round-7 table).
+# The env knob exists so the scaling study can demonstrate the contract
+# (K∝n flattens the curve) without touching the driver-visible default;
+# it is read ONCE at import, so the oracle SQL and the Spark plan always
+# agree on the same K.
+import os as _os
+
+_SEM_K = int(_os.environ.get("SPARK_GRAFT_SEMDEDUP_K", "8"))
 
 
 @register(

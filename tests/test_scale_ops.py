@@ -204,3 +204,53 @@ def test_salted_replicate_join_matches_plain(spark, sf_dir):
     assert sorted((r.o_custkey, r["count"]) for r in plain) == sorted(
         (r.o_custkey, r["count"]) for r in salted
     )
+
+
+def test_semdedup_k_knob_keeps_oracle_parity(sf_dir, tmp_path_factory):
+    """SCALE.md's K∝n demonstration knob (SPARK_GRAFT_SEMDEDUP_K) must
+    keep the Spark plan and the DuckDB oracle on the SAME K: both read
+    the module constant at import, so a non-default K still hash-matches.
+    Runs in a subprocess because the knob is import-time by design."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import json, sys
+from kafka_streams_tcp_reconciliation_spark.session import get_spark
+from kafka_streams_tcp_reconciliation_spark.plans import QUERIES, ORACLES, load_all
+load_all()
+import duckdb
+spark = get_spark(app_name="semk-parity", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+sf_dir = sys.argv[1]
+sdf = QUERIES["dedup_semantic_clusters"](spark, sf_dir).toPandas()
+con = duckdb.connect()
+con.execute("SET threads TO 4")
+for t in ("embeddings",):
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+odf = con.execute(ORACLES["dedup_semantic_clusters"]).df()
+s = sdf.sort_values(list(sorted(sdf.columns)))[sorted(sdf.columns)].reset_index(drop=True)
+o = odf.sort_values(list(sorted(odf.columns)))[sorted(odf.columns)].reset_index(drop=True)
+ok = len(s) == len(o) and all(
+    (abs(s[c].astype(float) - o[c].astype(float)) < 1e-9).all()
+    if s[c].dtype.kind in "fi" else (s[c].astype(str) == o[c].astype(str)).all()
+    for c in s.columns
+)
+print(json.dumps({"rows": len(s), "match": bool(ok)}))
+spark.stop()
+"""
+    env = dict(os.environ, SPARK_GRAFT_SEMDEDUP_K="5")
+    r = subprocess.run(
+        [sys.executable, "-c", code, sf_dir],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["rows"] == 5  # K=5 clusters, not the default 8
+    assert res["match"], res
