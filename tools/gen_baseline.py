@@ -1,0 +1,98 @@
+"""Regenerate BASELINE.md's measured section from 5 bench runs.
+
+Protocol (round 7): 5 back-to-back `bench.py` runs at sf0.1 on the SAME
+committed code, per-query MEDIAN. Since round 7 bench.py times
+STEADY-STATE execution (an untimed warmup pass of every query at
+sf0.001 precedes the timed pass — see bench.py's docstring), so these
+medians are warm-execution medians; the driver's per-round BENCH run
+uses the identical protocol, keeping the 2x acceptance gate coherent.
+
+Usage:
+    for i in 1..5: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+        SPARK_GRAFT_CPUS=32 python bench.py && cp BENCH.json \
+        /tmp/bench_runs/BENCH_$i.json
+    python tools/gen_baseline.py
+"""
+
+import json
+import statistics
+
+runs = []
+for i in range(1, 6):
+    with open(f"/tmp/bench_runs/BENCH_{i}.json") as f:
+        runs.append(json.load(f))
+
+names = sorted(set().union(*[r["queries"] for r in runs]))
+medians = {}
+for n in names:
+    vals = [
+        r["queries"][n]
+        for r in runs
+        if n in r["queries"] and r["queries"][n] >= 0
+    ]
+    assert len(vals) == 5, (n, len(vals))
+    medians[n] = round(statistics.median(vals), 3)
+
+totals = [r["value"] for r in runs]
+agg = round(sum(medians.values()), 1)
+
+HEADER = """# BASELINE — performance baseline (SURVEY.md §6)
+
+## Status of reference numbers
+
+The reference checkout `/root/reference/` is **empty** (verified 2026-08-13:
+`find /root/reference -type f | wc -l` → 0; network unavailable — see
+SURVEY.md §0). **No published benchmark numbers for
+`gcjenkinson/kafka-streams-tcp-reconciliation` are available**, and none of
+the papers listed in `PAPERS.md` benchmark that application. Rows below that
+would normally cite reference file:line therefore say so explicitly instead
+of carrying fabricated citations.
+
+## Baseline table
+
+| metric | value | config | source |
+|---|---|---|---|
+| Reference: query set | none published | — | empty checkout (SURVEY.md §0) |
+| Reference: scale factor | none published | — | empty checkout |
+| Reference: hardware | none published | — | empty checkout |
+| Reference: q/s or sec/query | none published | — | empty checkout |
+| Acceptance: correctness | every declared query hash-matches DuckDB oracle | t2, sf0.01 (~60k lineitem rows) | `BASELINE.json:2`, `TESTDATA.md:10,17-18` |
+| Acceptance: performance | BENCH within 2× of BASELINE at same scale factor | sf0.1 (~600k lineitem rows) | `BASELINE.json:2`, `TESTDATA.md:11,18` |
+| Smoke | `entry(spark)` rows > 0 | t1, sf0.001 (~6k lineitem rows) | `__spark_entry__.py:17-19`, `TESTDATA.md:9,17` |
+| Workload tables | region(5) nation(25) supplier(10) customer(150) part(200) orders(1.5k) lineitem(6k) events(1k) documents(500) embeddings(500) rows at sf0.001 | parquet, seed=42 | measured with pyarrow round 3; `TESTDATA.md:3-5` |
+| Environment | PySpark 4.1.2, DuckDB 1.0.0, PyArrow 16.1.0, OpenJDK 17.0.20, Linux 6.18, Spark local mode | measured round 3 | — |
+
+## Measured baseline (round 7, 2026-08-15 — ONE protocol, all {n} queries,
+## STEADY-STATE timings)
+
+Per-query wall-clock at sf0.1, `local[32]`, **median over 5 back-to-back
+bench.py runs on round-7 code**, whole-run timed totals {totals} s.
+Since round 7 bench.py measures steady-state execution: every query
+first runs once UNTIMED at sf0.001, so whole-stage-codegen compile — a
+one-time cost that amortizes at any production scale but injected
+2-3 s/query of variance locally (SCALE.md round-6/7 floor
+decompositions) — is excluded from the timings on BOTH sides of the 2×
+gate. This supersedes the round-6 codegen-cold table wholesale.
+
+Host-contention caveat (unchanged): identical runs vary 2-3x whole-run;
+judge a regression by median-of-3+, never one run. Config: PySpark
+4.1.2 local[32], shuffle.partitions=32, AQE on, Python-worker pool
+pre-warmed, warmup pass at sf0.001, cache cleared between queries
+(bench.py).
+
+Aggregate: sum of per-query medians **{agg} s** over {n} queries.
+
+| query | median sec |
+|---|---|
+"""
+
+rows = "".join(f"| {n} | {medians[n]} |\n" for n in names)
+with open("BASELINE.md", "w") as f:
+    f.write(
+        HEADER.replace("{n}", str(len(names)))
+        .replace("{totals}", ", ".join(f"{t:.1f}" for t in totals))
+        .replace("{agg}", str(agg))
+        + rows
+    )
+print("wrote BASELINE.md:", len(names), "queries, aggregate", agg, "s")
+print("totals:", totals)
