@@ -219,3 +219,50 @@ def _make_pairwise_cosine():
 
 
 pairwise_cosine_matrix = _make_pairwise_cosine()
+
+
+def _make_pairwise_cosine_blocked():
+    # same by-value-pickling factory rationale as _make_pairwise_cosine
+    def pairwise_cosine_blocked(vectors, block=1024):
+        """Row-blocked twin of ``pairwise_cosine_matrix``: yields
+        ``(start, M)`` where ``M`` is rows [start, start+block) of the
+        full rounded cosine matrix — **bitwise identical** to the
+        corresponding slice of the unblocked kernel, because every
+        per-pair dot still accumulates one product per DIMENSION in the
+        same order (``acc += A[:, d] ⊗ V[:, d]``) and the self-dot
+        denominators are built by the same per-dimension adds the full
+        matrix's diagonal performs.
+
+        Why it exists: the unblocked kernel materializes n² doubles of
+        per-task memory. Callers group by a bounded-population cell id,
+        but "bounded" is a data contract, not a guarantee — one skewed
+        or misconfigured cell (the round-7 sf1.0 sweep's fixed-K regime
+        makes cells grow linearly with the corpus) would OOM an executor
+        at 100 TB. Blocking caps per-task memory at block·n doubles
+        (plus the n-vector self-dot line) regardless of cell size, while
+        total work and every emitted double stay identical.
+
+        Same preconditions as ``pairwise_cosine_matrix`` (non-None
+        vectors; zero-norm caveat in its docstring).
+        """
+        import numpy as np
+
+        V = np.stack(vectors).astype(np.float64)
+        n, dim = V.shape
+        sd = np.zeros(n)
+        for d in range(dim):
+            col = V[:, d]
+            sd += col * col
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            dots = np.zeros((e - s, n))
+            for d in range(dim):
+                col = V[:, d]
+                dots += np.multiply.outer(col[s:e], col)
+            denom = np.sqrt(np.multiply.outer(sd[s:e], sd))
+            yield s, np.round(dots / denom, 6)
+
+    return pairwise_cosine_blocked
+
+
+pairwise_cosine_blocked = _make_pairwise_cosine_blocked()

@@ -1343,13 +1343,16 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs kNN is quadratic.
 
     Scale: ONE equi-shuffle on the cell id (groupBy → Arrow), then each
-    cell's vectors are scored as a single numpy pairwise-cosine matrix
-    (`operators/similarity.pairwise_cosine_matrix`) whose per-dimension
+    cell's vectors are scored by the ROW-BLOCKED numpy cosine kernel
+    (`operators/similarity.pairwise_cosine_blocked`) whose per-dimension
     accumulation replays the JVM fold order exactly — bit-identical
     scores and tiebreaks to the DuckDB oracle, at matrix speed instead
-    of |cell|² interpreted folds (measured ~5× at sf0.1). Quadratic (in
-    per-TASK memory too: the n×n matrix) only within a cell; cells scale
-    with corpus size, keeping cell population bounded.
+    of |cell|² interpreted folds (measured ~5× at sf0.1). Work is
+    quadratic only within a cell (the exact-within-cell semantics'
+    floor; the production knob is cell COUNT ∝ corpus — SCALE.md
+    round-7), while per-task MEMORY is capped at block·|cell| doubles
+    since round 7, so one skewed cell degrades to more blocks instead
+    of an executor OOM.
     """
     # NULL-label rows join to nothing in the relational formulation (and
     # the oracle), so they must not form a NULL group here
@@ -1358,7 +1361,7 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # local bindings: the kernel closure must be SELF-CONTAINED (captured
     # by value) — a foreign-cwd driver's workers can't import this package
-    pairwise, k = sim.pairwise_cosine_matrix, _KNN_K
+    pairwise_blocked, k = sim.pairwise_cosine_blocked, _KNN_K
 
     def cell_topk(pdf):
         import math
@@ -1372,11 +1375,9 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid = [
             i for i in range(n) if pdf["embedding"].iloc[i] is not None
         ]
-        vpos = {i: p for p, i in enumerate(valid)}
-        score = (
-            pairwise(pdf["embedding"].iloc[valid].to_numpy())
-            if valid
-            else None
+        m = len(valid)
+        invalid_ids = sorted(
+            int(ids[i]) for i in set(range(n)) - set(valid)
         )
 
         # NaN scores (zero-norm vectors) are GREATEST in Spark's sort
@@ -1387,44 +1388,38 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             return -math.inf if math.isnan(v) else -v
 
         out = []
-        if len(valid) == n:
-            # fast path (the non-degenerate corpus): raw matrix indexing
-            for i in range(n):
-                others = [j for j in range(n) if j != i]
-                top = sorted(
-                    others, key=lambda j: (neg(score[i, j]), ids[j])
-                )[:k]
-                out.extend(
-                    (int(ids[i]), int(ids[j]), r, float(score[i, j]))
-                    for r, j in enumerate(top, 1)
-                )
-            df = pd.DataFrame(
-                out, columns=["vec_id", "neighbor_id", "rank", "score"]
-            )
-            return df.astype({"score": "float64"})
-
-        def s(i, j):
-            if i in vpos and j in vpos:
-                return float(score[vpos[i], vpos[j]])
-            return None
-
-        for i in range(n):
-            others = [j for j in range(n) if j != i]
-            top = sorted(
-                others,
-                key=lambda j: (
-                    (0, neg(s(i, j))) if s(i, j) is not None else (1, 0),
-                    ids[j],
-                ),
-            )[:k]
+        # valid rows, scored block-by-block: per-task memory is capped at
+        # block·|cell| doubles however large a skewed cell gets, and every
+        # emitted double is bitwise-equal to the full-matrix kernel's (see
+        # pairwise_cosine_blocked)
+        if m >= 1:
+            emb_valid = pdf["embedding"].iloc[valid].to_numpy()
+            for s0, M in pairwise_blocked(emb_valid):
+                for bi in range(M.shape[0]):
+                    p = s0 + bi  # position in the valid list
+                    row = M[bi]
+                    top = sorted(
+                        (q for q in range(m) if q != p),
+                        key=lambda q: (neg(row[q]), ids[valid[q]]),
+                    )[:k]
+                    picks = [
+                        (int(ids[valid[q]]), float(row[q])) for q in top
+                    ]
+                    # NULL-embedding candidates rank behind every scored
+                    # one (NULL cosine sorts last), smallest id first
+                    for nid in invalid_ids[: k - len(picks)]:
+                        picks.append((nid, math.nan))
+                    out.extend(
+                        (int(ids[valid[p]]), nid, r, sc)
+                        for r, (nid, sc) in enumerate(picks, 1)
+                    )
+        # NULL-embedding rows: every candidate scores NULL, so top-k is
+        # the k smallest other ids (the oracle's NULL-last + id tiebreak)
+        for gid in invalid_ids:
+            others = sorted(int(v) for v in ids if int(v) != gid)[:k]
             out.extend(
-                (
-                    int(ids[i]),
-                    int(ids[j]),
-                    r,
-                    s(i, j) if s(i, j) is not None else math.nan,
-                )
-                for r, j in enumerate(top, 1)
+                (gid, nid, r, math.nan)
+                for r, nid in enumerate(others, 1)
             )
         df = pd.DataFrame(
             out, columns=["vec_id", "neighbor_id", "rank", "score"]

@@ -519,21 +519,21 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "sd", "cid")
     )
     # Pair stage: one shuffle on cluster id (groupBy → Arrow), then the
-    # whole within-cluster pair set is scored as a single numpy cosine
-    # matrix with the JVM fold order replayed exactly (see
-    # operators/similarity.pairwise_cosine_matrix) — bit-identical
+    # within-cluster pair set is scored by the ROW-BLOCKED numpy cosine
+    # kernel with the JVM fold order replayed exactly (see
+    # operators/similarity.pairwise_cosine_blocked) — bit-identical
     # cosines and tiebreaks to the oracle's inline folds, without
-    # |cluster|² interpreted per-pair folds. The n×n matrix is per-task
-    # memory of a BOUNDED cluster (SemDeDup's K-grows-with-corpus
-    # contract). Single-member clusters have no pair and emit nothing,
-    # matching the oracle's inner join against top_pair. The local
-    # binding keeps the kernel closure self-contained (captured by
-    # value) — a foreign-cwd driver's workers can't import this package.
-    pairwise = sim.pairwise_cosine_matrix
+    # |cluster|² interpreted per-pair folds, and with per-task memory
+    # capped at block·|cluster| doubles even when a cluster outgrows
+    # SemDeDup's K-grows-with-corpus contract (round-7 sf1.0 sweep).
+    # Single-member clusters have no pair and emit nothing, matching
+    # the oracle's inner join against top_pair. The local binding keeps
+    # the kernel closure self-contained (captured by value) — a
+    # foreign-cwd driver's workers can't import this package.
+    pairwise_blocked = sim.pairwise_cosine_blocked
 
     def cluster_top_pair(pdf):
-        import math
-
+        import numpy as np
         import pandas as pd
 
         n = len(pdf)
@@ -562,26 +562,34 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             i for i in range(n) if pdf["embedding"].iloc[i] is not None
         ]
         if len(valid) >= 2:
-            score = pairwise(pdf["embedding"].iloc[valid].to_numpy())
             m = len(valid)
-            # NaN (zero-norm vectors) is GREATEST in Spark's sort order;
-            # Python's max() is arbitrary under NaN keys, so map NaN to
-            # +inf explicitly (see pairwise_cosine_matrix's docstring for
-            # the zero-norm oracle caveat).
-            best = max(
-                (
-                    (score[i, j], ids[valid[i]], ids[valid[j]])
-                    for i in range(m)
-                    for j in range(i + 1, m)
-                ),
-                key=lambda t: (
-                    math.inf if math.isnan(t[0]) else t[0],
-                    -t[1],
-                    -t[2],
-                ),
-            )
-            a_id, b_id = int(best[1]), int(best[2])
-            top = float(best[0])
+            vids = ids[valid]
+            # Blocked scan of the upper triangle: per-task memory stays
+            # block·m however large a skewed cluster grows, every double
+            # bitwise-equal to the full matrix (pairwise_cosine_blocked).
+            # Rows arrive in ascending vec_id and within a row the FIRST
+            # maximal column is the smallest b, so strictly-greater
+            # updates reproduce max(key=(score, -a, -b)) exactly. NaN
+            # (zero-norm) maps to +inf for ranking — Spark's NaN-greatest
+            # — while the emitted value keeps the raw NaN.
+            best = None  # (rank_key, a_id, b_id, raw_score)
+            for s0, M in pairwise_blocked(pdf["embedding"].iloc[valid].to_numpy()):
+                ranked = np.where(np.isnan(M), np.inf, M)
+                for bi in range(M.shape[0]):
+                    i = s0 + bi
+                    if i + 1 >= m:
+                        continue
+                    seg = ranked[bi, i + 1 :]
+                    mx = seg.max()
+                    if best is None or mx > best[0]:
+                        j = i + 1 + int(np.argmax(seg == mx))
+                        best = (
+                            float(mx),
+                            int(vids[i]),
+                            int(vids[j]),
+                            float(M[bi, j]),
+                        )
+            a_id, b_id, top = best[1], best[2], best[3]
         else:
             a_id, b_id = int(ids[0]), int(ids[1])
             top = None

@@ -520,3 +520,59 @@ def test_scale_out_conf_and_uri_helpers():
 
     with _pytest.raises(ValueError):
         _local_path("s3a://bucket/key.parquet")
+
+
+def test_blocked_pairwise_kernel_bitwise_equals_full_matrix():
+    """pairwise_cosine_blocked claims bitwise equality with
+    pairwise_cosine_matrix row-slices at ANY block size (per-task memory
+    cap must not move a single ulp). Prove it on adversarial float32
+    vectors with block sizes that split rows unevenly."""
+    import numpy as np
+
+    from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(20260816)
+    n, dim = 37, 64
+    vecs = (
+        rng.uniform(-1e3, 1e3, size=(n, dim)).astype(np.float32)
+        * (10.0 ** rng.integers(-3, 3, size=(n, 1))).astype(np.float32)
+    )
+    full = sim.pairwise_cosine_matrix(list(vecs))
+    for block in (1, 5, 16, 37, 1024):
+        got = np.empty_like(full)
+        for s, M in sim.pairwise_cosine_blocked(list(vecs), block=block):
+            got[s : s + M.shape[0]] = M
+        # bitwise, not approx: identical IEEE operations in same order
+        assert (got == full).all() or (
+            np.isnan(got) == np.isnan(full)
+        ).all() and (got[~np.isnan(got)] == full[~np.isnan(full)]).all(), block
+
+
+def test_blocked_pairwise_kernel_pickles_by_value(tmp_path):
+    """Same by-value cloudpickle contract as pairwise_cosine_matrix: the
+    blocked kernel is captured inside pandas-kernel closures and must be
+    callable in a worker that cannot import this package."""
+    import subprocess
+    import sys
+
+    from pyspark import cloudpickle
+
+    from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
+
+    blob_path = tmp_path / "kern_blocked.pkl"
+    blob_path.write_bytes(cloudpickle.dumps(sim.pairwise_cosine_blocked))
+    code = f"""
+import sys
+sys.path = [p for p in sys.path if "repo" not in p]
+from pyspark import cloudpickle
+f = cloudpickle.loads(open({str(blob_path)!r}, "rb").read())
+chunks = list(f([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]], block=2))
+assert [s for s, _ in chunks] == [0, 2]
+assert chunks[0][1].shape == (2, 3) and chunks[0][1][0][0] == 1.0
+print("blocked-kernel-self-contained")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "blocked-kernel-self-contained" in r.stdout
