@@ -187,13 +187,19 @@ def _make_pairwise_cosine():
         - **Vectors must be non-None** — callers valid-mask NULL
           embeddings out first (NULL pairs get NULL cosine, ranked last,
           like the oracle's fold over a NULL list).
-        - **Zero-norm vectors diverge between engines**: this kernel and
-          Spark's double arithmetic give 0/0 = NaN (which Spark sorts
-          GREATEST), while DuckDB 1.x maps double 0/0 to NULL (sorted
-          LAST under DESC). Non-zero norms are therefore a precondition
-          of the oracle differential, not just of this kernel. Callers
-          still map NaN to an explicit +inf/-inf sort key so Python-side
-          ordering is deterministic and matches Spark's NaN-greatest.
+        - **Zero-norm vectors violate a three-way engine contract**
+          (probed round 7, locked by
+          tests/test_sources.py::test_zero_norm_engine_semantics):
+          under the repo session's ANSI mode (Spark 4's default) the
+          JVM double division 0/0 THROWS DIVIDE_BY_ZERO — a zero-norm
+          vector reaching any SQL-side cosine fails the query LOUDLY,
+          never silently; this numpy kernel yields IEEE NaN (which
+          Spark's sort order ranks GREATEST, so callers map NaN to an
+          explicit ±inf key for deterministic Python-side ordering);
+          DuckDB 1.x maps double 0/0 to NULL (sorted LAST under DESC).
+          Non-zero norms are therefore a hard precondition of the
+          oracle differential; violations surface as an ANSI error on
+          the Spark path, not as wrong answers.
         - **Rounding is float, not decimal**: ``np.round`` scales by 1e6
           and rounds half-to-even in binary, whereas Spark's ``round()``
           goes through ``BigDecimal`` HALF_UP. For a cosine within ~1 ulp

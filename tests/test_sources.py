@@ -576,3 +576,46 @@ print("blocked-kernel-self-contained")
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "blocked-kernel-self-contained" in r.stdout
+
+
+def test_zero_norm_engine_semantics(spark, duck):
+    """pairwise_cosine_matrix's docstring documents the PRECISE three-way
+    zero-norm contract: under the repo session's ANSI mode the Spark JVM
+    double 0/0 THROWS (queries fail loud, never silently diverge), the
+    numpy kernels yield NaN (which Spark's sort order ranks greatest —
+    callers map it to an explicit key), and DuckDB 1.x yields NULL
+    (sorted last under DESC). Pin all three so an engine upgrade that
+    changes any of them invalidates the documented contract loudly."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.createDataFrame([(0.0, 0.0)], "a double, b double")
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        df.select((F.col("a") / F.col("b")).alias("q")).collect()
+
+    # Spark sorts NaN greatest (first under DESC)
+    order = [
+        r.x
+        for r in spark.sql(
+            "SELECT x FROM VALUES (1.0D), (CAST('NaN' AS DOUBLE)), (2.0D)"
+            " t(x) ORDER BY x DESC"
+        ).collect()
+    ]
+    assert order[0] != order[0], "Spark must sort NaN first under DESC"
+
+    # the numpy kernel yields NaN for a zero-norm vector
+    m = sim.pairwise_cosine_matrix([[0.0, 0.0], [1.0, 0.0]])
+    assert np.isnan(m[0, 1]) and m[1, 1] == 1.0
+
+    # DuckDB: double 0/0 is NULL; NULL sorts last under DESC
+    assert duck.execute(
+        "SELECT CAST(0.0 AS DOUBLE) / CAST(0.0 AS DOUBLE)"
+    ).fetchone()[0] is None
+    dorder = duck.execute(
+        "SELECT x FROM (VALUES (1.0), (NULL), (2.0)) t(x) ORDER BY x DESC"
+    ).fetchall()
+    assert dorder[-1][0] is None
