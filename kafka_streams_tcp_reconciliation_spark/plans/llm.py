@@ -416,8 +416,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MH_NUM = 32  # MinHash signature length
-_MH_BANDS = 16
-_MH_ROWS = 2  # bands x rows == signature length
+# 8 bands x 4 rows (bands x rows == signature length). Round 7 steepened
+# the S-curve from 16x2: the sf1->sf10 sweep measured r=2 banding
+# admitting a CONSTANT ~1.4e-6 fraction of all pairs on this corpus
+# (candidates 1.8k -> 172k -> 16.6M, exactly quadratic, while true dups
+# stayed linear 8 -> 80 -> 801) because moderately-similar word-soup
+# pairs (s~0.3-0.5) pass two-row bands 78-99% of the time. r=4 drops
+# s=0.3 admission to 6.3% and s=0.5 to 40%, while J>=0.8 recall stays
+# 1-(1-0.8^4)^8 = 98.6% and EXACT duplicates (s=1, the fixtures' dup
+# class) are admitted with probability 1 under any banding. Both
+# engines share these constants, so recall misses stay mirrored.
+_MH_BANDS = 8
+_MH_ROWS = 4
 
 
 @register(
@@ -461,8 +471,9 @@ _MH_ROWS = 2  # bands x rows == signature length
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (X2, scale path): shingle → 32-hash MinHash
-    signature → 16 bands x 2 rows → bucket self-join for candidates →
-    exact Jaccard (on hash sets) >= 0.8 to verify.
+    signature → 8 bands x 4 rows → bucket self-join for candidates →
+    exact Jaccard (on hash sets) >= 0.8 to verify. (Banding rationale
+    and the measured sf1→sf10 candidate curves: see _MH_BANDS above.)
 
     This is the 100 TB fuzzy-dedup plan: per-doc signature compute is
     embarrassingly parallel; the only shuffles are the bucket join

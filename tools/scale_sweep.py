@@ -37,6 +37,15 @@ SF_DIRS = {
     "1.0": "/root/repo/testdata_sf1/sf1.0",
 }
 
+# override via e.g. SPARK_GRAFT_SWEEP_DIRS="1.0=/x/sf1.0,10.0=/x/sf10.0"
+import os  # noqa: E402
+
+if os.environ.get("SPARK_GRAFT_SWEEP_DIRS"):
+    SF_DIRS = dict(
+        kv.split("=", 1)
+        for kv in os.environ["SPARK_GRAFT_SWEEP_DIRS"].split(",")
+    )
+
 
 def main() -> None:
     names = sys.argv[1:] or RISK_QUERIES
