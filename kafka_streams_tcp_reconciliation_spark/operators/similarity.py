@@ -91,11 +91,21 @@ def duck_cosine_expr(a: str, b: str) -> str:
 # — reproducible in any engine with int64 + double arithmetic.
 
 LSH_TABLES = 2
-# 8 sign bits -> 256 buckets/table: bucket population (n/256) keeps the
-# within-bucket pair count ~n²/256 per table — the knob that holds
-# candidate volume sub-quadratic as the corpus grows. Raise with corpus
-# size (buckets ≈ n/50 keeps ~50-vector buckets).
-LSH_PLANES = 8
+# Sign bits per table: 2^planes buckets/table. With a FIXED plane count
+# the within-bucket pair volume is ~n²/2^planes per table — the round-7
+# sf0.1→sf1→sf10 sweep measured exactly that (49k → 4.7M → 473M bucket
+# pairs at 8 planes, 95× per 10× vectors), so the plane count is the
+# knob that must GROW with the corpus (buckets ≈ n/50 keeps ~50-vector
+# buckets; each extra plane halves bucket population at a recall cost of
+# (1−θ/π) per table, recovered by OR-ing tables). Import-time env knob,
+# mirroring SPARK_GRAFT_SEMDEDUP_K: the Spark plan and the DuckDB oracle
+# both read this constant when their expressions are built, so a
+# non-default setting keeps the differential exact (locked by
+# tests/test_scale_ops.py::test_lsh_planes_knob_keeps_oracle_parity);
+# the driver-visible default is unchanged.
+import os as _os
+
+LSH_PLANES = int(_os.environ.get("SPARK_GRAFT_LSH_PLANES", "8"))
 DIM = 64
 
 

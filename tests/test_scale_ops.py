@@ -254,3 +254,52 @@ spark.stop()
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res["rows"] == 5  # K=5 clusters, not the default 8
     assert res["match"], res
+
+
+def test_lsh_planes_knob_keeps_oracle_parity(sf_dir, tmp_path_factory):
+    """SPARK_GRAFT_LSH_PLANES (the sign-LSH bucket-count scale knob, see
+    operators/similarity.py) must keep the Spark plan and the DuckDB
+    oracle on the SAME plane count: both read the module constant at
+    import, so a non-default setting still hash-matches. Subprocess
+    because the knob is import-time by design."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import json, sys
+from kafka_streams_tcp_reconciliation_spark.session import get_spark
+from kafka_streams_tcp_reconciliation_spark.plans import QUERIES, ORACLES, load_all
+load_all()
+import duckdb
+spark = get_spark(app_name="lsh-parity", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+sf_dir = sys.argv[1]
+sdf = QUERIES["dedup_embedding_neardup"](spark, sf_dir).toPandas()
+con = duckdb.connect()
+con.execute("SET threads TO 4")
+con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')")
+odf = con.execute(ORACLES["dedup_embedding_neardup"]).df()
+s = sdf[sorted(sdf.columns)].sort_values(sorted(sdf.columns)).reset_index(drop=True)
+o = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
+ok = len(s) == len(o) and all(
+    (abs(s[c].astype(float) - o[c].astype(float)) < 1e-9).all()
+    if s[c].dtype.kind in "fi" else (s[c].astype(str) == o[c].astype(str)).all()
+    for c in s.columns
+)
+print(json.dumps({"rows": len(s), "match": bool(ok)}))
+spark.stop()
+"""
+    env = dict(os.environ, SPARK_GRAFT_LSH_PLANES="10")
+    r = subprocess.run(
+        [sys.executable, "-c", code, sf_dir],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["match"], res
