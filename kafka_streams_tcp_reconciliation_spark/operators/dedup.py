@@ -275,8 +275,21 @@ def duck_simhash_expr(hashes_col: str) -> str:
     )
 
 
-SIMHASH_CHUNKS = 4
-_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
+# Chunk count: candidates are doc pairs sharing any (chunk_idx, value)
+# block, so bucket space per chunk is 2^(SIMHASH_BITS/chunks) and the
+# within-bucket pair volume at a FIXED chunk count is quadratic — the
+# round-7 sf0.1→sf1→sf10 sweep measured 2.6k → 260k → 26M chunk pairs
+# (102× per 10× docs) at the default 4×15-bit chunking. FEWER, WIDER
+# chunks cool the buckets exponentially (3 chunks → 20-bit blocks →
+# 32× more buckets) at a recall cost (a true pair needs one flip-free
+# chunk); import-time env knob mirroring SPARK_GRAFT_SEMDEDUP_K /
+# _LSH_PLANES — plan and oracle read the same constant, so a
+# non-default setting keeps the differential exact (locked by
+# tests/test_scale_ops.py::test_simhash_chunks_knob_keeps_oracle_parity).
+import os as _os
+
+SIMHASH_CHUNKS = int(_os.environ.get("SPARK_GRAFT_SIMHASH_CHUNKS", "4"))
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15 at the default
 
 
 def simhash_chunks_expr(sim_col: str) -> Column:
