@@ -14,6 +14,8 @@ strong value-hash oracle check rather than the weak rows-only tier.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -332,6 +334,35 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACC_N = 3  # word n-gram size for fuzzy dedup
 _JACC_THRESHOLD = 0.8
 
+# Stop-shingle document-frequency cap (0 = off, the exact default). The
+# standard hot-key guardrail for inverted-index joins: shingles with
+# df > cap (boilerplate, headers, a saturated shingle space) are removed
+# from the WHOLE pipeline — index, intersection counts, and set sizes —
+# so Jaccard becomes "Jaccard over informative shingles" and the join's
+# per-key fanout is bounded by cap². Round-7 measurement of why it
+# exists: this corpus's 31-word vocabulary gives only 31³ possible
+# shingles, so the raw index pair volume is quadratic (1.15M → 117M →
+# 11.8G across sf0.1→sf1→sf10); on a natural 2^60-wide shingle space df
+# is ~1 and the index is linear — the cap is the insurance, not the
+# default. Import-time env knob (plan + oracle share it; parity locked
+# at a binding cutoff by tests/test_scale_ops.py).
+_STOP_DF = int(_os.environ.get("SPARK_GRAFT_STOPSHINGLE_DF", "0"))
+
+_NGRAM_EX_SQL = (
+    """
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hot AS (
+        SELECT s FROM ex0 GROUP BY s
+        HAVING count(*) > {cap}
+    ),
+    ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+    """
+    if _STOP_DF
+    else """
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    """
+)
+
 
 @register(
     "dedup_ngram_jaccard",
@@ -347,19 +378,20 @@ _JACC_THRESHOLD = 0.8
                {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS shingles
         FROM wh
     ),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    {_NGRAM_EX_SQL.format(cap=_STOP_DF)}
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(n_inter / CAST(len(x.shingles) + len(y.shingles) - n_inter
+           round(n_inter / CAST(x.n_sh + y.n_sh - n_inter
                                 AS DOUBLE), 6) AS jaccard
     FROM inter
-    JOIN sh x ON x.doc_id = doc_a
-    JOIN sh y ON y.doc_id = doc_b
-    WHERE n_inter / CAST(len(x.shingles) + len(y.shingles) - n_inter AS DOUBLE)
+    JOIN sz x ON x.doc_id = doc_a
+    JOIN sz y ON y.doc_id = doc_b
+    WHERE n_inter / CAST(x.n_sh + y.n_sh - n_inter AS DOUBLE)
           >= {_JACC_THRESHOLD}
     """,
 )
@@ -373,9 +405,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions are negligible — at corpus scale the exchange is the whole
     cost of this op.
 
-    Scale knob: drop shingles with document frequency above a cutoff before
-    the join to bound hot-key fanout (stop-shingle removal); unnecessary at
-    test scale so semantics stay exact here.
+    Scale knob — IMPLEMENTED round 7 (see _STOP_DF above): set
+    SPARK_GRAFT_STOPSHINGLE_DF to drop shingles with document frequency
+    above the cap from the whole pipeline (index, intersections, sizes),
+    bounding the join's per-key fanout; off by default so test-scale
+    semantics stay exact. Plan and oracle share the cap; parity is
+    locked at a binding cutoff.
     """
     # NULL text carries no shingles; the engines' NULL-list semantics
     # diverge (Spark drops such docs through NULL joins, DuckDB folds
@@ -392,6 +427,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("shingles")
     ).cache()
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    if _STOP_DF:
+        # hot-shingle removal: shuffle-anti-join on the SAME key as the
+        # candidate join below (no extra exchange class); the hot set is
+        # at most postings/cap rows, so this never broadcasts blindly
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > _STOP_DF)
+            .select("s")
+        )
+        ex = ex.join(hot, "s", "left_anti")
+        sizes = ex.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_sh")
+        )
+    else:
+        sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = ex.cache() if _STOP_DF else ex
     inter = (
         ex.alias("a")
         .join(
@@ -403,7 +455,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     jacc = F.col("n_inter") / (
         F.col("x.n_sh") + F.col("y.n_sh") - F.col("n_inter")
     ).cast("double")

@@ -352,3 +352,52 @@ spark.stop()
     assert r.returncode == 0, r.stderr[-3000:]
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res["match"], res
+
+
+def test_stopshingle_knob_keeps_oracle_parity(sf_dir, tmp_path_factory):
+    """SPARK_GRAFT_STOPSHINGLE_DF (the inverted-index hot-key cap, see
+    plans/llm.py) must keep plan and oracle on the SAME cutoff AND the
+    same redefined sizes (Jaccard over informative shingles). df=2 binds
+    hard at sf0.001 (mean shingle df < 1), exercising the capped path
+    end-to-end. Subprocess because the knob is import-time by design."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import json, sys
+from kafka_streams_tcp_reconciliation_spark.session import get_spark
+from kafka_streams_tcp_reconciliation_spark.plans import QUERIES, ORACLES, load_all
+load_all()
+import duckdb
+spark = get_spark(app_name="ss-parity", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+sf_dir = sys.argv[1]
+sdf = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).toPandas()
+con = duckdb.connect()
+con.execute("SET threads TO 4")
+con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+odf = con.execute(ORACLES["dedup_ngram_jaccard"]).df()
+s = sdf[sorted(sdf.columns)].sort_values(sorted(sdf.columns)).reset_index(drop=True)
+o = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
+ok = len(s) == len(o) and all(
+    (abs(s[c].astype(float) - o[c].astype(float)) < 1e-9).all()
+    if s[c].dtype.kind in "fi" else (s[c].astype(str) == o[c].astype(str)).all()
+    for c in s.columns
+)
+print(json.dumps({"rows": len(s), "match": bool(ok)}))
+spark.stop()
+"""
+    env = dict(os.environ, SPARK_GRAFT_STOPSHINGLE_DF="2")
+    r = subprocess.run(
+        [sys.executable, "-c", code, sf_dir],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["match"], res
