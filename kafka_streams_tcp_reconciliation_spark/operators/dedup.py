@@ -121,6 +121,91 @@ def duck_gram_fold64_expr(
     return f"list_distinct({inner})" if distinct else inner
 
 
+# ---------------------------------------------------------------------------
+# stop-shingle (hot-key) cap for inverted-index joins
+# ---------------------------------------------------------------------------
+#
+# The standard hot-key guardrail for EVERY inverted-index self-join in this
+# package (dedup_ngram_jaccard, dedup_shingle_containment, curate_corpus):
+# shingles with document frequency > cap (boilerplate, headers, a saturated
+# shingle space) are removed from the WHOLE pipeline — index, intersection
+# counts, and set sizes — so Jaccard/containment become "over informative
+# shingles" and the join's per-key fanout is bounded by cap². Round-7
+# measurement of why it exists: the synthetic corpus's 31-word vocabulary
+# gives only 31³ possible shingles, so the raw index pair volume is
+# quadratic (1.15M → 117M → 11.8G across sf0.1→sf1→sf10; 20+ min uncapped
+# vs 24.3 s capped at sf10 — SCALE.md). On a natural 2^60-wide shingle
+# space df is ~1 and the index is linear — the cap is the insurance, not
+# the default. Import-time env knob (0 = off, the exact default); the
+# Spark plan and the DuckDB oracle consume the SAME constant, so a
+# non-default cap keeps the differential exact (parity locked at a binding
+# cutoff per consumer by tests/test_scale_ops.py).
+
+import os as _os
+
+STOP_SHINGLE_DF = int(_os.environ.get("SPARK_GRAFT_STOPSHINGLE_DF", "0"))
+if STOP_SHINGLE_DF < 0:
+    raise ValueError(
+        f"SPARK_GRAFT_STOPSHINGLE_DF must be >= 0 (0 disables the cap), "
+        f"got {STOP_SHINGLE_DF}"
+    )
+
+
+def stop_shingle_filter(ex: DataFrame, cap: int, col: str = "s") -> DataFrame:
+    """Drop hot shingles (document frequency > ``cap``) from an exploded
+    ``(doc_id, shingle)`` inverted index; identity when ``cap`` is 0.
+
+    The anti-join shuffles on the SAME key as the downstream candidate
+    self-join (no new exchange class), and the hot set is at most
+    ``total_postings / cap`` rows — never a blind broadcast. Callers that
+    consume the capped index more than once (both self-join sides plus the
+    size recount) should ``.cache()`` the result.
+    """
+    if not cap:
+        return ex
+    hot = (
+        ex.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select(col)
+    )
+    return ex.join(hot, col, "left_anti")
+
+
+def capped_sizes(sh: DataFrame, ex: DataFrame) -> DataFrame:
+    """Per-doc shingle-set sizes ``(doc_id, n_sh)`` consistent with the
+    module cap: post-cap recount from the (already capped) exploded index
+    when the cap binds, else the free ``size(shingles)`` projection (the
+    shingle arrays are distinct, so both forms agree when cap = 0 — the
+    recount shuffle is only paid when the cap is on)."""
+    if STOP_SHINGLE_DF:
+        return ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return sh.select("doc_id", F.size("shingles").alias("n_sh"))
+
+
+def duck_stop_shingle_ctes(cap: int) -> str:
+    """DuckDB CTE fragment building the exploded index ``ex (doc_id, s)``
+    from a prior CTE ``sh (doc_id, shingles)``, hot-capped when ``cap`` >
+    0 — the oracle twin of :func:`stop_shingle_filter`. Splice directly
+    into a WITH list (trailing comma included)."""
+    if not cap:
+        return "ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),"
+    return f"""
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hot AS (
+        SELECT s FROM ex0 GROUP BY s
+        HAVING count(*) > {cap}
+    ),
+    ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+    """
+
+
+# Post-cap set sizes on the oracle side: counting from ex (rather than
+# len(shingles)) is exact in BOTH modes because the shingle arrays are
+# distinct — and it is the only correct form when the cap binds.
+DUCK_SIZES_CTE = "sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),"
+
+
 def shingle_hashes_expr(shingles_col: str) -> Column:
     """Distinct polynomial hashes of a shingle-array column (Spark)."""
     return F.expr(
@@ -286,9 +371,18 @@ def duck_simhash_expr(hashes_col: str) -> str:
 # _LSH_PLANES — plan and oracle read the same constant, so a
 # non-default setting keeps the differential exact (locked by
 # tests/test_scale_ops.py::test_simhash_chunks_knob_keeps_oracle_parity).
-import os as _os
-
 SIMHASH_CHUNKS = int(_os.environ.get("SPARK_GRAFT_SIMHASH_CHUNKS", "4"))
+# Validated at import (fail loudly, not at plan-build): 0 would divide by
+# zero below; chunks > SIMHASH_BITS makes _CHUNK_BITS = 0 so every chunk
+# value is 0 and the blocking join silently degenerates to a full
+# within-chunk cross product; a non-divisor silently drops the high-order
+# SIMHASH_BITS % chunks bits from blocking (weaker pruning than the
+# setting implies).
+if not (1 <= SIMHASH_CHUNKS <= SIMHASH_BITS) or SIMHASH_BITS % SIMHASH_CHUNKS:
+    raise ValueError(
+        f"SPARK_GRAFT_SIMHASH_CHUNKS must be a divisor of {SIMHASH_BITS} "
+        f"in [1, {SIMHASH_BITS}], got {SIMHASH_CHUNKS}"
+    )
 _CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15 at the default
 
 

@@ -106,6 +106,15 @@ LSH_TABLES = 2
 import os as _os
 
 LSH_PLANES = int(_os.environ.get("SPARK_GRAFT_LSH_PLANES", "8"))
+# Validated at import (fail loudly, not at plan-build): the bucket id is
+# Σ bit_j · 2^j carried as a signed BIGINT in both engines, so planes > 62
+# overflows the sign bit (DuckDB errors, Spark wraps — either way the
+# differential dies); 0 planes would put every vector in one bucket — the
+# full cross product the LSH exists to avoid.
+if not (1 <= LSH_PLANES <= 62):
+    raise ValueError(
+        f"SPARK_GRAFT_LSH_PLANES must be in [1, 62], got {LSH_PLANES}"
+    )
 DIM = 64
 
 

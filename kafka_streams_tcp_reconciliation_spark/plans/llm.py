@@ -334,34 +334,13 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACC_N = 3  # word n-gram size for fuzzy dedup
 _JACC_THRESHOLD = 0.8
 
-# Stop-shingle document-frequency cap (0 = off, the exact default). The
-# standard hot-key guardrail for inverted-index joins: shingles with
-# df > cap (boilerplate, headers, a saturated shingle space) are removed
-# from the WHOLE pipeline — index, intersection counts, and set sizes —
-# so Jaccard becomes "Jaccard over informative shingles" and the join's
-# per-key fanout is bounded by cap². Round-7 measurement of why it
-# exists: this corpus's 31-word vocabulary gives only 31³ possible
-# shingles, so the raw index pair volume is quadratic (1.15M → 117M →
-# 11.8G across sf0.1→sf1→sf10); on a natural 2^60-wide shingle space df
-# is ~1 and the index is linear — the cap is the insurance, not the
-# default. Import-time env knob (plan + oracle share it; parity locked
-# at a binding cutoff by tests/test_scale_ops.py).
-_STOP_DF = int(_os.environ.get("SPARK_GRAFT_STOPSHINGLE_DF", "0"))
-
-_NGRAM_EX_SQL = (
-    """
-    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    hot AS (
-        SELECT s FROM ex0 GROUP BY s
-        HAVING count(*) > {cap}
-    ),
-    ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
-    """
-    if _STOP_DF
-    else """
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    """
-)
+# Stop-shingle document-frequency cap — hoisted round 8 into the shared
+# helpers in operators/dedup.py (stop_shingle_filter / capped_sizes /
+# duck_stop_shingle_ctes) so EVERY inverted-index consumer in this module
+# (dedup_ngram_jaccard, curate_corpus, dedup_shingle_containment) carries
+# the same guard; see the rationale + round-7 measurements at the knob's
+# definition. 0 = off (the exact default).
+_STOP_DF = dd.STOP_SHINGLE_DF
 
 
 @register(
@@ -378,8 +357,8 @@ _NGRAM_EX_SQL = (
                {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS shingles
         FROM wh
     ),
-    {_NGRAM_EX_SQL.format(cap=_STOP_DF)}
-    sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+    {dd.duck_stop_shingle_ctes(_STOP_DF)}
+    {dd.DUCK_SIZES_CTE}
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -405,12 +384,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions are negligible — at corpus scale the exchange is the whole
     cost of this op.
 
-    Scale knob — IMPLEMENTED round 7 (see _STOP_DF above): set
+    Scale knob (round 7; hoisted to operators/dedup.py round 8): set
     SPARK_GRAFT_STOPSHINGLE_DF to drop shingles with document frequency
     above the cap from the whole pipeline (index, intersections, sizes),
     bounding the join's per-key fanout; off by default so test-scale
     semantics stay exact. Plan and oracle share the cap; parity is
-    locked at a binding cutoff.
+    locked at a binding cutoff (tests/test_scale_ops.py).
     """
     # NULL text carries no shingles; the engines' NULL-list semantics
     # diverge (Spark drops such docs through NULL joins, DuckDB folds
@@ -426,24 +405,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = wh.select(
         "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("shingles")
     ).cache()
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    if _STOP_DF:
-        # hot-shingle removal: shuffle-anti-join on the SAME key as the
-        # candidate join below (no extra exchange class); the hot set is
-        # at most postings/cap rows, so this never broadcasts blindly
-        hot = (
-            ex.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > _STOP_DF)
-            .select("s")
-        )
-        ex = ex.join(hot, "s", "left_anti")
-        sizes = ex.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_sh")
-        )
-    else:
-        sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = dd.stop_shingle_filter(
+        sh.select("doc_id", F.explode("shingles").alias("s")), _STOP_DF
+    )
     ex = ex.cache() if _STOP_DF else ex
+    sizes = dd.capped_sizes(sh, ex)
     inter = (
         ex.alias("a")
         .join(
@@ -467,18 +433,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MH_NUM = 32  # MinHash signature length
-# 8 bands x 4 rows (bands x rows == signature length). Round 7 steepened
-# the S-curve from 16x2: the sf1->sf10 sweep measured r=2 banding
-# admitting a CONSTANT ~1.4e-6 fraction of all pairs on this corpus
-# (candidates 1.8k -> 172k -> 16.6M, exactly quadratic, while true dups
-# stayed linear 8 -> 80 -> 801) because moderately-similar word-soup
+# Banding default: 8 bands x 4 rows (bands x rows == signature length).
+# Round 7 steepened the S-curve from 16x2: the sf1->sf10 sweep measured
+# r=2 banding admitting a CONSTANT ~1.4e-6 fraction of all pairs on this
+# corpus (candidates 1.8k -> 172k -> 16.6M, exactly quadratic, while true
+# dups stayed linear 8 -> 80 -> 801) because moderately-similar word-soup
 # pairs (s~0.3-0.5) pass two-row bands 78-99% of the time. r=4 drops
 # s=0.3 admission to 6.3% and s=0.5 to 40%, while J>=0.8 recall stays
 # 1-(1-0.8^4)^8 = 98.6% and EXACT duplicates (s=1, the fixtures' dup
 # class) are admitted with probability 1 under any banding. Both
 # engines share these constants, so recall misses stay mirrored.
-_MH_BANDS = 8
-_MH_ROWS = 4
+#
+# ACCEPTED DEFAULT SHIFT (round 7, documented round 8): vs the original
+# 16x2 banding, J>=0.8 recall drops ~99.99% -> 98.6% — a deliberate
+# trade for candidate volume that is bounded at scale (19-20x fewer
+# candidates at sf10). Users who want the old eager-recall curve set
+# SPARK_GRAFT_MH_BANDS=16 (rows = 32/bands follows): import-time env
+# knob like the other scale levers, read by plan AND oracle, parity
+# locked by tests/test_scale_ops.py.
+_MH_BANDS = int(_os.environ.get("SPARK_GRAFT_MH_BANDS", "8"))
+if not (1 <= _MH_BANDS <= _MH_NUM) or _MH_NUM % _MH_BANDS:
+    raise ValueError(
+        f"SPARK_GRAFT_MH_BANDS must be a divisor of {_MH_NUM} in "
+        f"[1, {_MH_NUM}] (rows = {_MH_NUM}/bands), got {_MH_BANDS}"
+    )
+_MH_ROWS = _MH_NUM // _MH_BANDS
 
 
 @register(
@@ -1120,7 +1099,8 @@ _CURATE_MIN_QUALITY = 0.55
                {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS shingles
         FROM whc
     ),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    {dd.duck_stop_shingle_ctes(_STOP_DF)}
+    {dd.DUCK_SIZES_CTE}
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1129,9 +1109,9 @@ _CURATE_MIN_QUALITY = 0.55
     dup_losers AS (
         SELECT DISTINCT doc_b
         FROM inter
-        JOIN sh x ON x.doc_id = doc_a
-        JOIN sh y ON y.doc_id = doc_b
-        WHERE n_inter / CAST(len(x.shingles) + len(y.shingles) - n_inter
+        JOIN sz x ON x.doc_id = doc_a
+        JOIN sz y ON y.doc_id = doc_b
+        WHERE n_inter / CAST(x.n_sh + y.n_sh - n_inter
                              AS DOUBLE) >= {_JACC_THRESHOLD}
     )
     SELECT doc_id, lang, n_tokens, quality
@@ -1148,9 +1128,16 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The dedup stage here is the exact inverted-index Jaccard (auditable
     oracle); at 100 TB swap in the MinHash-LSH candidate generator
-    (dedup_minhash_lsh) — same keep-lowest-id anti-join shape. Everything
-    is one Catalyst plan: the quality filter prunes before the dedup join,
-    and the anti join broadcasts the (tiny) loser set.
+    (dedup_minhash_lsh) — same keep-lowest-id anti-join shape. The
+    in-place insurance is the shared stop-shingle df cap
+    (SPARK_GRAFT_STOPSHINGLE_DF, operators/dedup.py): wired round 8 into
+    index, intersections, AND set sizes on both engines, bounding the
+    self-join's per-key fanout the round-7 sweep measured as quadratic on
+    hot shingles (20+ min uncapped vs 24.3 s capped at sf10, SCALE.md).
+    Plan shape: shingling runs over ALL documents — mirroring the oracle
+    — because a pair's LOSER must be dropped even when its winner later
+    fails the quality gate; the quality filter and the dedup anti-join
+    meet only at the final step, where the (tiny) loser set broadcasts.
     """
     docs = scale_out(load_table(spark, sf_dir, "documents"))
     words = F.split("text", " ")
@@ -1180,7 +1167,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = wh.select(
         "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("shingles")
     ).cache()
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex = dd.stop_shingle_filter(
+        sh.select("doc_id", F.explode("shingles").alias("s")), _STOP_DF
+    )
+    ex = ex.cache() if _STOP_DF else ex
     inter = (
         ex.alias("a")
         .join(
@@ -1190,7 +1180,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    sizes = dd.capped_sizes(sh, ex)
     jacc = F.col("n_inter") / (
         F.col("x.n_sh") + F.col("y.n_sh") - F.col("n_inter")
     ).cast("double")
@@ -1231,7 +1221,8 @@ _CONT_TAU = 0.7  # containment threshold — catches subsets Jaccard misses
                {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS shingles
         FROM wh
     ),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    {dd.duck_stop_shingle_ctes(_STOP_DF)}
+    {dd.DUCK_SIZES_CTE}
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(count(*) AS BIGINT) AS n_inter
@@ -1239,16 +1230,15 @@ _CONT_TAU = 0.7  # containment threshold — catches subsets Jaccard misses
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_inter,
-           CAST(least(len(x.shingles), len(y.shingles)) AS BIGINT)
-               AS n_smaller,
+           CAST(least(x.n_sh, y.n_sh) AS BIGINT) AS n_smaller,
            round(CAST(n_inter AS DOUBLE)
-                 / CAST(least(len(x.shingles), len(y.shingles)) AS DOUBLE), 6)
+                 / CAST(least(x.n_sh, y.n_sh) AS DOUBLE), 6)
                AS containment
     FROM inter
-    JOIN sh x ON x.doc_id = doc_a
-    JOIN sh y ON y.doc_id = doc_b
+    JOIN sz x ON x.doc_id = doc_a
+    JOIN sz y ON y.doc_id = doc_b
     WHERE CAST(n_inter AS DOUBLE)
-          / CAST(least(len(x.shingles), len(y.shingles)) AS DOUBLE)
+          / CAST(least(x.n_sh, y.n_sh) AS DOUBLE)
           >= {_CONT_TAU}
     """,
 )
@@ -1263,10 +1253,13 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same sub-quadratic machinery as ``dedup_ngram_jaccard`` — one
     inverted-index self-join on 64-bit two-level word-gram hashes, cost
-    O(shared-shingle collisions); only the final score changes, so the
-    scale story (8-byte shuffle keys, stop-shingle cutoff knob for hot
-    keys) is inherited unchanged. Exactness: integer intersection counts
-    and set sizes; ONE double division mirrored in the oracle.
+    O(shared-shingle collisions); only the final score changes. The
+    stop-shingle df cap (SPARK_GRAFT_STOPSHINGLE_DF, shared helpers in
+    operators/dedup.py) is WIRED here since round 8 — index,
+    intersections, and crucially ``n_smaller`` all use post-cap sets on
+    both engines, so containment stays a true ratio over informative
+    shingles. Exactness: integer intersection counts and set sizes; ONE
+    double division mirrored in the oracle.
     """
     # NULL text carries no shingles; the engines' NULL-list semantics
     # diverge (Spark drops such docs through NULL joins, DuckDB folds
@@ -1282,7 +1275,10 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = wh.select(
         "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("shingles")
     ).cache()
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex = dd.stop_shingle_filter(
+        sh.select("doc_id", F.explode("shingles").alias("s")), _STOP_DF
+    )
+    ex = ex.cache() if _STOP_DF else ex
     inter = (
         ex.alias("a")
         .join(
@@ -1292,7 +1288,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    sizes = dd.capped_sizes(sh, ex)
     n_smaller = F.least(F.col("x.n_sh"), F.col("y.n_sh")).cast("long")
     cont = F.col("n_inter").cast("double") / n_smaller.cast("double")
     return (

@@ -206,33 +206,29 @@ def test_salted_replicate_join_matches_plain(spark, sf_dir):
     )
 
 
-def test_semdedup_k_knob_keeps_oracle_parity(sf_dir, tmp_path_factory):
-    """SCALE.md's K∝n demonstration knob (SPARK_GRAFT_SEMDEDUP_K) must
-    keep the Spark plan and the DuckDB oracle on the SAME K: both read
-    the module constant at import, so a non-default K still hash-matches.
-    Runs in a subprocess because the knob is import-time by design."""
-    import json
-    import os
-    import subprocess
-    import sys
+# ---------------------------------------------------------------------------
+# import-time scale-knob parity (subprocess: the knobs are import-time by
+# design — plan and oracle must read the SAME module constant)
+# ---------------------------------------------------------------------------
 
-    code = """
+_PARITY_CODE = """
 import json, sys
 from kafka_streams_tcp_reconciliation_spark.session import get_spark
 from kafka_streams_tcp_reconciliation_spark.plans import QUERIES, ORACLES, load_all
 load_all()
 import duckdb
-spark = get_spark(app_name="semk-parity", shuffle_partitions=8)
+spark = get_spark(app_name="knob-parity", shuffle_partitions=8)
 spark.sparkContext.setLogLevel("ERROR")
-sf_dir = sys.argv[1]
-sdf = QUERIES["dedup_semantic_clusters"](spark, sf_dir).toPandas()
+sf_dir, qname = sys.argv[1], sys.argv[2]
+tables = sys.argv[3].split(",")
+sdf = QUERIES[qname](spark, sf_dir).toPandas()
 con = duckdb.connect()
 con.execute("SET threads TO 4")
-for t in ("embeddings",):
+for t in tables:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-odf = con.execute(ORACLES["dedup_semantic_clusters"]).df()
-s = sdf.sort_values(list(sorted(sdf.columns)))[sorted(sdf.columns)].reset_index(drop=True)
-o = odf.sort_values(list(sorted(odf.columns)))[sorted(odf.columns)].reset_index(drop=True)
+odf = con.execute(ORACLES[qname]).df()
+s = sdf[sorted(sdf.columns)].sort_values(sorted(sdf.columns)).reset_index(drop=True)
+o = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
 ok = len(s) == len(o) and all(
     (abs(s[c].astype(float) - o[c].astype(float)) < 1e-9).all()
     if s[c].dtype.kind in "fi" else (s[c].astype(str) == o[c].astype(str)).all()
@@ -241,9 +237,19 @@ ok = len(s) == len(o) and all(
 print(json.dumps({"rows": len(s), "match": bool(ok)}))
 spark.stop()
 """
-    env = dict(os.environ, SPARK_GRAFT_SEMDEDUP_K="5")
+
+
+def _knob_parity(sf_dir: str, query: str, tables: str, **env_overrides) -> dict:
+    """Run one registered query + its oracle in a fresh interpreter with
+    the given env knobs set; return {"rows": n, "match": bool}."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, **env_overrides)
     r = subprocess.run(
-        [sys.executable, "-c", code, sf_dir],
+        [sys.executable, "-c", _PARITY_CODE, sf_dir, query, tables],
         env=env,
         capture_output=True,
         text=True,
@@ -251,153 +257,100 @@ spark.stop()
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0, r.stderr[-3000:]
-    res = json.loads(r.stdout.strip().splitlines()[-1])
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def test_semdedup_k_knob_keeps_oracle_parity(sf_dir):
+    """SCALE.md's K∝n demonstration knob (SPARK_GRAFT_SEMDEDUP_K) must
+    keep the Spark plan and the DuckDB oracle on the SAME K: both read
+    the module constant at import, so a non-default K still hash-matches."""
+    res = _knob_parity(
+        sf_dir, "dedup_semantic_clusters", "embeddings", SPARK_GRAFT_SEMDEDUP_K="5"
+    )
     assert res["rows"] == 5  # K=5 clusters, not the default 8
     assert res["match"], res
 
 
-def test_lsh_planes_knob_keeps_oracle_parity(sf_dir, tmp_path_factory):
+def test_lsh_planes_knob_keeps_oracle_parity(sf_dir):
     """SPARK_GRAFT_LSH_PLANES (the sign-LSH bucket-count scale knob, see
     operators/similarity.py) must keep the Spark plan and the DuckDB
-    oracle on the SAME plane count: both read the module constant at
-    import, so a non-default setting still hash-matches. Subprocess
-    because the knob is import-time by design."""
-    import json
-    import os
-    import subprocess
-    import sys
-
-    code = """
-import json, sys
-from kafka_streams_tcp_reconciliation_spark.session import get_spark
-from kafka_streams_tcp_reconciliation_spark.plans import QUERIES, ORACLES, load_all
-load_all()
-import duckdb
-spark = get_spark(app_name="lsh-parity", shuffle_partitions=8)
-spark.sparkContext.setLogLevel("ERROR")
-sf_dir = sys.argv[1]
-sdf = QUERIES["dedup_embedding_neardup"](spark, sf_dir).toPandas()
-con = duckdb.connect()
-con.execute("SET threads TO 4")
-con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')")
-odf = con.execute(ORACLES["dedup_embedding_neardup"]).df()
-s = sdf[sorted(sdf.columns)].sort_values(sorted(sdf.columns)).reset_index(drop=True)
-o = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
-ok = len(s) == len(o) and all(
-    (abs(s[c].astype(float) - o[c].astype(float)) < 1e-9).all()
-    if s[c].dtype.kind in "fi" else (s[c].astype(str) == o[c].astype(str)).all()
-    for c in s.columns
-)
-print(json.dumps({"rows": len(s), "match": bool(ok)}))
-spark.stop()
-"""
-    env = dict(os.environ, SPARK_GRAFT_LSH_PLANES="10")
-    r = subprocess.run(
-        [sys.executable, "-c", code, sf_dir],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=600,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    oracle on the SAME plane count."""
+    res = _knob_parity(
+        sf_dir, "dedup_embedding_neardup", "embeddings", SPARK_GRAFT_LSH_PLANES="10"
     )
-    assert r.returncode == 0, r.stderr[-3000:]
-    res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res["match"], res
 
 
-def test_simhash_chunks_knob_keeps_oracle_parity(sf_dir, tmp_path_factory):
+def test_simhash_chunks_knob_keeps_oracle_parity(sf_dir):
     """SPARK_GRAFT_SIMHASH_CHUNKS (the SimHash blocking scale knob, see
-    operators/dedup.py) must keep plan and oracle on the SAME chunking —
-    both read the module constant at import. Subprocess because the knob
-    is import-time by design. chunks=3 widens blocks to 20 bits, a
-    genuinely different candidate set than the default 4x15."""
-    import json
+    operators/dedup.py) must keep plan and oracle on the SAME chunking.
+    chunks=3 widens blocks to 20 bits, a genuinely different candidate
+    set than the default 4x15."""
+    res = _knob_parity(
+        sf_dir, "dedup_simhash", "documents", SPARK_GRAFT_SIMHASH_CHUNKS="3"
+    )
+    assert res["match"], res
+
+
+@pytest.mark.parametrize(
+    "query", ["dedup_ngram_jaccard", "dedup_shingle_containment", "curate_corpus"]
+)
+def test_stopshingle_knob_keeps_oracle_parity(sf_dir, query):
+    """SPARK_GRAFT_STOPSHINGLE_DF (the inverted-index hot-key cap, shared
+    helpers in operators/dedup.py) must keep plan and oracle on the SAME
+    cutoff AND the same redefined sizes (Jaccard/containment over
+    informative shingles — for containment, n_smaller must be post-cap)
+    in EVERY consumer: the Jaccard query, the containment query, and the
+    curate_corpus flagship. df=2 binds hard at sf0.001 (mean shingle
+    df < 1), exercising the capped path end-to-end."""
+    res = _knob_parity(sf_dir, query, "documents", SPARK_GRAFT_STOPSHINGLE_DF="2")
+    assert res["match"], res
+
+
+def test_mh_bands_knob_keeps_oracle_parity(sf_dir):
+    """SPARK_GRAFT_MH_BANDS (MinHash banding; rows = 32/bands) must keep
+    plan and oracle on the SAME banding. bands=16 is the pre-round-7
+    default (16x2, ~99.99% J>=0.8 recall, quadratic candidates on
+    word-soup corpora) — the documented opt-out of the 8x4 default."""
+    res = _knob_parity(
+        sf_dir, "dedup_minhash_lsh", "documents", SPARK_GRAFT_MH_BANDS="16"
+    )
+    assert res["match"], res
+
+
+@pytest.mark.parametrize(
+    "var,val",
+    [
+        ("SPARK_GRAFT_SIMHASH_CHUNKS", "0"),
+        ("SPARK_GRAFT_SIMHASH_CHUNKS", "7"),  # not a divisor of 60
+        ("SPARK_GRAFT_SIMHASH_CHUNKS", "61"),
+        ("SPARK_GRAFT_LSH_PLANES", "0"),
+        ("SPARK_GRAFT_LSH_PLANES", "63"),  # BIGINT sign-bit overflow
+        ("SPARK_GRAFT_STOPSHINGLE_DF", "-1"),
+        ("SPARK_GRAFT_MH_BANDS", "0"),
+        ("SPARK_GRAFT_MH_BANDS", "3"),  # not a divisor of 32
+    ],
+)
+def test_invalid_knob_values_fail_loudly_at_import(var, val):
+    """Out-of-range scale knobs must raise a clear ValueError at import —
+    not crash with ZeroDivisionError, silently degenerate the blocking
+    join to a cross product (chunks > 60 → every chunk value 0), or
+    overflow the BIGINT sign bit (planes > 62)."""
     import os
     import subprocess
     import sys
 
-    code = """
-import json, sys
-from kafka_streams_tcp_reconciliation_spark.session import get_spark
-from kafka_streams_tcp_reconciliation_spark.plans import QUERIES, ORACLES, load_all
-load_all()
-import duckdb
-spark = get_spark(app_name="sh-parity", shuffle_partitions=8)
-spark.sparkContext.setLogLevel("ERROR")
-sf_dir = sys.argv[1]
-sdf = QUERIES["dedup_simhash"](spark, sf_dir).toPandas()
-con = duckdb.connect()
-con.execute("SET threads TO 4")
-con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
-odf = con.execute(ORACLES["dedup_simhash"]).df()
-s = sdf[sorted(sdf.columns)].sort_values(sorted(sdf.columns)).reset_index(drop=True)
-o = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
-ok = len(s) == len(o) and all(
-    (abs(s[c].astype(float) - o[c].astype(float)) < 1e-9).all()
-    if s[c].dtype.kind in "fi" else (s[c].astype(str) == o[c].astype(str)).all()
-    for c in s.columns
-)
-print(json.dumps({"rows": len(s), "match": bool(ok)}))
-spark.stop()
-"""
-    env = dict(os.environ, SPARK_GRAFT_SIMHASH_CHUNKS="3")
     r = subprocess.run(
-        [sys.executable, "-c", code, sf_dir],
-        env=env,
+        [
+            sys.executable,
+            "-c",
+            "from kafka_streams_tcp_reconciliation_spark.plans import load_all; load_all()",
+        ],
+        env=dict(os.environ, **{var: val}),
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=120,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
-    assert r.returncode == 0, r.stderr[-3000:]
-    res = json.loads(r.stdout.strip().splitlines()[-1])
-    assert res["match"], res
-
-
-def test_stopshingle_knob_keeps_oracle_parity(sf_dir, tmp_path_factory):
-    """SPARK_GRAFT_STOPSHINGLE_DF (the inverted-index hot-key cap, see
-    plans/llm.py) must keep plan and oracle on the SAME cutoff AND the
-    same redefined sizes (Jaccard over informative shingles). df=2 binds
-    hard at sf0.001 (mean shingle df < 1), exercising the capped path
-    end-to-end. Subprocess because the knob is import-time by design."""
-    import json
-    import os
-    import subprocess
-    import sys
-
-    code = """
-import json, sys
-from kafka_streams_tcp_reconciliation_spark.session import get_spark
-from kafka_streams_tcp_reconciliation_spark.plans import QUERIES, ORACLES, load_all
-load_all()
-import duckdb
-spark = get_spark(app_name="ss-parity", shuffle_partitions=8)
-spark.sparkContext.setLogLevel("ERROR")
-sf_dir = sys.argv[1]
-sdf = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).toPandas()
-con = duckdb.connect()
-con.execute("SET threads TO 4")
-con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
-odf = con.execute(ORACLES["dedup_ngram_jaccard"]).df()
-s = sdf[sorted(sdf.columns)].sort_values(sorted(sdf.columns)).reset_index(drop=True)
-o = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
-ok = len(s) == len(o) and all(
-    (abs(s[c].astype(float) - o[c].astype(float)) < 1e-9).all()
-    if s[c].dtype.kind in "fi" else (s[c].astype(str) == o[c].astype(str)).all()
-    for c in s.columns
-)
-print(json.dumps({"rows": len(s), "match": bool(ok)}))
-spark.stop()
-"""
-    env = dict(os.environ, SPARK_GRAFT_STOPSHINGLE_DF="2")
-    r = subprocess.run(
-        [sys.executable, "-c", code, sf_dir],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=600,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
-    assert r.returncode == 0, r.stderr[-3000:]
-    res = json.loads(r.stdout.strip().splitlines()[-1])
-    assert res["match"], res
+    assert r.returncode != 0
+    assert "ValueError" in r.stderr and var in r.stderr, r.stderr[-2000:]
