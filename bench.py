@@ -69,24 +69,34 @@ def main() -> None:
     # docstring). Skipped if no smaller sibling exists or COLD is forced.
     warm_dir = None
     if not os.environ.get("SPARK_GRAFT_BENCH_COLD"):
-        parent = os.path.dirname(sf_dir.rstrip("/"))
+        # realpath both sides: a symlinked or differently-spelled sf_dir
+        # that resolves to the sibling itself must not be "warmed up" on
+        # the very dataset being timed
+        sf_real = os.path.realpath(sf_dir)
+        parent = os.path.dirname(sf_real)
         for cand in ("sf0.001", "sf0.01"):
             p = os.path.join(parent, cand)
-            if p != sf_dir.rstrip("/") and os.path.isdir(p):
+            if os.path.isdir(p) and os.path.realpath(p) != sf_real:
                 warm_dir = p
                 break
     if warm_dir:
         t_warm = time.perf_counter()
+        n_warm_failed = 0
         for name, fn in sorted(queries.items()):
             try:
                 fn(spark, warm_dir).count()
             except Exception:
-                pass  # the timed pass will surface and record the failure
+                # the timed pass will surface and record the failure; the
+                # count below keeps a universally-failing warmup (= cold
+                # timings) from passing silently
+                n_warm_failed += 1
             finally:
                 spark.catalog.clearCache()
         print(
             f"# warmup pass at {warm_dir}:"
-            f" {time.perf_counter() - t_warm:.1f}s (untimed)",
+            f" {time.perf_counter() - t_warm:.1f}s (untimed),"
+            f" {n_warm_failed}/{len(queries)} queries failed"
+            + (" — TIMINGS ARE CODEGEN-COLD" if n_warm_failed == len(queries) else ""),
             file=sys.stderr,
         )
 

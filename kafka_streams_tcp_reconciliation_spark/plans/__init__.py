@@ -61,12 +61,39 @@ _PLAN_MODULES = (
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a named query and (optionally) its DuckDB oracle SQL."""
+    """Register a named query and (optionally) its DuckDB oracle SQL.
+
+    The registry stores a thin wrapper that clears the session's SQL cache
+    before building the plan; the raw function is returned (and imported by
+    composing modules, e.g. plans/atleastonce) so intra-query composition
+    never clears mid-plan. Rationale: several queries ``.cache()``
+    intermediates that materialize when the caller collects the result, and
+    the external driver runs ~50 queries sequentially in ONE session with
+    no cache hygiene of its own — by the end of a verify window the
+    accumulated storage memory starves the co-resident DuckDB oracle (the
+    round-7 ``negative_sampling_pairs`` red row was DuckDB failing a 2 KB
+    allocation on the WINDOW'S LAST QUERY). Clearing at invocation bounds
+    resident storage to one query's working set; bench.py's own per-query
+    ``clearCache`` stays (idempotent), and a query's internal caches are
+    created after the clear, so self-use is unaffected.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        def invoke(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass  # never let hygiene break a query (e.g. stopped session)
+            return fn(spark, sf_dir, **kwargs)
+
+        invoke.__name__ = fn.__name__
+        invoke.__qualname__ = fn.__qualname__
+        invoke.__doc__ = fn.__doc__
+        invoke.__wrapped__ = fn
+        QUERIES[name] = invoke
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

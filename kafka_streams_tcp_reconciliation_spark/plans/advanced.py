@@ -1406,9 +1406,11 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (int(ids[valid[q]]), float(row[q])) for q in top
                     ]
                     # NULL-embedding candidates rank behind every scored
-                    # one (NULL cosine sorts last), smallest id first
+                    # one (NULL cosine sorts last), smallest id first;
+                    # their score is a true None (SQL NULL), not NaN —
+                    # the oracle's NULL-list cosine folds to SQL NULL
                     for nid in invalid_ids[: k - len(picks)]:
-                        picks.append((nid, math.nan))
+                        picks.append((nid, None))
                     out.extend(
                         (int(ids[valid[p]]), nid, r, sc)
                         for r, (nid, sc) in enumerate(picks, 1)
@@ -1418,13 +1420,18 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         for gid in invalid_ids:
             others = sorted(int(v) for v in ids if int(v) != gid)[:k]
             out.extend(
-                (gid, nid, r, math.nan)
+                (gid, nid, r, None)
                 for r, nid in enumerate(others, 1)
             )
         df = pd.DataFrame(
-            out, columns=["vec_id", "neighbor_id", "rank", "score"]
+            [(a, b, c) for a, b, c, _ in out],
+            columns=["vec_id", "neighbor_id", "rank"],
         )
-        return df.astype({"score": "float64"})
+        # object dtype so a None survives Arrow conversion as a true SQL
+        # NULL (constructing the column as float64 would coerce it to
+        # NaN ≠ NULL) — the same contract as governance.cluster_top_pair
+        df["score"] = pd.Series([s for *_, s in out], dtype="object")
+        return df
 
     return emb.groupBy("label").applyInPandas(
         cell_topk,

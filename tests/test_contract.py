@@ -156,3 +156,26 @@ print("kernel-self-contained")
         cwd=str(tmp_path),
     )
     assert "kernel-self-contained" in r.stdout, r.stderr[-1000:]
+
+
+def test_registry_invocation_clears_prior_cache(spark, sf_dir):
+    """Invoking any registered query through the QUERIES registry must
+    first release cached relations left by PREVIOUS queries: the external
+    driver runs ~50 queries sequentially in one session with no cache
+    hygiene, and accumulated storage memory starved the co-resident DuckDB
+    oracle in round 7 (2 KB allocation failure on the window's last
+    query). The raw functions (imported by composing modules) must stay
+    unwrapped so intra-query composition never clears mid-plan."""
+    from kafka_streams_tcp_reconciliation_spark.plans import QUERIES, load_all
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+    load_all()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    leftover = load_table(spark, sf_dir, "region").cache()
+    leftover.count()
+    assert not cm.isEmpty()
+    # q1 caches nothing itself, so after invocation the manager is empty
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    assert cm.isEmpty()
+    # the registry stores a wrapper; the composable raw fn is __wrapped__
+    assert hasattr(QUERIES["q1_pricing_summary"], "__wrapped__")

@@ -116,3 +116,18 @@ def test_null_embedding_cluster_gets_null_top_cosine(
         _canon(pdf)["top_cosine"].isna()
         == _canon(odf)["top_cosine"].isna()
     ).all()
+
+
+def test_knn_graph_null_neighbors_are_sql_null_not_nan(
+    spark, null_emb_sf_dir
+):
+    """ADVICE r07: knn_graph_within_cells emitted float NaN for
+    NULL-embedding neighbors where the oracle yields SQL NULL — invisible
+    to this module's isna()-based sweep (float conversion folds both),
+    but a strict value-hash differential diverges ('nan' vs 'None' after
+    the driver's stringify). Lock the fix at the SQL layer, where
+    isnan() and IS NULL are distinguishable: every missing score must be
+    a true NULL, and the 10% NULL fixture must actually produce some."""
+    df = QUERIES["knn_graph_within_cells"](spark, null_emb_sf_dir)
+    assert df.filter("isnan(score)").count() == 0
+    assert df.filter("score IS NULL").count() > 0
