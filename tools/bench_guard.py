@@ -1,0 +1,109 @@
+"""Bench early-warning guard: flag queries drifting toward the 2× gate.
+
+The driver's acceptance gate is per-query BENCH vs BASELINE.md median at
+2×; nothing trips BEFORE the gate does, so a slow regression only surfaces
+when it already fails. This checker diffs a BENCH.json against
+BASELINE.md's per-query medians and lists every query above a warning
+ratio (default 1.5×, env BENCH_GUARD_RATIO), plus queries missing a
+baseline row (new this round — they need a re-baselined BASELINE.md
+before the next round ends) and baseline rows with no bench timing
+(renamed/removed queries).
+
+Run at round end on the final committed code:
+
+    python tools/bench_guard.py [BENCH.json [BASELINE.md]]
+
+Exit code 1 if any query breaches the WARNING ratio (so it can gate a
+round-end checklist); missing rows alone exit 0 but print loudly.
+
+Timing-noise caveat (BASELINE.md): identical runs vary 2-3× whole-run on
+this host — treat a single-run breach as a re-measure signal (median of
+3+), not proof of regression. Sub-100 ms medians are skipped for ratio
+purposes (pure noise floor) unless the bench value exceeds 0.5 s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+
+def load_baseline(path: str) -> dict[str, float]:
+    medians: dict[str, float] = {}
+    with open(path) as f:
+        for line in f:
+            m = re.match(r"^\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*$", line)
+            if m:
+                medians[m.group(1)] = float(m.group(2))
+    return medians
+
+
+def main() -> int:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(root, "BENCH.json")
+    base_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(root, "BASELINE.md")
+    ratio = float(os.environ.get("BENCH_GUARD_RATIO", "1.5"))
+
+    with open(bench_path) as f:
+        bench = json.load(f)
+    if "queries" not in bench and isinstance(bench.get("parsed"), dict):
+        # driver-written BENCH_r{N}.json wrapper: its "parsed" block holds
+        # only the stdout headline subset (the full map lives in the repo
+        # BENCH.json written by the same run) — check what's available
+        bench = bench["parsed"]
+        print(f"note: {os.path.basename(bench_path)} carries the headline "
+              f"subset only ({len(bench.get('queries', {}))} queries)")
+    timings: dict[str, float] = bench["queries"]
+    base = load_baseline(base_path)
+    if not base:
+        print(f"ERROR: no per-query medians parsed from {base_path}")
+        return 1
+
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    missing_base = sorted(n for n in timings if n not in base and timings[n] >= 0)
+    missing_bench = sorted(n for n in base if n not in timings)
+
+    warn: list[tuple[float, str, float, float]] = []
+    for name, t in timings.items():
+        b = base.get(name)
+        if b is None or t < 0:
+            continue
+        # noise floor: ratios on sub-100 ms medians are meaningless unless
+        # the measured value is itself substantial
+        if b < 0.1 and t < 0.5:
+            continue
+        r = t / b if b > 0 else float("inf")
+        if r > ratio:
+            warn.append((r, name, t, b))
+
+    total = sum(t for t in timings.values() if t >= 0)
+    base_total = sum(base.values())
+    print(
+        f"bench_guard: {len(timings)} queries, total {total:.1f}s vs baseline "
+        f"{base_total:.1f}s ({total / base_total:.2f}x aggregate), warn ratio {ratio}x"
+    )
+    if failed:
+        print(f"  FAILED queries ({len(failed)}): {', '.join(failed)}")
+    if missing_base:
+        print(
+            f"  no baseline row ({len(missing_base)}) — re-baseline before "
+            f"round end: {', '.join(missing_base)}"
+        )
+    if missing_bench:
+        print(f"  baseline rows with no timing ({len(missing_bench)}): "
+              f"{', '.join(missing_bench)}")
+    if warn:
+        print(f"  over {ratio}x ({len(warn)}):")
+        print("  | query | bench s | baseline s | ratio |")
+        print("  |---|---|---|---|")
+        for r, name, t, b in sorted(warn, reverse=True):
+            print(f"  | {name} | {t:.3f} | {b:.3f} | {r:.2f}x |")
+    else:
+        print(f"  no query above {ratio}x its baseline median")
+    return 1 if warn or failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
