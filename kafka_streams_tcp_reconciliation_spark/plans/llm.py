@@ -919,9 +919,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_neardup",
-    oracle=f"""
+# Shared LSH-candidate CTE prefix for the cosine near-dup family: exact
+# same bucket construction in both engines (see dedup_embedding_neardup).
+_NEARDUP_CTES = f"""
     WITH e AS (
         SELECT vec_id, embedding,
                {sim.duck_dot_expr("embedding", "embedding")} AS sqn
@@ -937,7 +937,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b a
         JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
                  AND a.vec_id < b2.vec_id
-    )
+    )"""
+
+
+def _neardup_oracle(tau: float) -> str:
+    return f"""
+    {_NEARDUP_CTES}
     SELECT vec_a, vec_b,
            round(({sim.duck_dot_expr("x.embedding", "y.embedding")})
                  / sqrt(x.sqn * y.sqn), 6) AS cosine
@@ -945,22 +950,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN e x ON x.vec_id = vec_a
     JOIN e y ON y.vec_id = vec_b
     WHERE round(({sim.duck_dot_expr("x.embedding", "y.embedding")})
-                / sqrt(x.sqn * y.sqn), 6) >= {_NEARDUP_COS}
-    """,
-)
-def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup (X2/X3): random-hyperplane sign-LSH with
-    2 OR-ed tables of 8 planes (256 buckets each); only within-bucket
-    pairs are scored; keep cosine >= 0.3.
-
-    The hyperplanes are deterministic rationals from integer arithmetic,
-    so the DuckDB oracle rebuilds the exact same buckets — the approximate
-    pipeline gets the strong check (pairs missed by LSH are missed
-    identically on both sides). 100 TB shape: 2 rows per vector shuffle
-    on (table, bucket); candidate volume ~n²/buckets per table, tuned by
-    LSH_PLANES; squared norms are precomputed per vector so each
-    candidate pair costs one dot product; scoring rejoins by vec_id.
+                / sqrt(x.sqn * y.sqn), 6) >= {tau}
     """
+
+
+def _neardup_scored(spark: SparkSession, sf_dir: str):
+    """Scored sign-LSH candidate pairs (vec_a, vec_b, cosine column expr)
+    — the shared stage of the near-dup family; see
+    ``dedup_embedding_neardup`` for the scale notes."""
     emb = (
         scale_out(load_table(spark, sf_dir, "embeddings"))
         .select(
@@ -1001,11 +998,114 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt(F.col("x.sqn") * F.col("y.sqn")),
         6,
     )
-    return (
-        cand.join(emb.alias("x"), F.col("x.vec_id") == F.col("vec_a"))
-        .join(emb.alias("y"), F.col("y.vec_id") == F.col("vec_b"))
-        .filter(cos >= _NEARDUP_COS)
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+    scored = cand.join(emb.alias("x"), F.col("x.vec_id") == F.col("vec_a")).join(
+        emb.alias("y"), F.col("y.vec_id") == F.col("vec_b")
+    )
+    return scored, cos
+
+
+@register("dedup_embedding_neardup", oracle=_neardup_oracle(_NEARDUP_COS))
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (X2/X3): random-hyperplane sign-LSH with
+    2 OR-ed tables of 8 planes (256 buckets each); only within-bucket
+    pairs are scored; keep cosine >= 0.3.
+
+    The hyperplanes are deterministic rationals from integer arithmetic,
+    so the DuckDB oracle rebuilds the exact same buckets — the approximate
+    pipeline gets the strong check (pairs missed by LSH are missed
+    identically on both sides). 100 TB shape: 2 rows per vector shuffle
+    on (table, bucket); candidate volume ~n²/buckets per table, tuned by
+    LSH_PLANES; squared norms are precomputed per vector so each
+    candidate pair costs one dot product; scoring rejoins by vec_id.
+
+    Threshold posture: τ=0.3 is the DENSE demonstration regime — on this
+    isotropic corpus the true-pair set itself is quadratic (2.46M pairs
+    at sf10, SCALE.md round 7), so runtime is output-bound by design.
+    The production near-dup posture is ``dedup_embedding_neardup_sparse``
+    (τ=0.9), where output collapses to the genuine-duplicate set.
+    """
+    scored, cos = _neardup_scored(spark, sf_dir)
+    return scored.filter(cos >= _NEARDUP_COS).select(
+        "vec_a", "vec_b", cos.alias("cosine")
+    )
+
+
+_NEARDUP_SPARSE_COS = 0.9
+
+
+@register(
+    "dedup_embedding_neardup_sparse",
+    oracle=_neardup_oracle(_NEARDUP_SPARSE_COS),
+)
+def dedup_embedding_neardup_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at the PRODUCTION threshold (τ=0.9): identical
+    sign-LSH machinery to ``dedup_embedding_neardup``, but the keep
+    predicate selects genuine near-duplicates only — the posture a
+    100 TB dedup pass actually runs with.
+
+    Why it exists (round-8 verdict task): at τ=0.3 the registered query
+    demonstrates candidate-generation correctness but its OUTPUT is
+    quadratic on isotropic vectors (2.46M true pairs at sf10) — correct,
+    and measured, but the wrong default to imitate at scale. At τ=0.9 the
+    output is bounded by the real duplicate population (0 rows on this
+    isotropic synthetic corpus at every SF — see SCALE.md round 8 for the
+    measured collapse, and ``neardup_threshold_sweep`` for the per-τ
+    counts that keep the differential non-trivial). Cost is unchanged:
+    the candidate join dominates; the filter is map-side.
+    """
+    scored, cos = _neardup_scored(spark, sf_dir)
+    return scored.filter(cos >= _NEARDUP_SPARSE_COS).select(
+        "vec_a", "vec_b", cos.alias("cosine")
+    )
+
+
+_SWEEP_TAUS = (0.3, 0.5, 0.7, 0.9)
+
+
+@register(
+    "neardup_threshold_sweep",
+    oracle=f"""
+    {_NEARDUP_CTES},
+    scored AS (
+        SELECT round(({sim.duck_dot_expr("x.embedding", "y.embedding")})
+                     / sqrt(x.sqn * y.sqn), 6) AS cosine
+        FROM cand
+        JOIN e x ON x.vec_id = vec_a
+        JOIN e y ON y.vec_id = vec_b
+    )
+    SELECT t.tau, CAST(count(s.cosine) AS BIGINT) AS n_pairs
+    FROM (VALUES {", ".join(f"({t})" for t in _SWEEP_TAUS)}) t(tau)
+    LEFT JOIN scored s ON s.cosine >= t.tau
+    GROUP BY t.tau
+    """,
+)
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold calibration report: pair counts of the scored
+    sign-LSH candidate set at each τ in (0.3, 0.5, 0.7, 0.9) — the table
+    you read before picking a production threshold, and the differential
+    that keeps the sparse regime honestly checked (a 0-row τ=0.9 listing
+    hash-matches trivially; these counts do not).
+
+    Plan: ONE pass over the scored candidates with four conditional
+    partial aggregates (map-side combine, no second shuffle), unpivoted
+    to (tau, n_pairs) via stack on the single aggregate row. The oracle
+    mirrors with a VALUES left join; both engines see the identical
+    rounded cosines, so counts match exactly.
+    """
+    scored, cos = _neardup_scored(spark, sf_dir)
+    aggs = [
+        # coalesce: SUM over zero rows is NULL, the oracle's count() is 0
+        F.coalesce(F.sum(F.when(cos >= t, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(f"n_{i}")
+        for i, t in enumerate(_SWEEP_TAUS)
+    ]
+    row = scored.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), n_{i}" for i, t in enumerate(_SWEEP_TAUS)
+    )
+    return row.select(
+        F.expr(f"stack({len(_SWEEP_TAUS)}, {stack_args}) AS (tau, n_pairs)")
     )
 
 

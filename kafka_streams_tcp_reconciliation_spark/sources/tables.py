@@ -277,6 +277,32 @@ def scale_out(df: DataFrame) -> DataFrame:
             pass  # non-local URI or unparsable conf -> RDD probe
     if n_splits is None:
         n_splits = df.rdd.getNumPartitions()
+    # Byte-range splits OVER-count the usable parallelism of a parquet
+    # scan: a split only processes row groups whose midpoint lands in its
+    # byte range, so a large file with few row groups (pyarrow's default
+    # is 1Mi rows per group) yields mostly-empty tasks plus stragglers.
+    # Measured round 8 on a 176 MB single-file, 2-row-group documents
+    # table: the RDD probe reported 32 splits (≥ target, so no widening)
+    # while only 2 tasks carried data — 2-core shingling for 23+ min vs
+    # ~1 min at full width. For small LOCAL parquet listings the footer
+    # row-group count is the true upper bound (same cheap footer read as
+    # load_table's timestamp-unit probe); non-parquet or non-local
+    # listings skip the bound unchanged.
+    if n_splits >= target and 0 < len(files) <= 64 and all(
+        f.endswith(".parquet") for f in files
+    ):
+        try:
+            import pyarrow.parquet as _pq
+
+            n_splits = min(
+                n_splits,
+                sum(
+                    _pq.ParquetFile(_local_path(f)).metadata.num_row_groups
+                    for f in files
+                ),
+            )
+        except (OSError, ValueError, ImportError):
+            pass  # non-local URI etc. — keep the probe's answer
     if n_splits < target:
         return df.repartition(target)
     return df

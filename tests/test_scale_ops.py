@@ -354,3 +354,39 @@ def test_invalid_knob_values_fail_loudly_at_import(var, val):
     )
     assert r.returncode != 0
     assert "ValueError" in r.stderr and var in r.stderr, r.stderr[-2000:]
+
+
+def test_scale_out_bounds_parallelism_by_row_groups(spark, tmp_path):
+    """Round-8 straggler finding: byte-range splits over-count a parquet
+    scan's usable parallelism — a large file with ONE row group reports
+    many splits but only one task carries data. scale_out must bound its
+    split probe by the footer row-group count and widen such scans (the
+    measured failure: 176 MB / 2 row groups → 32 reported splits, 2 busy
+    cores, 23+ min of shingling vs ~1 min wide)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import scale_out
+
+    n = 400_000
+    p = str(tmp_path / "one.parquet")
+    pq.write_table(pa.table({"x": list(range(n))}), p, row_group_size=n)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        df = spark.read.parquet(p)
+        target = spark.sparkContext.defaultParallelism
+        # precondition: byte splits alone claim >= target parallelism
+        assert df.rdd.getNumPartitions() >= target
+        out = scale_out(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" in plan, (
+            f"scale_out did not widen a 1-row-group scan:\n{plan}"
+        )
+        # a well-laid-out file (many row groups) must stay un-shuffled
+        p2 = str(tmp_path / "many.parquet")
+        pq.write_table(pa.table({"x": list(range(n))}), p2, row_group_size=2_000)
+        out2 = scale_out(spark.read.parquet(p2))
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" not in plan2, plan2
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")

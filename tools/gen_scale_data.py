@@ -80,134 +80,166 @@ def _ts_us(col: np.ndarray) -> pa.Array:
     return pa.array(col, type=pa.timestamp("us"))
 
 
-def generate(out_dir: str, sf: float = 1.0, seed: int = 101) -> None:
+def generate(
+    out_dir: str,
+    sf: float = 1.0,
+    seed: int = 101,
+    only: set[str] | None = None,
+) -> None:
+    """Write the tables (all by default; ``only`` restricts to a subset —
+    note the single RNG stream means a subset run draws DIFFERENT values
+    than the same table inside a full run, so never mix subset- and
+    full-generated files inside one fixture directory)."""
     rng = np.random.default_rng(seed)
     n = sizes(sf)
     os.makedirs(out_dir, exist_ok=True)
 
+    def want(name: str) -> bool:
+        return only is None or name in only
+
     def write(name: str, table: pa.Table) -> None:
-        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+        # Bounded row groups: pyarrow's 1Mi-row default makes a large
+        # single file effectively 1-2-way parallel in Spark (a scan task
+        # only processes row groups whose midpoint lands in its byte
+        # range) — the round-8 sf30 straggler finding. 100k rows/group
+        # keeps groups in the real-world 5-15 MB band for these tables.
+        pq.write_table(
+            table, os.path.join(out_dir, f"{name}.parquet"),
+            row_group_size=100_000,
+        )
         print(f"  {name}: {table.num_rows} rows", file=sys.stderr)
 
-    write("region", pa.table({
-        "r_regionkey": pa.array(range(5), type=pa.int32()),
-        "r_name": REGIONS,
-    }))
-    write("nation", pa.table({
-        "n_nationkey": pa.array(range(25), type=pa.int32()),
-        "n_name": [f"NATION_{i}" for i in range(25)],
-        "n_regionkey": pa.array([i % 5 for i in range(25)], type=pa.int32()),
-    }))
+    if want("region"):
+        write("region", pa.table({
+            "r_regionkey": pa.array(range(5), type=pa.int32()),
+            "r_name": REGIONS,
+        }))
+    if want("nation"):
+        write("nation", pa.table({
+            "n_nationkey": pa.array(range(25), type=pa.int32()),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": pa.array([i % 5 for i in range(25)], type=pa.int32()),
+        }))
 
     ns = n["supplier"]
-    write("supplier", pa.table({
-        "s_suppkey": pa.array(range(ns), type=pa.int64()),
-        "s_name": [f"Supplier#{i:09d}" for i in range(ns)],
-        "s_nationkey": pa.array(rng.integers(0, 25, ns), type=pa.int32()),
-        "s_acctbal": np.round(rng.uniform(-1000, 10000, ns), 2),
-    }))
+    if want("supplier"):
+        write("supplier", pa.table({
+            "s_suppkey": pa.array(range(ns), type=pa.int64()),
+            "s_name": [f"Supplier#{i:09d}" for i in range(ns)],
+            "s_nationkey": pa.array(rng.integers(0, 25, ns), type=pa.int32()),
+            "s_acctbal": np.round(rng.uniform(-1000, 10000, ns), 2),
+        }))
 
     nc = n["customer"]
-    write("customer", pa.table({
-        "c_custkey": pa.array(range(nc), type=pa.int64()),
-        "c_name": [f"Customer#{i:09d}" for i in range(nc)],
-        "c_nationkey": pa.array(rng.integers(0, 25, nc), type=pa.int32()),
-        "c_acctbal": np.round(rng.uniform(-1000, 10000, nc), 2),
-        "c_mktsegment": np.array(SEGMENTS)[rng.integers(0, 5, nc)],
-    }))
+    if want("customer"):
+        write("customer", pa.table({
+            "c_custkey": pa.array(range(nc), type=pa.int64()),
+            "c_name": [f"Customer#{i:09d}" for i in range(nc)],
+            "c_nationkey": pa.array(rng.integers(0, 25, nc), type=pa.int32()),
+            "c_acctbal": np.round(rng.uniform(-1000, 10000, nc), 2),
+            "c_mktsegment": np.array(SEGMENTS)[rng.integers(0, 5, nc)],
+        }))
 
     npart = n["part"]
-    adj = np.array(ADJ)[rng.integers(0, len(ADJ), npart)]
-    noun = np.array(NOUN)[rng.integers(0, len(NOUN), npart)]
-    write("part", pa.table({
-        "p_partkey": pa.array(range(npart), type=pa.int64()),
-        "p_name": [f"{a} {b}" for a, b in zip(adj, noun)],
-        "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, npart)],
-        "p_type": np.array(PTYPES)[rng.integers(0, len(PTYPES), npart)],
-        "p_size": pa.array(rng.integers(1, 51, npart), type=pa.int32()),
-        "p_retailprice": np.round(900.0 + rng.integers(0, 1000, npart) / 10.0, 1),
-    }))
+    if want("part"):
+        adj = np.array(ADJ)[rng.integers(0, len(ADJ), npart)]
+        noun = np.array(NOUN)[rng.integers(0, len(NOUN), npart)]
+        write("part", pa.table({
+            "p_partkey": pa.array(range(npart), type=pa.int64()),
+            "p_name": [f"{a} {b}" for a, b in zip(adj, noun)],
+            "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, npart)],
+            "p_type": np.array(PTYPES)[rng.integers(0, len(PTYPES), npart)],
+            "p_size": pa.array(rng.integers(1, 51, npart), type=pa.int32()),
+            "p_retailprice": np.round(900.0 + rng.integers(0, 1000, npart) / 10.0, 1),
+        }))
 
     no = n["orders"]
-    odate_us = ORDER_EPOCH_US + rng.integers(0, ORDER_SPAN_DAYS, no) * DAY_US
-    write("orders", pa.table({
-        "o_orderkey": pa.array(range(no), type=pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, nc, no), type=pa.int64()),
-        "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, no)],
-        "o_totalprice": np.round(rng.uniform(1000, 500_000, no), 2),
-        "o_orderdate": _ts_us(odate_us),
-        "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, no)],
-    }))
+    if want("orders") or want("lineitem"):
+        odate_us = ORDER_EPOCH_US + rng.integers(0, ORDER_SPAN_DAYS, no) * DAY_US
+    if want("orders"):
+        write("orders", pa.table({
+            "o_orderkey": pa.array(range(no), type=pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, nc, no), type=pa.int64()),
+            "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, no)],
+            "o_totalprice": np.round(rng.uniform(1000, 500_000, no), 2),
+            "o_orderdate": _ts_us(odate_us),
+            "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, no)],
+        }))
 
-    lines_per_order = rng.poisson(4.0, no)
-    okeys = np.repeat(np.arange(no, dtype=np.int64), lines_per_order)
-    nl = len(okeys)
-    ship_us = (
-        np.repeat(odate_us, lines_per_order)
-        + rng.integers(1, 96, nl) * DAY_US
-    )
-    write("lineitem", pa.table({
-        "l_orderkey": pa.array(okeys, type=pa.int64()),
-        "l_partkey": pa.array(rng.integers(0, npart, nl), type=pa.int64()),
-        "l_suppkey": pa.array(rng.integers(0, ns, nl), type=pa.int64()),
-        "l_linenumber": pa.array(rng.integers(1, 8, nl), type=pa.int32()),
-        "l_quantity": rng.integers(1, 51, nl).astype(np.float64),
-        "l_extendedprice": np.round(rng.uniform(900, 105_000, nl), 2),
-        "l_discount": rng.integers(0, 11, nl) / 100.0,
-        "l_tax": rng.integers(0, 9, nl) / 100.0,
-        "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, nl)],
-        "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, nl)],
-        "l_shipdate": _ts_us(ship_us),
-    }))
+    if want("lineitem"):
+        lines_per_order = rng.poisson(4.0, no)
+        okeys = np.repeat(np.arange(no, dtype=np.int64), lines_per_order)
+        nl = len(okeys)
+        ship_us = (
+            np.repeat(odate_us, lines_per_order)
+            + rng.integers(1, 96, nl) * DAY_US
+        )
+        write("lineitem", pa.table({
+            "l_orderkey": pa.array(okeys, type=pa.int64()),
+            "l_partkey": pa.array(rng.integers(0, npart, nl), type=pa.int64()),
+            "l_suppkey": pa.array(rng.integers(0, ns, nl), type=pa.int64()),
+            "l_linenumber": pa.array(rng.integers(1, 8, nl), type=pa.int32()),
+            "l_quantity": rng.integers(1, 51, nl).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(900, 105_000, nl), 2),
+            "l_discount": rng.integers(0, 11, nl) / 100.0,
+            "l_tax": rng.integers(0, 9, nl) / 100.0,
+            "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, nl)],
+            "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, nl)],
+            "l_shipdate": _ts_us(ship_us),
+        }))
 
-    ne = n["events"]
-    nusers = max(15, ne // 67)
-    ets = np.sort(EVENT_EPOCH_US + rng.integers(0, EVENT_SPAN_US, ne))
-    types = np.array(["click", "error", "purchase", "signup", "view"])
-    kvals = rng.integers(0, 100, ne)
-    write("events", pa.table({
-        "event_id": pa.array(range(ne), type=pa.int64()),
-        "ts": _ts_us(ets),
-        "user_id": pa.array(rng.integers(0, nusers, ne), type=pa.int64()),
-        "event_type": types[rng.integers(0, 5, ne)],
-        "value": np.round(rng.exponential(50.0, ne), 6),
-        "props": [f'{{"k": {k}}}' for k in kvals],
-    }))
+    if want("events"):
+        ne = n["events"]
+        nusers = max(15, ne // 67)
+        ets = np.sort(EVENT_EPOCH_US + rng.integers(0, EVENT_SPAN_US, ne))
+        types = np.array(["click", "error", "purchase", "signup", "view"])
+        kvals = rng.integers(0, 100, ne)
+        write("events", pa.table({
+            "event_id": pa.array(range(ne), type=pa.int64()),
+            "ts": _ts_us(ets),
+            "user_id": pa.array(rng.integers(0, nusers, ne), type=pa.int64()),
+            "event_type": types[rng.integers(0, 5, ne)],
+            "value": np.round(rng.exponential(50.0, ne), 6),
+            "props": [f'{{"k": {k}}}' for k in kvals],
+        }))
 
-    nd = n["documents"]
-    vocab = np.array(VOCAB)
-    lens = rng.integers(10, 101, nd)
-    texts = [
-        " ".join(vocab[rng.integers(0, len(vocab), ln)]) for ln in lens
-    ]
-    # ~0.16% exact duplicates (sf0.1 shows 8/5000): copy an earlier doc
-    for i in rng.choice(np.arange(1, nd), size=max(1, nd * 16 // 10_000),
-                        replace=False):
-        texts[i] = texts[int(rng.integers(0, i))]
-    write("documents", pa.table({
-        "doc_id": pa.array(range(nd), type=pa.int64()),
-        "text": texts,
-        "lang": np.array(LANGS)[rng.choice(5, nd, p=LANG_P)],
-        "source": [f"src{i}" for i in rng.integers(0, 20, nd)],
-        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
-    }))
+    if want("documents"):
+        nd = n["documents"]
+        vocab = np.array(VOCAB)
+        lens = rng.integers(10, 101, nd)
+        texts = [
+            " ".join(vocab[rng.integers(0, len(vocab), ln)]) for ln in lens
+        ]
+        # ~0.16% exact duplicates (sf0.1 shows 8/5000): copy an earlier doc
+        for i in rng.choice(np.arange(1, nd), size=max(1, nd * 16 // 10_000),
+                            replace=False):
+            texts[i] = texts[int(rng.integers(0, i))]
+        write("documents", pa.table({
+            "doc_id": pa.array(range(nd), type=pa.int64()),
+            "text": texts,
+            "lang": np.array(LANGS)[rng.choice(5, nd, p=LANG_P)],
+            "source": [f"src{i}" for i in rng.integers(0, 20, nd)],
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }))
 
-    nv = n["embeddings"]
-    V = rng.standard_normal((nv, 64))
-    V /= np.linalg.norm(V, axis=1, keepdims=True)
-    write("embeddings", pa.table({
-        "vec_id": pa.array(range(nv), type=pa.int64()),
-        "embedding": pa.array(
-            [row.astype(np.float32) for row in V],
-            type=pa.list_(pa.float32()),
-        ),
-        "label": pa.array(rng.integers(0, 10, nv), type=pa.int32()),
-    }))
+    if want("embeddings"):
+        nv = n["embeddings"]
+        V = rng.standard_normal((nv, 64))
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        write("embeddings", pa.table({
+            "vec_id": pa.array(range(nv), type=pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in V],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(rng.integers(0, 10, nv), type=pa.int32()),
+        }))
 
 
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1/sf1.0"
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 101
-    print(f"generating sf={sf} seed={seed} -> {out}", file=sys.stderr)
-    generate(out, sf, seed)
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    print(f"generating sf={sf} seed={seed} only={only} -> {out}", file=sys.stderr)
+    generate(out, sf, seed, only)
