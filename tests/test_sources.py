@@ -474,27 +474,34 @@ def test_scale_out_single_big_file_skips_redundant_repartition(spark, tmp_path):
     splits, so a below-target file COUNT is not a split upper bound there
     (round-7 ADVICE): scale_out must stat local files and fall through to
     the accurate probe instead of stacking a redundant repartition
-    shuffle on an already-parallel scan."""
+    shuffle on an already-parallel scan. Since round 8 "already parallel"
+    additionally requires enough ROW GROUPS to feed the splits (a
+    1-row-group big file has many splits but one busy task — widening it
+    is correct, covered by test_scale_ops), so this file is written with
+    ~1k-row groups to make its parallelism genuine."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from kafka_streams_tcp_reconciliation_spark.sources.tables import scale_out
 
     target = spark.sparkContext.defaultParallelism
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "16384b")
-        import random
-
         rng = random.Random(7)
-        rows = [
-            (i, "".join(chr(rng.randrange(33, 127)) for _ in range(64)))
-            for i in range(40_000)
+        txt = [
+            "".join(chr(rng.randrange(33, 127)) for _ in range(64))
+            for _ in range(40_000)
         ]
-        (
-            spark.createDataFrame(rows, "id long, txt string")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(str(tmp_path / "big"))
+        p = str(tmp_path / "big.parquet")
+        pq.write_table(
+            pa.table({"id": list(range(40_000)), "txt": txt}),
+            p,
+            row_group_size=1_000,  # 40 groups >= any local target
         )
-        df = spark.read.parquet(str(tmp_path / "big"))
+        df = spark.read.parquet(p)
         assert len(df.inputFiles()) == 1  # the regime the ADVICE flagged
         assert df.rdd.getNumPartitions() >= target  # already parallel
         plan = scale_out(df)._jdf.queryExecution().logical().toString()
