@@ -172,13 +172,22 @@ def stop_shingle_filter(ex: DataFrame, cap: int, col: str = "s") -> DataFrame:
     return ex.join(hot, col, "left_anti")
 
 
-def capped_sizes(sh: DataFrame, ex: DataFrame) -> DataFrame:
+def capped_sizes(
+    sh: DataFrame, ex: DataFrame, cap: int | None = None
+) -> DataFrame:
     """Per-doc shingle-set sizes ``(doc_id, n_sh)`` consistent with the
-    module cap: post-cap recount from the (already capped) exploded index
-    when the cap binds, else the free ``size(shingles)`` projection (the
-    shingle arrays are distinct, so both forms agree when cap = 0 — the
-    recount shuffle is only paid when the cap is on)."""
-    if STOP_SHINGLE_DF:
+    cap that produced ``ex``: post-cap recount from the (already capped)
+    exploded index when the cap binds, else the free ``size(shingles)``
+    projection (the shingle arrays are distinct, so both forms agree when
+    cap = 0 — the recount shuffle is only paid when the cap is on).
+
+    ``cap`` MUST be the same value that was passed to
+    :func:`stop_shingle_filter` for ``ex`` (default: the module knob
+    ``STOP_SHINGLE_DF``, matching the registered queries) — sizes counted
+    under a different cap silently break Jaccard/containment parity."""
+    if cap is None:
+        cap = STOP_SHINGLE_DF
+    if cap:
         return ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return sh.select("doc_id", F.size("shingles").alias("n_sh"))
 

@@ -76,6 +76,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     resident storage to one query's working set; bench.py's own per-query
     ``clearCache`` stays (idempotent), and a query's internal caches are
     created after the clear, so self-use is unaffected.
+
+    CAVEAT for interactive / embedding callers: ``clearCache`` is
+    session-wide — invoking ANY registered query drops every cached
+    relation in the session, including caches you created yourself.
+    Results stay correct (Spark recomputes), but cached work is lost.
+    Call the undecorated plan builder (``QUERIES[name].__wrapped__``) to
+    opt out of the hygiene when you manage the session cache yourself.
     """
 
     def deco(fn: QueryFn) -> QueryFn:

@@ -292,20 +292,28 @@ def scale_out(df: DataFrame) -> DataFrame:
         f.endswith(".parquet") for f in files
     ):
         try:
-            import pyarrow.parquet as _pq
-
-            n_splits = min(
-                n_splits,
-                sum(
-                    _pq.ParquetFile(_local_path(f)).metadata.num_row_groups
-                    for f in files
-                ),
-            )
+            n_splits = min(n_splits, sum(_num_row_groups(f) for f in files))
         except (OSError, ValueError, ImportError):
             pass  # non-local URI etc. — keep the probe's answer
     if n_splits < target:
         return df.repartition(target)
     return df
+
+
+# Footer row-group counts are immutable for a given file path in this
+# sandbox (fixtures are generated once); memoizing mirrors _TS_PROBE_CACHE
+# so a 200+-query bench run pays each footer read once, not per query.
+_RG_PROBE_CACHE: dict[str, int] = {}
+
+
+def _num_row_groups(uri: str) -> int:
+    """Memoized parquet footer row-group count for a local file URI."""
+    path = _local_path(uri)
+    if path not in _RG_PROBE_CACHE:
+        import pyarrow.parquet as _pq
+
+        _RG_PROBE_CACHE[path] = _pq.ParquetFile(path).metadata.num_row_groups
+    return _RG_PROBE_CACHE[path]
 
 
 def _local_path(uri: str) -> str:

@@ -55,7 +55,11 @@ def main() -> int:
         bench = bench["parsed"]
         print(f"note: {os.path.basename(bench_path)} carries the headline "
               f"subset only ({len(bench.get('queries', {}))} queries)")
-    timings: dict[str, float] = bench["queries"]
+    timings: dict[str, float] | None = bench.get("queries")
+    if not timings:
+        print(f"ERROR: no 'queries' timing map in {bench_path} — run "
+              f"bench.py and point this tool at the repo BENCH.json")
+        return 1
     base = load_baseline(base_path)
     if not base:
         print(f"ERROR: no per-query medians parsed from {base_path}")
@@ -80,9 +84,10 @@ def main() -> int:
 
     total = sum(t for t in timings.values() if t >= 0)
     base_total = sum(base.values())
+    agg = f"{total / base_total:.2f}x aggregate" if base_total > 0 else "n/a"
     print(
         f"bench_guard: {len(timings)} queries, total {total:.1f}s vs baseline "
-        f"{base_total:.1f}s ({total / base_total:.2f}x aggregate), warn ratio {ratio}x"
+        f"{base_total:.1f}s ({agg}), warn ratio {ratio}x"
     )
     if failed:
         print(f"  FAILED queries ({len(failed)}): {', '.join(failed)}")
