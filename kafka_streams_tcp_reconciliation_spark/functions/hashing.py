@@ -54,6 +54,23 @@ def hash_params(n: int) -> list[tuple[int, int]]:
     return out
 
 
+def safe_seq1(m: str) -> str:
+    """Spark SQL: ascending index sequence ``[1..m]`` that is EMPTY when
+    ``m`` < 1 and NULL when ``m`` is NULL.
+
+    A bare ``sequence(1, m)`` DESCENDS for m <= 0 (``sequence(1, 0)`` is
+    ``[1, 0]``), feeding downstream ``slice``/``substring`` a zero or
+    negative index — ``slice`` throws (killing the whole job on ONE short
+    document) and ``substring`` silently reads from the string's END.
+    DuckDB's ``range(1, m+1)`` is empty for m < 1, so the guard is also
+    what keeps gram/shingle builders oracle-exact on degenerate inputs
+    (empty text, docs shorter than the gram width)."""
+    return (
+        f"if(({m}) IS NULL, CAST(NULL AS ARRAY<INT>),"
+        f" slice(sequence(1, greatest({m}, 1)), 1, greatest({m}, 0)))"
+    )
+
+
 def spark_poly_hash(col: str, base: int = BASE_A, mod: int = MOD) -> str:
     """Spark SQL: polynomial hash of string expression ``col``.
 
@@ -62,7 +79,7 @@ def spark_poly_hash(col: str, base: int = BASE_A, mod: int = MOD) -> str:
     variable capture (``col`` may reference an outer lambda's variable).
     """
     return (
-        f"aggregate(transform(sequence(1, length({col})),"
+        f"aggregate(transform({safe_seq1(f'length({col})')},"
         f" ph_i -> ascii(substring({col}, ph_i, 1))),"
         f" CAST(0 AS BIGINT), (ph_a, ph_x) -> (ph_a * {base} + ph_x) % {mod})"
     )

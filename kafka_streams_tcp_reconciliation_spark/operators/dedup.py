@@ -30,6 +30,7 @@ from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
     duck_hash64,
     duck_poly_hash,
     hash_params,
+    safe_seq1,
     spark_hash64,
     spark_poly_hash,
 )
@@ -40,9 +41,14 @@ from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
 
 
 def shingle_expr(text_col: str, n: int) -> Column:
-    """Distinct word-``n``-gram shingle strings of a text column (Spark)."""
+    """Distinct word-``n``-gram shingle strings of a text column (Spark).
+
+    Index range guarded by :func:`safe_seq1`: a doc with fewer than ``n``
+    words yields an EMPTY shingle set (DuckDB-parity), not a crashed job
+    — the bare descending ``sequence`` fed ``slice`` a start of 0."""
+    idx = safe_seq1(f"size(split({text_col}, ' ')) - {n - 1}")
     return F.expr(
-        f"array_distinct(transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+        f"array_distinct(transform({idx},"
         f" sh_i -> concat_ws(' ', slice(split({text_col}, ' '), sh_i, {n}))))"
     )
 
@@ -87,8 +93,9 @@ def gram_fold64_expr(
         f"aggregate(slice({wh2_col}, wg_i, {n}), CAST(0 AS BIGINT),"
         f" (wg_b, wg_y) -> (wg_b * {BASE_A} + wg_y) % {MOD})"
     )
+    idx = safe_seq1(f"size({wh1_col}) - {n - 1}")
     inner = (
-        f"transform(sequence(1, size({wh1_col}) - {n - 1}),"
+        f"transform({idx},"
         f" wg_i -> {f1} + {f2} * CAST(1073741824 AS BIGINT))"
     )
     return F.expr(f"array_distinct({inner})" if distinct else inner)

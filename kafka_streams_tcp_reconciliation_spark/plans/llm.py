@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
     duck_hash64,
     duck_poly_hash,
+    safe_seq1,
     spark_hash64,
     spark_poly_hash,
 )
@@ -220,8 +221,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.expr(spark_hash64("text")).alias("fp64"),
+        # safe_seq1 guard: sub-8-char docs get a NULL fp_min8 (empty gram
+        # range) exactly like the oracle's range(1, len-6); the bare
+        # sequence DESCENDED through 0 and substring(text, -1, 8) then
+        # silently hashed the doc's TAIL — a wrong fingerprint, not a crash
         F.expr(
-            f"array_min(transform(sequence(1, length(text) - 7),"
+            f"array_min(transform({safe_seq1('length(text) - 7')},"
             f" i -> {spark_poly_hash('substring(text, i, 8)')}))"
         ).alias("fp_min8"),
     )
@@ -470,8 +475,15 @@ _MH_ROWS = _MH_NUM // _MH_BANDS
         FROM documents WHERE text IS NOT NULL
     ),
     hs AS (
-        SELECT doc_id, {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS hs
-        FROM wh
+        -- len > 0 mirrors the Spark-side filter: a doc shorter than the
+        -- gram width has an EMPTY hash set; MinHash/Jaccard are undefined
+        -- on empty sets, and LSH bands would bucket ALL such docs together
+        -- (a hot key at scale, then 0/0 in the exact-Jaccard verify)
+        SELECT * FROM (
+            SELECT doc_id,
+                   {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS hs
+            FROM wh
+        ) WHERE len(hs) > 0
     ),
     sig AS (
         SELECT doc_id, {dd.duck_minhash_sig_expr("hs", _MH_NUM)} AS sig FROM hs
@@ -531,9 +543,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.word_polyhashes_expr("text", 31).alias("wh1"),
         dd.word_polyhashes_expr("text", 131).alias("wh2"),
     )
-    hs = wh.select(
-        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
-    ).cache()
+    hs = (
+        wh.select(
+            "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
+        )
+        # empty gram sets (docs shorter than the gram width) are undefined
+        # under MinHash/Jaccard AND would share one hot LSH bucket -> 0/0
+        # in the verify; filter mirrored in the oracle's len(hs) > 0
+        .filter(F.size("hs") > 0)
+        .cache()
+    )
     sig = hs.select("doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig"))
     cand = dd.lsh_candidate_pairs(sig, "doc_id", "sig", _MH_BANDS, _MH_ROWS)
     n_inter = F.size(F.array_intersect(F.col("x.hs"), F.col("y.hs")))
@@ -1119,12 +1138,18 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(list_sum(list_transform(range(1, 17),
-                mm_i -> unicode(substring(text, mm_i, 1)))) AS BIGINT)
+           -- least(16, length): a sub-16-char doc checksums only the chars
+           -- it has (the kernel's text[:16]); a bare range(1, 17) feeds
+           -- unicode('') = -1 for every position past the end. coalesce:
+           -- list_sum([]) is NULL, the kernel's empty sum() is 0.
+           CAST(coalesce(list_sum(list_transform(
+                    range(1, least(16, length(text)) + 1),
+                    mm_i -> unicode(substring(text, mm_i, 1)))), 0) AS BIGINT)
                AS checksum16,
-           CAST(64 + list_sum(list_transform(range(1, 17),
-                mm_i -> unicode(substring(text, mm_i, 1)))) % 960 AS BIGINT)
-               AS fake_width,
+           CAST(64 + coalesce(list_sum(list_transform(
+                    range(1, least(16, length(text)) + 1),
+                    mm_i -> unicode(substring(text, mm_i, 1)))), 0) % 960
+               AS BIGINT) AS fake_width,
            CAST(64 + octet_length(encode(text)) % 960 AS BIGINT) AS fake_height
     FROM documents WHERE text IS NOT NULL
     """,
@@ -1418,8 +1443,15 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE text IS NOT NULL
     ),
     hs AS (
-        SELECT doc_id, {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS hs
-        FROM wh
+        -- len > 0 mirrors the Spark-side filter: a doc shorter than the
+        -- gram width has an EMPTY hash set; MinHash/Jaccard are undefined
+        -- on empty sets, and LSH bands would bucket ALL such docs together
+        -- (a hot key at scale, then 0/0 in the exact-Jaccard verify)
+        SELECT * FROM (
+            SELECT doc_id,
+                   {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS hs
+            FROM wh
+        ) WHERE len(hs) > 0
     ),
     sig AS (
         SELECT doc_id, {dd.duck_minhash_sig_expr("hs", _MH_NUM)} AS sig FROM hs
@@ -1484,9 +1516,16 @@ def minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.word_polyhashes_expr("text", 31).alias("wh1"),
         dd.word_polyhashes_expr("text", 131).alias("wh2"),
     )
-    hs = wh.select(
-        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
-    ).cache()
+    hs = (
+        wh.select(
+            "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
+        )
+        # empty gram sets (docs shorter than the gram width) are undefined
+        # under MinHash/Jaccard AND would share one hot LSH bucket -> 0/0
+        # in the verify; filter mirrored in the oracle's len(hs) > 0
+        .filter(F.size("hs") > 0)
+        .cache()
+    )
     sig = hs.select(
         "doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig")
     ).cache()
