@@ -1460,16 +1460,24 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lags AS (
         SELECT strftime(CAST(p_ts AS DATE), '%Y-%m-%d') AS day,
-               CAST(epoch_us(p_ts) - epoch_us(c_ts) AS DOUBLE)
-                 / 1000000.0 AS lag_s
+               epoch_us(p_ts) - epoch_us(c_ts) AS lag_us
         FROM conv
+    ),
+    ranked AS (
+        SELECT day, lag_us,
+               row_number() OVER (PARTITION BY day ORDER BY lag_us) AS rn,
+               count(*) OVER (PARTITION BY day) AS n
+        FROM lags
     )
     SELECT day,
            count(*) AS n_conversions,
-           round(quantile_cont(lag_s, 0.5), 6) AS p50_lag_s,
-           round(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s,
-           round(quantile_cont(lag_s, 0.99), 6) AS p99_lag_s
-    FROM lags GROUP BY day
+           max(CASE WHEN rn = (n + 1) // 2 THEN lag_us END)
+               / 1000000.0 AS p50_lag_s,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_us END)
+               / 1000000.0 AS p90_lag_s,
+           max(CASE WHEN rn = (99 * n + 99) // 100 THEN lag_us END)
+               / 1000000.0 AS p99_lag_s
+    FROM ranked GROUP BY day
     """,
 )
 def conversion_lag_percentiles(
@@ -1479,11 +1487,20 @@ def conversion_lag_percentiles(
     the lag between each purchase and that user's LAST PRIOR click — the
     reference's per-flow latency percentiles generalized to the funnel.
 
+    Percentiles are NEAREST-RANK order statistics (rank ceil(q*n)) over
+    INTEGER microsecond lags, not interpolated: lags live on an exact 1 µs
+    grid, so an interpolated midpoint lands exactly on the rounding
+    boundary where the engines' float association differs by 1 ulp — the
+    round-9 tied-timestamp sweep caught p50 flipping its 6th decimal. An
+    order statistic is one of the input integers: bitwise identical on
+    both engines, tie-immune, and still an exact percentile definition.
+    (Continuous-valued percentile queries keep interpolation — see
+    ``percentile_value_by_user``; the boundary has measure zero off-grid.)
+
     Scale: the as-of pairing is the union-and-carry single-shuffle
     operator (never the quadratic join+rank the oracle uses at its small
-    scale); percentiles are exact per day (daily volumes are groupBy-local),
-    with the same interpolation + 6-dp rounding contract as
-    ``percentile_value_by_user``.
+    scale); the rank pick is one per-day window sort (daily volumes are
+    groupBy-local).
 
     ``events`` overrides the table scan for the ``*_deduped`` composition.
     """
@@ -1503,16 +1520,29 @@ def conversion_lag_percentiles(
     )
     lags = paired.select(
         F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
-        (
-            F.expr("timestampdiff(MICROSECOND, asof_ts, ts)").cast("double")
-            / F.lit(1000000.0)
-        ).alias("lag_s"),
+        F.expr("timestampdiff(MICROSECOND, asof_ts, ts)").alias("lag_us"),
     )
-    return lags.groupBy("day").agg(
+    ranked = lags.select(
+        "day",
+        "lag_us",
+        F.row_number()
+        .over(Window.partitionBy("day").orderBy("lag_us"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("day")).alias("n"),
+    )
+
+    def _pick(qn: int, qd: int, alias: str):
+        rank = F.expr(f"({qn} * n + {qd - 1}) DIV {qd}")
+        return (
+            F.max(F.when(F.col("rn") == rank, F.col("lag_us")))
+            / F.lit(1000000.0)
+        ).alias(alias)
+
+    return ranked.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_conversions"),
-        F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("p50_lag_s"),
-        F.round(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_lag_s"),
-        F.round(F.expr("percentile(lag_s, 0.99)"), 6).alias("p99_lag_s"),
+        _pick(1, 2, "p50_lag_s"),
+        _pick(9, 10, "p90_lag_s"),
+        _pick(99, 100, "p99_lag_s"),
     )
 
 
