@@ -321,6 +321,44 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_vs(
+    probe: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows: int,
+) -> DataFrame:
+    """Cross-set LSH candidates: (probe_id, base_id) pairs sharing any
+    band bucket — the INCREMENTAL dedup shape (today's ingest batch vs the
+    accumulated corpus).
+
+    Never generates probe-probe or base-base pairs, so a small batch pays
+    bucket-join cost proportional to ITS collisions, not the corpus's
+    self-collisions — the property that makes daily dedup of a 100 TB
+    corpus affordable. In production the base side's bucket index is
+    computed once and PERSISTED (written bucketed on (band, bkey));
+    each batch recomputes signatures only for its own documents and
+    equi-joins into the standing index.
+    """
+
+    def bucketize(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col),
+                F.explode_outer(
+                    band_structs_expr(sig_col, bands, rows)
+                ).alias("bb"),
+            )
+            .filter(F.col("bb").isNotNull())
+            .select(F.col(id_col).alias(out), "bb.band", "bb.bkey")
+        )
+
+    p = bucketize(probe, "probe_id")
+    b = bucketize(base, "base_id")
+    return p.join(b, ["band", "bkey"]).select("probe_id", "base_id").distinct()
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

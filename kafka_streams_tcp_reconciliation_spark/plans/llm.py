@@ -1555,3 +1555,107 @@ def minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - exact), 6).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X2 — incremental fuzzy dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+_INCR_MOD = 17  # doc_id % 17 == 0 plays today's ~6% ingest batch
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH wh AS (
+        SELECT doc_id,
+               {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
+               {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
+        FROM documents WHERE text IS NOT NULL
+    ),
+    hs AS (
+        SELECT * FROM (
+            SELECT doc_id,
+                   {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS hs
+            FROM wh
+        ) WHERE len(hs) > 0
+    ),
+    sig AS (
+        SELECT doc_id, {dd.duck_minhash_sig_expr("hs", _MH_NUM)} AS sig FROM hs
+    ),
+    bands AS (
+        SELECT doc_id, unnest({dd.duck_band_select("sig", _MH_BANDS, _MH_ROWS)},
+                              recursive := true)
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS dup_of
+        FROM (SELECT * FROM bands WHERE doc_id % {_INCR_MOD} = 0) n
+        JOIN (SELECT * FROM bands WHERE doc_id % {_INCR_MOD} <> 0) o
+          ON n.band = o.band AND n.bkey = o.bkey
+    )
+    SELECT new_doc, dup_of,
+           round(len(list_intersect(x.hs, y.hs))
+                 / CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))
+                        AS DOUBLE), 6) AS jaccard
+    FROM cand
+    JOIN hs x ON x.doc_id = new_doc
+    JOIN hs y ON y.doc_id = dup_of
+    WHERE len(list_intersect(x.hs, y.hs))
+          / CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))
+                 AS DOUBLE) >= {_JACC_THRESHOLD}
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup (X2, the production ingest shape): dedup
+    TODAY'S BATCH against the EXISTING corpus without ever comparing
+    existing-vs-existing — (new_doc, dup_of, jaccard) for every batch doc
+    that near-duplicates (J >= 0.8) a standing document.
+
+    This is the operator a daily 100 TB pipeline actually runs: the full
+    self-dedup (``dedup_minhash_lsh``) happens once at bootstrap; every
+    batch after that pays signature compute for ITS OWN documents plus a
+    bucket equi-join into the corpus's persisted LSH index (write the
+    index bucketed on (band, bkey) and the join is shuffle-free on the
+    corpus side). Candidates are cross-set only
+    (``operators/dedup.lsh_candidate_pairs_vs``) — batch-internal dups are
+    the bootstrap operator's job, corpus-internal dups are already
+    resolved, so candidate volume scales with the batch, not the corpus.
+
+    The batch membership here is the deterministic doc_id % 17 == 0 slice
+    (~6%) so the oracle can mirror it; same hashes, banding, and empty-set
+    filter as the self-dedup pipeline.
+    """
+    docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    wh = docs.select(
+        "doc_id",
+        dd.word_polyhashes_expr("text", 31).alias("wh1"),
+        dd.word_polyhashes_expr("text", 131).alias("wh2"),
+    )
+    hs = (
+        wh.select(
+            "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
+        )
+        .filter(F.size("hs") > 0)
+        .cache()
+    )
+    sig = hs.select("doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig"))
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+    cand = dd.lsh_candidate_pairs_vs(
+        sig.filter(is_new), sig.filter(~is_new), "doc_id", "sig",
+        _MH_BANDS, _MH_ROWS,
+    )
+    n_inter = F.size(F.array_intersect(F.col("x.hs"), F.col("y.hs")))
+    jacc = n_inter / (
+        F.size(F.col("x.hs")) + F.size(F.col("y.hs")) - n_inter
+    ).cast("double")
+    return (
+        cand.withColumnRenamed("probe_id", "new_doc")
+        .withColumnRenamed("base_id", "dup_of")
+        .join(hs.alias("x"), F.col("x.doc_id") == F.col("new_doc"))
+        .join(hs.alias("y"), F.col("y.doc_id") == F.col("dup_of"))
+        .filter(jacc >= _JACC_THRESHOLD)
+        .select("new_doc", "dup_of", F.round(jacc, 6).alias("jaccard"))
+    )

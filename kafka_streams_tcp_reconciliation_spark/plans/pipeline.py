@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
     duck_poly_hash,
+    safe_seq1,
     spark_poly_hash,
 )
 from kafka_streams_tcp_reconciliation_spark.operators.dedup import (
@@ -1239,5 +1240,200 @@ def vocab_coverage_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.max("n_tokens").cast("double"),
                 6,
             ).alias("coverage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer training: BPE merge candidates (first merge round)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH words AS (
+        SELECT w, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            WHERE text IS NOT NULL
+        ) WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     bp_i -> substring(w, bp_i, 2))) AS pair,
+               freq
+        FROM words
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n_merges
+    FROM pairs GROUP BY pair
+    ORDER BY n_merges DESC, pair ASC LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round over the corpus (tokenizer-training prep):
+    the top-20 adjacent character pairs by frequency, weighted by word
+    frequency — the pair a byte-pair-encoding trainer would merge first
+    (Sennrich et al. 2016's counting step as a distributed aggregate).
+
+    Scale shape: the word-frequency table is a map-side-combinable
+    aggregate over the token explode (vocab-sized, tiny vs corpus); pair
+    extraction then runs over DISTINCT WORDS ONLY — a 100 TB corpus has
+    billions of tokens but a near-constant vocabulary, so the per-word
+    char scan costs O(vocab), not O(corpus). Ties at the top-20 boundary
+    break on the pair string, so the listing is deterministic on both
+    engines. Sub-2-char words contribute no pairs (safe_seq1 empty range,
+    mirroring DuckDB's empty list comprehension).
+
+    Iterating this operator (re-count after applying the best merge)
+    is the full BPE trainer; each round is this same aggregate over a
+    re-segmented vocab — the Spark plan is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                f"transform({safe_seq1('length(w) - 1')},"
+                f" bp_i -> substring(w, bp_i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_merges"))
+        .orderBy(F.col("n_merges").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling weights
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096  # hashed-unigram feature space (fixed, broadcastable)
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH terms AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+        SELECT doc_id, lang,
+               {duck_poly_hash("term")} % {_DSIR_BUCKETS} AS bucket,
+               count(*) AS tf
+        FROM terms WHERE term <> '' GROUP BY 1, 2, 3
+    ),
+    target AS (
+        SELECT bucket, CAST(sum(tf) AS BIGINT) AS cnt FROM tf
+        WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket
+    ),
+    corpus AS (
+        SELECT bucket, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY bucket
+    ),
+    tots AS (
+        SELECT (SELECT sum(cnt) FROM target) AS tot_t,
+               (SELECT sum(cnt) FROM corpus) AS tot_c
+    ),
+    ratio AS (
+        SELECT c.bucket,
+               CAST(round((ln((coalesce(t.cnt, 0) + 1.0)
+                              / (tots.tot_t + {_DSIR_BUCKETS}))
+                           - ln((c.cnt + 1.0)
+                                / (tots.tot_c + {_DSIR_BUCKETS})))
+                          * 1000000) AS BIGINT) AS logratio_micro
+        FROM corpus c LEFT JOIN target t ON c.bucket = t.bucket
+        CROSS JOIN tots
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(tf.tf * r.logratio_micro) AS BIGINT)
+                // CAST(sum(tf.tf) AS BIGINT) AS BIGINT)
+               AS mean_logratio_micro
+    FROM tf JOIN ratio r ON tf.bucket = r.bucket
+    GROUP BY tf.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023): per-doc
+    mean log importance ratio between a TARGET domain's hashed-unigram LM
+    (here lang='en' plays the target) and the whole corpus's, in integer
+    micro-nats. Resampling by these weights tilts a general corpus toward
+    the target domain — the standard pretraining-data targeting pass.
+
+    Determinism: per-bucket log-ratio is rounded ONCE to integer
+    micro-nats (the unigram_logprob_score trick); every downstream sum is
+    exact BIGINT in any association order, and the per-doc mean is integer
+    division TRUNCATING toward zero on both engines (Spark ``DIV`` and
+    DuckDB ``//`` both truncate — measured on the negative ratios this
+    query actually produces).
+
+    Scale shape: the feature space is FIXED at 4096 hashed buckets, so
+    both LMs are 4096-row aggregates — broadcast the ratio table and the
+    per-doc pass is one map-side-combinable groupBy; the LM state is O(1)
+    in corpus size, which is DSIR's entire point. Hash collisions are part
+    of the estimator (identical hash on both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tf = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"{spark_poly_hash('term')} % {_DSIR_BUCKETS}").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    target = (
+        tf.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.sum("tf").cast("long").alias("cnt_t"))
+    )
+    corpus = tf.groupBy("bucket").agg(F.sum("tf").cast("long").alias("cnt_c"))
+    tots = corpus.join(F.broadcast(target), "bucket", "left").agg(
+        F.sum("cnt_t").cast("long").alias("tot_t"),
+        F.sum("cnt_c").cast("long").alias("tot_c"),
+    )
+    ratio = (
+        corpus.join(F.broadcast(target), "bucket", "left")
+        .join(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.expr(
+                f"CAST(round((ln((coalesce(cnt_t, 0) + 1.0)"
+                f"              / (tot_t + {_DSIR_BUCKETS}))"
+                f"          - ln((cnt_c + 1.0) / (tot_c + {_DSIR_BUCKETS})))"
+                f"         * 1000000) AS BIGINT)"
+            ).alias("logratio_micro"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(CAST(sum(tf * logratio_micro) AS BIGINT)"
+                " DIV CAST(sum(tf) AS BIGINT) AS BIGINT)"
+            ).alias("mean_logratio_micro"),
         )
     )
