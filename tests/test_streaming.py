@@ -1133,3 +1133,36 @@ def test_fsm_fuzz_kill_and_resume(
     run()
     got = spark.read.parquet(f"{tmp_path}/out/data").toPandas()
     check(spark, None, batch_dir, got)
+
+
+def test_incremental_dedup_stream_converges(spark, sf_dir, tmp_path_factory):
+    """Streaming incremental fuzzy dedup (two stateless stream-static
+    joins: LSH bucket probe + exact-Jaccard verify) over an ordered replay
+    of the ingest slice converges to the batch dedup_minhash_incremental
+    result once per-band candidate multiplicity is deduped (the
+    foreachBatch idiom documented in the module)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_tcp_reconciliation_spark.plans.llm import _INCR_MOD
+    from kafka_streams_tcp_reconciliation_spark.streaming.decontam import (
+        chunked_text_stream,
+    )
+    from kafka_streams_tcp_reconciliation_spark.streaming.incremental_dedup import (
+        corpus_index,
+        incremental_dedup_stream,
+    )
+
+    chunks = str(tmp_path_factory.mktemp("incrchunks"))
+    feed = chunked_text_stream(spark, sf_dir, chunks, n_chunks=4).filter(
+        F.col("doc_id") % _INCR_MOD == 0
+    )
+    index, corpus_hs = corpus_index(spark, sf_dir)
+    got = run_stream(
+        spark,
+        incremental_dedup_stream(feed, index, corpus_hs),
+        "append",
+        "t_incr_dedup",
+    ).drop_duplicates()
+    want = all_queries()["dedup_minhash_incremental"](spark, sf_dir).toPandas()
+    assert len(want) > 0, "fixture produced no incremental dups"
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
