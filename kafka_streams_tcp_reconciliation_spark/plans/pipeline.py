@@ -1403,28 +1403,31 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    target = (
-        tf.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.sum("tf").cast("long").alias("cnt_t"))
+    # ONE aggregate pass produces both LMs (target = conditional sum), so
+    # the corpus is scanned twice total: once into this 4096-row stats
+    # frame, once for the per-doc tf join below. tots derives from the
+    # stats frame (4096 rows), never from a third corpus scan.
+    bucket_stats = tf.groupBy("bucket").agg(
+        F.sum("tf").cast("long").alias("cnt_c"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cnt_t"),
     )
-    corpus = tf.groupBy("bucket").agg(F.sum("tf").cast("long").alias("cnt_c"))
-    tots = corpus.join(F.broadcast(target), "bucket", "left").agg(
+    tots = bucket_stats.agg(
         F.sum("cnt_t").cast("long").alias("tot_t"),
         F.sum("cnt_c").cast("long").alias("tot_c"),
     )
-    ratio = (
-        corpus.join(F.broadcast(target), "bucket", "left")
-        .join(F.broadcast(tots))
-        .select(
-            "bucket",
-            F.expr(
-                f"CAST(round((ln((coalesce(cnt_t, 0) + 1.0)"
-                f"              / (tot_t + {_DSIR_BUCKETS}))"
-                f"          - ln((cnt_c + 1.0) / (tot_c + {_DSIR_BUCKETS})))"
-                f"         * 1000000) AS BIGINT)"
-            ).alias("logratio_micro"),
-        )
+    ratio = bucket_stats.join(F.broadcast(tots)).select(
+        "bucket",
+        F.expr(
+            f"CAST(round((ln((cnt_t + 1.0)"
+            f"              / (tot_t + {_DSIR_BUCKETS}))"
+            f"          - ln((cnt_c + 1.0) / (tot_c + {_DSIR_BUCKETS})))"
+            f"         * 1000000) AS BIGINT)"
+        ).alias("logratio_micro"),
     )
     return (
         tf.join(F.broadcast(ratio), "bucket")
