@@ -498,3 +498,38 @@ def test_graph_rewrite_plan_locks(spark, sf_dir):
     assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count(
         "BroadcastHashJoin"
     ) <= 1, p
+
+
+def test_dsir_lm_joins_broadcast(spark, sf_dir):
+    """DSIR's plan contract: BOTH fixed-size LM relations (the 4096-row
+    ratio table and the 1-row totals) reach the corpus-sized tf relation
+    via broadcast - the per-doc pass must never shuffle for a join, only
+    for its own groupBy. The docstring's O(1)-LM-state claim IS this plan
+    shape."""
+    plan = plan_of(QUERIES["dsir_importance_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # ratio -> tf by bucket
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row tots -> bucket stats
+
+
+def test_bpe_pairs_aggregate_over_vocab_only(spark, sf_dir):
+    """BPE merge counting: the char-pair explode must consume the
+    ALREADY-AGGREGATED word-frequency relation (explode above the word
+    groupBy), never the raw token stream - O(vocab) pair extraction is
+    the query's scale claim. Locked by requiring the word-frequency
+    HashAggregate BELOW the pair Generate in the plan tree, and the final
+    listing to be a TakeOrderedAndProject (top-k, never a global sort)."""
+    plan = plan_of(QUERIES["bpe_merge_candidates"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    gen_pos = plan.index("Generate explode")
+    agg_pos = plan.index("HashAggregate", gen_pos)
+    assert agg_pos > gen_pos, "word-freq aggregate must feed the explode"
+
+
+def test_incremental_dedup_has_no_self_join(spark, sf_dir):
+    """Incremental dedup joins PROBE vs BASE bucket relations (cross-set);
+    both sides carry mutually exclusive doc_id % filters, so the plan's
+    bucket join inputs must scan with complementary pushed filters - a
+    missing filter would silently reintroduce the full self-join."""
+    plan = plan_of(QUERIES["dedup_minhash_incremental"](spark, sf_dir))
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 3
+    assert "(doc_id" in plan  # the % 17 residue filters survive into scans
