@@ -1364,8 +1364,7 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise_blocked, k = sim.pairwise_cosine_blocked, _KNN_K
 
     def cell_topk(pdf):
-        import math
-
+        import numpy as np
         import pandas as pd
 
         ids = pdf["vec_id"].to_numpy()
@@ -1380,13 +1379,6 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(ids[i]) for i in set(range(n)) - set(valid)
         )
 
-        # NaN scores (zero-norm vectors) are GREATEST in Spark's sort
-        # order; Python sorted() is arbitrary under NaN keys, so negate
-        # through a NaN→-inf map (see pairwise_cosine_matrix's docstring
-        # for the zero-norm oracle caveat)
-        def neg(v):
-            return -math.inf if math.isnan(v) else -v
-
         out = []
         # valid rows, scored block-by-block: per-task memory is capped at
         # block·|cell| doubles however large a skewed cell gets, and every
@@ -1394,16 +1386,23 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pairwise_cosine_blocked)
         if m >= 1:
             emb_valid = pdf["embedding"].iloc[valid].to_numpy()
+            ids_valid = ids[np.asarray(valid)].astype("int64")
             for s0, M in pairwise_blocked(emb_valid):
+                # vectorized per-row top-k: lexsort ascending by
+                # (-score, neighbor id) in C, replacing a per-row Python
+                # sorted() whose O(m log m) interpreted comparisons made
+                # the kernel the sf30 wall-clock bottleneck (round 9).
+                # NaN scores (zero-norm vectors) are GREATEST in Spark's
+                # sort order; negation maps them through -inf so lexsort
+                # (NaN-last ascending) ranks them FIRST like the fold.
+                neg_block = np.where(np.isnan(M), -np.inf, -M)
                 for bi in range(M.shape[0]):
                     p = s0 + bi  # position in the valid list
                     row = M[bi]
-                    top = sorted(
-                        (q for q in range(m) if q != p),
-                        key=lambda q: (neg(row[q]), ids[valid[q]]),
-                    )[:k]
+                    order = np.lexsort((ids_valid, neg_block[bi]))
+                    top = [int(q) for q in order if q != p][:k]
                     picks = [
-                        (int(ids[valid[q]]), float(row[q])) for q in top
+                        (int(ids_valid[q]), float(row[q])) for q in top
                     ]
                     # NULL-embedding candidates rank behind every scored
                     # one (NULL cosine sorts last), smallest id first;
