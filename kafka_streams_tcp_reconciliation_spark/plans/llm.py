@@ -543,15 +543,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.word_polyhashes_expr("text", 31).alias("wh1"),
         dd.word_polyhashes_expr("text", 131).alias("wh2"),
     )
+    # empty gram sets (docs shorter than the gram width) are undefined
+    # under MinHash/Jaccard AND would share one hot LSH bucket -> 0/0 in
+    # the verify; filter mirrored in the oracle's len(hs) > 0.
+    # ORDER MATTERS: the filter must sit ABOVE the cache. Below it,
+    # Catalyst pushes size(hs) > 0 through the projection by SUBSTITUTING
+    # the whole gram-fold expression into an interpreted Filter and keeps
+    # pushing it below the round-robin exchange onto the single-split scan
+    # side - the entire shingle compute then runs twice, serialized on one
+    # task (measured round 9: 556 s vs 11 s at sf1.0). The cache is the
+    # optimizer barrier that keeps the predicate where it is cheap.
     hs = (
         wh.select(
             "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
         )
-        # empty gram sets (docs shorter than the gram width) are undefined
-        # under MinHash/Jaccard AND would share one hot LSH bucket -> 0/0
-        # in the verify; filter mirrored in the oracle's len(hs) > 0
-        .filter(F.size("hs") > 0)
         .cache()
+        .filter(F.size("hs") > 0)
     )
     sig = hs.select("doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig"))
     cand = dd.lsh_candidate_pairs(sig, "doc_id", "sig", _MH_BANDS, _MH_ROWS)
@@ -1516,15 +1523,22 @@ def minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.word_polyhashes_expr("text", 31).alias("wh1"),
         dd.word_polyhashes_expr("text", 131).alias("wh2"),
     )
+    # empty gram sets (docs shorter than the gram width) are undefined
+    # under MinHash/Jaccard AND would share one hot LSH bucket -> 0/0 in
+    # the verify; filter mirrored in the oracle's len(hs) > 0.
+    # ORDER MATTERS: the filter must sit ABOVE the cache. Below it,
+    # Catalyst pushes size(hs) > 0 through the projection by SUBSTITUTING
+    # the whole gram-fold expression into an interpreted Filter and keeps
+    # pushing it below the round-robin exchange onto the single-split scan
+    # side - the entire shingle compute then runs twice, serialized on one
+    # task (measured round 9: 556 s vs 11 s at sf1.0). The cache is the
+    # optimizer barrier that keeps the predicate where it is cheap.
     hs = (
         wh.select(
             "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
         )
-        # empty gram sets (docs shorter than the gram width) are undefined
-        # under MinHash/Jaccard AND would share one hot LSH bucket -> 0/0
-        # in the verify; filter mirrored in the oracle's len(hs) > 0
-        .filter(F.size("hs") > 0)
         .cache()
+        .filter(F.size("hs") > 0)
     )
     sig = hs.select(
         "doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig")
@@ -1634,12 +1648,15 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.word_polyhashes_expr("text", 31).alias("wh1"),
         dd.word_polyhashes_expr("text", 131).alias("wh2"),
     )
+    # cache BELOW the size filter - see dedup_minhash_lsh: a filter under
+    # the cache gets substituted through the projection and pushed below
+    # the repartition, serializing the shingle compute on one task
     hs = (
         wh.select(
             "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
         )
-        .filter(F.size("hs") > 0)
         .cache()
+        .filter(F.size("hs") > 0)
     )
     sig = hs.select("doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig"))
     is_new = F.col("doc_id") % _INCR_MOD == 0

@@ -42,17 +42,26 @@ from kafka_streams_tcp_reconciliation_spark.plans.llm import (
 )
 
 
-def _gram_sets(docs: DataFrame) -> DataFrame:
+def _gram_sets(docs: DataFrame, cache: bool = False) -> DataFrame:
     """(doc_id, hs): the shared two-level word-gram hash sets, empty sets
-    dropped (same contract as the batch pipeline)."""
+    dropped (same contract as the batch pipeline).
+
+    ``cache=True`` (the static corpus side) inserts the cache BARRIER
+    below the size filter — without it Catalyst substitutes the gram fold
+    into the pushed-down predicate and serializes the corpus shingle
+    compute on the scan side (see dedup_minhash_lsh). A stream side can't
+    cache; there the double-evaluation is bounded by the micro-batch."""
     wh = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         dd.word_polyhashes_expr("text", 31).alias("wh1"),
         dd.word_polyhashes_expr("text", 131).alias("wh2"),
     )
-    return wh.select(
+    hs = wh.select(
         "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
-    ).filter(F.size("hs") > 0)
+    )
+    if cache:
+        hs = hs.cache()
+    return hs.filter(F.size("hs") > 0)
 
 
 def corpus_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -65,7 +74,7 @@ def corpus_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _INCR_MOD != 0
     )
-    hs = _gram_sets(docs).cache()
+    hs = _gram_sets(docs, cache=True)
     sig = hs.select("doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig"))
     index = (
         sig.select(
