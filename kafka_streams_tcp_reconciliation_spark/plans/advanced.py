@@ -1400,7 +1400,11 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                     p = s0 + bi  # position in the valid list
                     row = M[bi]
                     order = np.lexsort((ids_valid, neg_block[bi]))
-                    top = [int(q) for q in order if q != p][:k]
+                    # self (p) can only displace a winner if it ranks in
+                    # the first k+1, so k+1 candidates always suffice —
+                    # walking the FULL order in Python was an O(m)-per-row
+                    # tail that re-serialized the kernel at sf30
+                    top = [int(q) for q in order[: k + 1] if q != p][:k]
                     picks = [
                         (int(ids_valid[q]), float(row[q])) for q in top
                     ]
