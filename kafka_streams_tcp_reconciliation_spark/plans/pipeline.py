@@ -1343,7 +1343,11 @@ _DSIR_TARGET_LANG = "en"
         SELECT bucket, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY bucket
     ),
     tots AS (
-        SELECT (SELECT sum(cnt) FROM target) AS tot_t,
+        -- coalesce: an EMPTY target (no docs in the target lang) must be
+        -- a 0 total (the uniform add-1 LM), matching the Spark side's
+        -- per-bucket coalesce-to-0 sums - a bare sum over the empty CTE
+        -- is NULL and NULLs the whole ratio
+        SELECT coalesce((SELECT sum(cnt) FROM target), 0) AS tot_t,
                (SELECT sum(cnt) FROM corpus) AS tot_c
     ),
     ratio AS (
