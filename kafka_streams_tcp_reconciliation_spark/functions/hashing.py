@@ -64,7 +64,14 @@ def safe_seq1(m: str) -> str:
     document) and ``substring`` silently reads from the string's END.
     DuckDB's ``range(1, m+1)`` is empty for m < 1, so the guard is also
     what keeps gram/shingle builders oracle-exact on degenerate inputs
-    (empty text, docs shorter than the gram width)."""
+    (empty text, docs shorter than the gram width).
+
+    Type contract: ``m`` must be an INT- or BIGINT-typed expression
+    (every current call site is length/size arithmetic, which is INT).
+    The NULL branch hard-codes ARRAY<INT>; for a BIGINT ``m`` the
+    sequence branch produces array<bigint> and correctness then relies
+    on Catalyst's implicit if-branch widening to array<bigint>. Don't
+    pass fractional/decimal expressions — cast to INT first."""
     return (
         f"if(({m}) IS NULL, CAST(NULL AS ARRAY<INT>),"
         f" slice(sequence(1, greatest({m}, 1)), 1, greatest({m}, 0)))"

@@ -346,11 +346,10 @@ def lsh_candidate_pairs_vs(
         return (
             df.select(
                 F.col(id_col),
-                F.explode_outer(
+                F.explode(
                     band_structs_expr(sig_col, bands, rows)
                 ).alias("bb"),
             )
-            .filter(F.col("bb").isNotNull())
             .select(F.col(id_col).alias(out), "bb.band", "bb.bkey")
         )
 

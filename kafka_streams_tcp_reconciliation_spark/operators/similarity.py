@@ -168,6 +168,119 @@ def duck_lsh_bucket_select(vec_col: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# data-proportional cell refinement (kNN graph / IVF scale knob)
+# ---------------------------------------------------------------------------
+#
+# Exact-within-cell operators (kNN graph, SemDeDup) are O(|cell|²), so a
+# FIXED cell count is a scale cliff: 10 label cells at sf10 means ~20k-row
+# cells → 400M scored pairs each (measured: 613 s, SCALE.md). The fix is
+# the textbook IVF posture — cell count ∝ corpus — wired here as a DEFAULT,
+# not a footnote: each label cell is refined by `n_planes` sign-LSH bits,
+# where n_planes is the smallest p with n_labels · 2^p · KNN_CELL_ROWS ≥ n,
+# i.e. total cells ≈ ceil(n / KNN_CELL_ROWS), expected cell size ≈
+# KNN_CELL_ROWS regardless of corpus size. Everything — the row count, the
+# plane count, the bucket bits — is integer/ordered-double arithmetic
+# computed IN-ENGINE (a 1-row aggregate cross-joined in, no driver
+# collect), so the DuckDB oracle replays the identical refinement and the
+# differential stays exact at every sf.
+
+# Target rows per refined cell. 256 keeps fixture scales (≤2560 vectors =
+# 10 label cells × 256) at n_planes = 0 — the historical label-cell
+# behavior — while sf10's ~200k vectors get 2^7 subcells/label (~150-row
+# cells). Env knob so a cluster can trade cell size (recall within cell is
+# exact; smaller cells = faster + fewer in-cell candidates).
+KNN_CELL_ROWS = int(_os.environ.get("SPARK_GRAFT_KNN_CELL_ROWS", "256"))
+if KNN_CELL_ROWS < 1:
+    raise ValueError(
+        f"SPARK_GRAFT_KNN_CELL_ROWS must be >= 1, got {KNN_CELL_ROWS}"
+    )
+# Hard cap on refinement planes: 2^20 subcells per label is far beyond any
+# corpus this engine will meet (at 256-row cells that is a 2.7-trillion-row
+# table per label) and keeps the bucket id comfortably inside BIGINT.
+KNN_MAX_PLANES = 20
+
+
+def knn_planes_expr(n: str, n_labels: str, target_rows: int) -> str:
+    """Spark SQL: smallest p in [0, KNN_MAX_PLANES] with
+    ``n_labels * 2^p * target_rows >= n`` — pure integer arithmetic (no
+    float log2, whose ulp error flips ceil() at exact powers of two).
+
+    ``n``/``n_labels`` are 1-row aggregate columns (count(*) /
+    count(distinct label)); ``greatest(.., 1)`` guards the empty corpus.
+    """
+    g = f"greatest(({n_labels}), 1)"
+    q = f"(greatest(({n}), 1) + {g} * {target_rows} - 1) DIV ({g} * {target_rows})"
+    return (
+        f"aggregate(sequence(0, {KNN_MAX_PLANES}), -1,"
+        f" (kp_a, kp_p) -> if(kp_a >= 0, kp_a,"
+        f" if(shiftleft(CAST(1 AS BIGINT), kp_p) >= ({q}), kp_p, kp_a)))"
+    )
+
+
+def duck_knn_planes_expr(n: str, n_labels: str, target_rows: int) -> str:
+    """DuckDB twin of :func:`knn_planes_expr` (same find-first fold)."""
+    g = f"greatest(({n_labels}), 1)"
+    q = f"(greatest(({n}), 1) + {g} * {target_rows} - 1) // ({g} * {target_rows})"
+    return (
+        f"list_reduce(list_prepend(CAST(-1 AS BIGINT),"
+        f" list_transform(range(0, {KNN_MAX_PLANES} + 1), kp_p -> kp_p)),"
+        f" (kp_a, kp_p) -> CASE WHEN kp_a >= 0 THEN kp_a"
+        f" WHEN (CAST(1 AS BIGINT) << kp_p) >= ({q}) THEN kp_p"
+        f" ELSE kp_a END)"
+    )
+
+
+def subcell_expr(vec: str, n_planes: str) -> str:
+    """Spark SQL: sign-LSH refinement bucket Σ bit_p·2^p over a RUNTIME
+    plane count (``n_planes`` is a column, so the fold iterates a
+    sequence instead of unrolling like ``lsh_bucket_structs_expr``).
+
+    Same deterministic hyperplanes (`_plane_component`) and the same
+    ascending-dimension double fold as the static LSH — bit-identical in
+    DuckDB. NULL embeddings project to NULL, whose sign test folds to bit
+    0 in both engines, so they land in subcell 0 (they are scored as
+    NULL-cosine neighbors inside a cell, same as the label-only era).
+    n_planes <= 0 yields the empty plane set → subcell 0 for every row
+    (exactly the historical one-cell-per-label behavior).
+    """
+    proj = (
+        f"aggregate(zip_with({vec}, sequence(0, {DIM - 1}),"
+        f" (sc_x, sc_d) -> CAST(sc_x AS DOUBLE)"
+        f" * ({_plane_component('kc_p', 'sc_d')})),"
+        f" CAST(0 AS DOUBLE), (sc_a, sc_v) -> sc_a + sc_v)"
+    )
+    bit = f"IF(({proj}) > 0, shiftleft(CAST(1 AS BIGINT), kc_p), CAST(0 AS BIGINT))"
+    seq = (
+        f"slice(sequence(0, greatest(CAST(({n_planes}) AS INT) - 1, 0)),"
+        f" 1, greatest(CAST(({n_planes}) AS INT), 0))"
+    )
+    return (
+        f"aggregate({seq}, CAST(0 AS BIGINT), (kc_a, kc_p) -> kc_a + {bit})"
+    )
+
+
+def duck_subcell_expr(vec: str, n_planes: str) -> str:
+    """DuckDB twin of :func:`subcell_expr` (range(0, p) is natively empty
+    for p <= 0; NULL-list projection folds through CASE to bit 0)."""
+    proj = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform(range(1, {DIM} + 1),"
+        f" sc_i -> CAST({vec}[sc_i] AS DOUBLE)"
+        f" * ({_plane_component('kc_p', '(sc_i - 1)')}))),"
+        f" (sc_a, sc_v) -> sc_a + sc_v)"
+    )
+    bit = (
+        f"CASE WHEN ({proj}) > 0 THEN (CAST(1 AS BIGINT) << kc_p)"
+        f" ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(0, CAST(({n_planes}) AS BIGINT)),"
+        f" kc_p -> {bit})), (kc_a, kc_v) -> kc_a + kc_v)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # vectorized within-group pairwise cosine (Arrow / numpy kernel)
 # ---------------------------------------------------------------------------
 

@@ -1311,20 +1311,35 @@ from kafka_streams_tcp_reconciliation_spark.operators.joins import asof_join  # 
 _KNN_K = 3
 
 
-@register(
-    "knn_graph_within_cells",
-    oracle=f"""
-    WITH norms AS (
-        SELECT vec_id, label, embedding,
-               {sim.duck_dot_expr("embedding", "embedding")} AS self_dot
-        FROM embeddings
+def _knn_graph_oracle(target_rows: int) -> str:
+    """DuckDB oracle for the cell-refined kNN graph: replays the identical
+    plane-count + sign-LSH subcell arithmetic, then exact top-k within
+    (label, subcell)."""
+    return f"""
+    WITH base AS (
+        SELECT * FROM embeddings WHERE label IS NOT NULL
+    ),
+    stats AS (
+        SELECT count(*) AS kn_n, count(DISTINCT label) AS kn_nl FROM base
+    ),
+    planes AS (
+        SELECT {sim.duck_knn_planes_expr("kn_n", "kn_nl", target_rows)} AS np
+        FROM stats
+    ),
+    norms AS (
+        SELECT b.vec_id, b.label,
+               {sim.duck_subcell_expr("b.embedding", "p.np")} AS subcell,
+               b.embedding,
+               {sim.duck_dot_expr("b.embedding", "b.embedding")} AS self_dot
+        FROM base b, planes p
     ),
     pairs AS (
         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                round(({sim.duck_dot_expr("a.embedding", "b.embedding")})
                      / sqrt(a.self_dot * b.self_dot), 6) AS score
         FROM norms a JOIN norms b
-          ON a.label = b.label AND a.vec_id <> b.vec_id
+          ON a.label = b.label AND a.subcell = b.subcell
+         AND a.vec_id <> b.vec_id
     ),
     ranked AS (
         SELECT *, row_number() OVER (
@@ -1333,31 +1348,34 @@ _KNN_K = 3
     )
     SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
     FROM ranked WHERE rank <= {_KNN_K}
-    """,
-)
-def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN GRAPH construction (the SemDeDup / graph-clustering / ANN-index
-    prerequisite): each vector's top-k cosine neighbors, with candidates
-    restricted to the vector's IVF coarse cell (`label`, as in
-    ``similarity_ivf_topk``) — the standard corpus-scale recipe, since
-    all-pairs kNN is quadratic.
-
-    Scale: ONE equi-shuffle on the cell id (groupBy → Arrow), then each
-    cell's vectors are scored by the ROW-BLOCKED numpy cosine kernel
-    (`operators/similarity.pairwise_cosine_blocked`) whose per-dimension
-    accumulation replays the JVM fold order exactly — bit-identical
-    scores and tiebreaks to the DuckDB oracle, at matrix speed instead
-    of |cell|² interpreted folds (measured ~5× at sf0.1). Work is
-    quadratic only within a cell (the exact-within-cell semantics'
-    floor; the production knob is cell COUNT ∝ corpus — SCALE.md
-    round-7), while per-task MEMORY is capped at block·|cell| doubles
-    since round 7, so one skewed cell degrades to more blocks instead
-    of an executor OOM.
     """
+
+
+def _knn_graph_frame(
+    spark: SparkSession, sf_dir: str, target_rows: int
+) -> DataFrame:
+    """Shared builder for the cell-refined kNN graph (see the registered
+    queries below for semantics and scale posture)."""
     # NULL-label rows join to nothing in the relational formulation (and
     # the oracle), so they must not form a NULL group here
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("label").isNotNull()
+    )
+    # Data-proportional refinement (round 10): n and n_labels come from a
+    # 1-row aggregate cross-joined back in (broadcast of one row — no
+    # driver collect), so the plane count is decided by the DATA at plan
+    # runtime and the oracle replays it exactly.
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("kn_n"),
+        F.countDistinct("label").alias("kn_nl"),
+    )
+    emb = (
+        emb.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "np", F.expr(sim.knn_planes_expr("kn_n", "kn_nl", target_rows))
+        )
+        .withColumn("subcell", F.expr(sim.subcell_expr("embedding", "np")))
+        .select("vec_id", "label", "subcell", "embedding")
     )
     # local bindings: the kernel closure must be SELF-CONTAINED (captured
     # by value) — a foreign-cwd driver's workers can't import this package
@@ -1436,10 +1454,61 @@ def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         df["score"] = pd.Series([s for *_, s in out], dtype="object")
         return df
 
-    return emb.groupBy("label").applyInPandas(
+    return emb.groupBy("label", "subcell").applyInPandas(
         cell_topk,
         schema="vec_id long, neighbor_id long, rank long, score double",
     )
+
+
+@register("knn_graph_within_cells", oracle=_knn_graph_oracle(sim.KNN_CELL_ROWS))
+def knn_graph_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN GRAPH construction (the SemDeDup / graph-clustering / ANN-index
+    prerequisite): each vector's top-k cosine neighbors, with candidates
+    restricted to the vector's IVF cell — the standard corpus-scale
+    recipe, since all-pairs kNN is quadratic.
+
+    The cell is (label, sign-LSH subcell) with a DATA-PROPORTIONAL plane
+    count (round 10): n_planes = smallest p with n_labels·2^p·target ≥ n,
+    target = SPARK_GRAFT_KNN_CELL_ROWS (default 256), so expected cell
+    size stays ~constant however large the corpus — cells ∝ corpus is the
+    code's default now, not a SCALE.md footnote. At fixture scales
+    (≤2560 vectors) n_planes = 0 and cells reduce to the historical
+    per-label behavior; `knn_graph_cell_scaling` below pins a small
+    target so the refinement path itself is differentially verified at
+    sf0.01.
+
+    Scale: ONE equi-shuffle on the cell id (groupBy → Arrow), then each
+    cell's vectors are scored by the ROW-BLOCKED numpy cosine kernel
+    (`operators/similarity.pairwise_cosine_blocked`) whose per-dimension
+    accumulation replays the JVM fold order exactly — bit-identical
+    scores and tiebreaks to the DuckDB oracle, at matrix speed instead
+    of |cell|² interpreted folds (measured ~5× at sf0.1). Work is
+    quadratic only within a cell, and cell size is held at ~target by
+    the plane count, so total work is O(n · target); per-task MEMORY is
+    capped at block·|cell| doubles since round 7, so one skewed cell
+    degrades to more blocks instead of an executor OOM.
+    """
+    return _knn_graph_frame(spark, sf_dir, sim.KNN_CELL_ROWS)
+
+
+# Calibration twin: a target small enough that sf0.01's 500 vectors refine
+# to n_planes = 2 (4 subcells per label), so the dynamic-plane arithmetic
+# and the refined grouping are exercised by the driver differential at
+# fixture scale — the default query's n_planes is 0 there (same precedent
+# as the sign-LSH τ-sweep keeping a production-τ query non-trivial).
+_KNN_CALIB_CELL_ROWS = 16
+
+
+@register(
+    "knn_graph_cell_scaling", oracle=_knn_graph_oracle(_KNN_CALIB_CELL_ROWS)
+)
+def knn_graph_cell_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`knn_graph_within_cells` with the per-cell row target pinned to 16:
+    verifies the data-proportional refinement (plane-count fold, sign-LSH
+    subcell, per-(label, subcell) exact top-k) against the oracle at a
+    scale where it actually refines. Semantics identical, just a smaller
+    target; see the default query for the full contract."""
+    return _knn_graph_frame(spark, sf_dir, _KNN_CALIB_CELL_ROWS)
 
 
 # --- conversion-lag percentiles ------------------------------------------------

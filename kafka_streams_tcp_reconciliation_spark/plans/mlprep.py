@@ -855,6 +855,27 @@ _MMR_POOL = 20  # relevance-ranked candidate pool size
 _MMR_K = 5  # diversified picks
 _MMR_LAMBDA = 0.7  # relevance weight; (1-λ) penalizes redundancy
 
+# The driver-side greedy loop in mmr_diversified_topk is safe ONLY because
+# the pool is a small constant: it collects the pool and its pool² sim
+# matrix. Guard the bound in code so a future knob change can't silently
+# turn the collect corpus-sized (ADVICE r09: assert, don't just document).
+_MMR_POOL_MAX = 1024
+
+
+def _validate_mmr_pool(pool: int) -> int:
+    """Fail loudly if an MMR pool size would make the driver-side rerank
+    collect more than a constant number of rows (pool + pool²)."""
+    if not (1 <= pool <= _MMR_POOL_MAX):
+        raise ValueError(
+            f"MMR pool must be in [1, {_MMR_POOL_MAX}] — the greedy rerank "
+            f"collects pool and pool^2 rows to the driver; got {pool}. "
+            "For larger pools, rerank with a distributed formulation."
+        )
+    return pool
+
+
+_validate_mmr_pool(_MMR_POOL)
+
 
 def _mmr_oracle() -> str:
     """Chained-CTE DuckDB oracle: the greedy MMR loop unrolled to K picks.

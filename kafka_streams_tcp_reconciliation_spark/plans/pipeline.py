@@ -1315,6 +1315,162 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tokenizer training: iterated BPE (3 unrolled merge rounds)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_iter_oracle(rounds: int) -> str:
+    """DuckDB oracle for :func:`bpe_train_iterated`: the same wrapped-token
+    representation and greedy left-to-right ``replace`` merge, unrolled as
+    one CTE chain per round (the k-means/PageRank unrolling precedent)."""
+    ctes = [
+        """words AS (
+        SELECT w, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            WHERE text IS NOT NULL
+        ) WHERE w <> '' GROUP BY w
+    ),
+    v0 AS (
+        SELECT freq,
+               array_to_string(list_transform(range(1, length(w) + 1),
+                   bt_i -> chr(1) || substring(w, bt_i, 1) || chr(2)), '')
+               AS st
+        FROM words
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""t{k} AS (
+        SELECT freq,
+               string_split(substring(st, 2, length(st) - 2),
+                            chr(2) || chr(1)) AS toks
+        FROM v{k - 1}
+    ),
+    c{k} AS (
+        SELECT freq, toks, unnest(range(1, len(toks))) AS i FROM t{k}
+    ),
+    p{k} AS (
+        SELECT toks[i] AS x, toks[i + 1] AS y,
+               CAST(sum(freq) AS BIGINT) AS n_merges
+        FROM c{k} GROUP BY 1, 2
+    ),
+    b{k} AS (
+        SELECT x, y, n_merges FROM p{k}
+        ORDER BY n_merges DESC, x ASC, y ASC LIMIT 1
+    ),
+    v{k} AS (
+        SELECT v.freq,
+               replace(v.st,
+                       chr(1) || b.x || chr(2) || chr(1) || b.y || chr(2),
+                       chr(1) || b.x || b.y || chr(2)) AS st
+        FROM v{k - 1} v, b{k} b
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS round, x AS lhs, y AS rhs,"
+        f" x || y AS merged, n_merges FROM b{k}"
+        for k in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+@register("bpe_train_iterated", oracle=_bpe_iter_oracle(_BPE_ROUNDS))
+def bpe_train_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE training, 3 merge rounds (Sennrich et al. 2016): each
+    round counts adjacent TOKEN pairs over the distinct-word vocabulary
+    (freq-weighted), merges the most frequent pair everywhere (greedy
+    left-to-right, non-overlapping), and re-counts on the re-segmented
+    vocab — proving ``bpe_merge_candidates``' claim that every round is
+    the same O(vocab) aggregate with the plan shape unchanged.
+
+    Representation: a word's token sequence is ONE string of
+    sentinel-wrapped tokens (``\\x01tok\\x02…``), so the merge step is a
+    single ``replace`` of ``\\x01x\\x02\\x01y\\x02`` with ``\\x01xy\\x02``
+    — both engines' ``replace`` scans left-to-right without rescanning
+    replaced output, and since the merged token ``xy`` can never equal
+    the pattern's left token ``x`` (``y`` is non-empty), the two engines'
+    merges agree exactly; the full-wrap sentinels make cross-token
+    pattern matches impossible. Pair extraction strips the outer
+    sentinels and splits on ``\\x02\\x01`` — clean raw tokens, no indexed
+    lambda (DuckDB 1.0 has none). Sub-2-token words contribute no pairs
+    (safe_seq1 empty range / DuckDB's empty ``range``).
+
+    Scale: per round, the pair scan + aggregate runs over DISTINCT WORDS
+    (vocab-sized, near-constant at 100 TB); the chosen merge is a 1-ROW
+    broadcast joined back for the re-segmentation; rounds are unrolled
+    like the k-means/PageRank precedent, so k rounds = k narrow
+    vocab-sized stages, never a corpus rescan. Tie-breaks are exact
+    string comparisons; counts are exact integers — no floats anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.expr(
+                f"array_join(transform({safe_seq1('length(w)')},"
+                f" bt_i -> concat(char(1), substring(w, bt_i, 1), char(2))),"
+                f" '')"
+            ).alias("st"),
+        )
+    )
+    rounds: list[DataFrame] = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        toks = vocab.withColumn(
+            "toks",
+            F.expr(
+                "split(substring(st, 2, length(st) - 2),"
+                " concat(char(2), char(1)))"
+            ),
+        )
+        pairs = toks.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    f"transform({safe_seq1('size(toks) - 1')},"
+                    f" bt_i -> struct(element_at(toks, bt_i) AS x,"
+                    f" element_at(toks, bt_i + 1) AS y))"
+                )
+            ).alias("p"),
+        ).select("freq", "p.x", "p.y")
+        best = (
+            pairs.groupBy("x", "y")
+            .agg(F.sum("freq").cast("long").alias("n_merges"))
+            .orderBy(F.col("n_merges").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+        )
+        rounds.append(
+            best.select(
+                F.lit(k).cast("int").alias("round"),
+                F.col("x").alias("lhs"),
+                F.col("y").alias("rhs"),
+                F.concat("x", "y").alias("merged"),
+                "n_merges",
+            )
+        )
+        if k < _BPE_ROUNDS:
+            vocab = vocab.crossJoin(
+                F.broadcast(best.select("x", "y"))
+            ).select(
+                "freq",
+                F.expr(
+                    "replace(st,"
+                    " concat(char(1), x, char(2), char(1), y, char(2)),"
+                    " concat(char(1), x, y, char(2)))"
+                ).alias("st"),
+            )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # DSIR: data selection via importance resampling weights
 # ---------------------------------------------------------------------------
 
@@ -1392,7 +1548,22 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    tf = (
+    tf = dsir_tf(docs)
+    # ONE aggregate pass produces both LMs (target = conditional sum), so
+    # the corpus is scanned twice total: once into this 4096-row stats
+    # frame, once for the per-doc tf join below. tots derives from the
+    # stats frame (4096 rows), never from a third corpus scan.
+    return dsir_weights(tf, dsir_bucket_stats(tf))
+
+
+# Shared DSIR builders — pure DataFrame algebra over batch OR streaming
+# inputs, so streaming/dsir.py maintains the identical LM state and the
+# convergence test can assert bit-exact weight equality after replay.
+
+
+def dsir_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket, tf): hashed-unigram term frequencies."""
+    return (
         docs.select(
             "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
         )
@@ -1407,11 +1578,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # ONE aggregate pass produces both LMs (target = conditional sum), so
-    # the corpus is scanned twice total: once into this 4096-row stats
-    # frame, once for the per-doc tf join below. tots derives from the
-    # stats frame (4096 rows), never from a third corpus scan.
-    bucket_stats = tf.groupBy("bucket").agg(
+
+
+def dsir_bucket_stats(tf: DataFrame) -> DataFrame:
+    """Both LMs in one ≤4096-row aggregate: per-bucket corpus count and
+    conditional target-language count. On a STREAMING tf this groupBy IS
+    the O(1) LM state (update mode) — see streaming/dsir.py."""
+    return tf.groupBy("bucket").agg(
         F.sum("tf").cast("long").alias("cnt_c"),
         F.coalesce(
             F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf"))),
@@ -1420,6 +1593,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cnt_t"),
     )
+
+
+def dsir_weights(tf: DataFrame, bucket_stats: DataFrame) -> DataFrame:
+    """Per-doc importance weights from a tf relation and an LM stats table
+    (add-1 smoothing, integer micro-nats; see dsir_importance_weights)."""
     tots = bucket_stats.agg(
         F.sum("cnt_t").cast("long").alias("tot_t"),
         F.sum("cnt_c").cast("long").alias("tot_c"),

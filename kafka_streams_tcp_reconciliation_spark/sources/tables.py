@@ -300,20 +300,26 @@ def scale_out(df: DataFrame) -> DataFrame:
     return df
 
 
-# Footer row-group counts are immutable for a given file path in this
-# sandbox (fixtures are generated once); memoizing mirrors _TS_PROBE_CACHE
-# so a 200+-query bench run pays each footer read once, not per query.
-_RG_PROBE_CACHE: dict[str, int] = {}
+# Memoized footer row-group counts, keyed on (path, mtime, size) so an
+# in-place regeneration of a fixture file within one session invalidates
+# naturally — a stale count would silently mis-size the scan-widening
+# repartition. Mirrors _TS_PROBE_CACHE: a 200+-query bench run pays each
+# footer read once, not per query; the stat() per call is noise.
+_RG_PROBE_CACHE: dict[tuple[str, float, int], int] = {}
 
 
 def _num_row_groups(uri: str) -> int:
     """Memoized parquet footer row-group count for a local file URI."""
+    import os
+
     path = _local_path(uri)
-    if path not in _RG_PROBE_CACHE:
+    st = os.stat(path)
+    key = (path, st.st_mtime, st.st_size)
+    if key not in _RG_PROBE_CACHE:
         import pyarrow.parquet as _pq
 
-        _RG_PROBE_CACHE[path] = _pq.ParquetFile(path).metadata.num_row_groups
-    return _RG_PROBE_CACHE[path]
+        _RG_PROBE_CACHE[key] = _pq.ParquetFile(path).metadata.num_row_groups
+    return _RG_PROBE_CACHE[key]
 
 
 def _local_path(uri: str) -> str:

@@ -89,14 +89,27 @@ def corpus_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
 
 
 def incremental_dedup_stream(
-    feed: DataFrame, index: DataFrame, corpus_hs: DataFrame
+    feed: DataFrame,
+    index: DataFrame,
+    corpus_hs: DataFrame,
+    broadcast_corpus: bool = False,
 ) -> DataFrame:
     """Emit (new_doc, dup_of, jaccard) for every arriving doc that
-    near-duplicates (J >= threshold) a standing corpus doc."""
+    near-duplicates (J >= threshold) a standing corpus doc.
+
+    ``broadcast_corpus`` is an OPT-IN hint for small-corpus runs only.
+    The default leaves the join strategy to the optimizer so the
+    stream-static joins can use a persisted index bucketed on
+    (band, bkey) — forcing a broadcast would collect the accumulated
+    corpus to the driver every micro-batch, which is exactly wrong at
+    the scale this module exists for."""
     hs = _gram_sets(feed)
     sig = hs.select(
         "doc_id", "hs", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig")
     )
+    if broadcast_corpus:
+        index = F.broadcast(index)
+        corpus_hs = F.broadcast(corpus_hs)
     probed = (
         sig.select(
             "doc_id",
@@ -106,7 +119,7 @@ def incremental_dedup_stream(
             ).alias("bb"),
         )
         .select("doc_id", "hs", "bb.band", "bb.bkey")
-        .join(F.broadcast(index), ["band", "bkey"])
+        .join(index, ["band", "bkey"])
         .select(F.col("doc_id").alias("new_doc"), "hs", "dup_of")
     )
     # NOTE: a pair colliding in k bands is emitted k times (identical
@@ -120,7 +133,7 @@ def incremental_dedup_stream(
         F.size(F.col("hs")) + F.size(F.col("corpus_hs")) - n_inter
     ).cast("double")
     return (
-        probed.join(F.broadcast(corpus_hs), "dup_of")
+        probed.join(corpus_hs, "dup_of")
         .filter(jacc >= _JACC_THRESHOLD)
         .select("new_doc", "dup_of", F.round(jacc, 6).alias("jaccard"))
     )

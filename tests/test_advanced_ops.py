@@ -407,6 +407,68 @@ def test_knn_graph_matches_bruteforce(spark, sf_dir):
             assert abs(gs - ws) <= 1e-6, (vid, gn, gs, ws)
 
 
+def test_knn_planes_expr_is_minimal(spark):
+    """The in-engine plane-count fold must pick the MINIMAL p with
+    n_labels · 2^p · target >= n (pure integer arithmetic — re-derived
+    here in plain Python over a grid including the exact power-of-two
+    boundaries where a float log2+ceil would be off by one)."""
+    from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
+
+    grid = [
+        (n, nl)
+        for n in (0, 1, 255, 256, 257, 2560, 2561, 5120, 5121, 163840, 200000)
+        for nl in (1, 7, 10)
+    ]
+    df = spark.createDataFrame(grid, "kn_n long, kn_nl long")
+    got = df.withColumn(
+        "np", F.expr(sim.knn_planes_expr("kn_n", "kn_nl", 256))
+    ).collect()
+    for r in got:
+        n, nl = max(r.kn_n, 1), max(r.kn_nl, 1)
+        p = 0
+        while nl * (1 << p) * 256 < n:
+            p += 1
+        assert r.np == p, (r.kn_n, r.kn_nl, r.np, p)
+
+
+def test_knn_cell_scaling_actually_refines(spark, sf_dir):
+    """The calibration query's cells must be strictly finer than the label
+    cells (n_planes >= 1 at fixture scale), and every within-cell edge it
+    emits must connect vectors of the SAME label — refinement never
+    crosses a coarse cell."""
+    from kafka_streams_tcp_reconciliation_spark.operators import similarity as sim
+    from kafka_streams_tcp_reconciliation_spark.plans.advanced import (
+        _KNN_CALIB_CELL_ROWS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("kn_n"), F.countDistinct("label").alias("kn_nl")
+    )
+    cells = (
+        emb.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "np",
+            F.expr(sim.knn_planes_expr("kn_n", "kn_nl", _KNN_CALIB_CELL_ROWS)),
+        )
+        .withColumn("subcell", F.expr(sim.subcell_expr("embedding", "np")))
+        .select("vec_id", "label", "subcell", "np")
+    ).collect()
+    assert all(r.np >= 1 for r in cells)
+    n_cells = len({(r.label, r.subcell) for r in cells})
+    n_labels = len({r.label for r in cells})
+    assert n_cells > n_labels, (n_cells, n_labels)
+    label_of = {r.vec_id: r.label for r in cells}
+    cell_of = {r.vec_id: (r.label, r.subcell) for r in cells}
+    out = QUERIES["knn_graph_cell_scaling"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert label_of[r.vec_id] == label_of[r.neighbor_id]
+        assert cell_of[r.vec_id] == cell_of[r.neighbor_id]
+
+
 def test_conversion_lags_are_ordered_percentiles(spark, sf_dir):
     """Lags are non-negative and p50 ≤ p90 ≤ p99 on every day."""
     rows = QUERIES["conversion_lag_percentiles"](spark, sf_dir).collect()

@@ -140,6 +140,25 @@ def test_mmr_picks_are_distinct_pool_members(spark, sf_dir):
     assert 0 < _MMR_LAMBDA < 1 and _MMR_K <= _MMR_POOL
 
 
+def test_mmr_pool_guard_rejects_oversized_pool():
+    """The MMR pool bound is ASSERTED in code (ADVICE r09), not just
+    documented: a pool size that would make the driver-side rerank collect
+    a corpus-sized relation must raise at validation, as must a
+    non-positive pool; the shipped default passes."""
+    import pytest
+
+    from kafka_streams_tcp_reconciliation_spark.plans.mlprep import (
+        _MMR_POOL_MAX,
+        _validate_mmr_pool,
+    )
+
+    with pytest.raises(ValueError, match="distributed"):
+        _validate_mmr_pool(_MMR_POOL_MAX + 1)
+    with pytest.raises(ValueError):
+        _validate_mmr_pool(0)
+    assert _validate_mmr_pool(_MMR_POOL) == _MMR_POOL
+
+
 def test_knn_accuracy_output_invariants(spark, sf_dir):
     """Structural invariants of the vote: one row per query, predictions
     drawn from the label domain, is_correct consistent with the equality

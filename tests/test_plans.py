@@ -345,9 +345,16 @@ def test_advanced_ops_plan_locks(spark, sf_dir):
     # keyless range join: equi-shuffle on the bucket, never BNLJ
     p = plan_of(QUERIES["range_join_coactivity"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
-    # kNN graph: cell equi-join only
+    # kNN graph: cell equi-shuffle only — the single allowed BNLJ is the
+    # 1-row (count, n_labels) stats broadcast that sizes the plane count
+    # (round 10's data-proportional cells); a second one would mean a real
+    # cartesian crept in
     p = plan_of(QUERIES["knn_graph_within_cells"](spark, sf_dir))
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+    p = plan_of(QUERIES["knn_graph_cell_scaling"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
     # revenue share + top-parts: dimension joins broadcast
     p = plan_of(QUERIES["revenue_share_within_region"](spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 3, p
@@ -523,6 +530,71 @@ def test_bpe_pairs_aggregate_over_vocab_only(spark, sf_dir):
     gen_pos = plan.index("Generate explode")
     agg_pos = plan.index("HashAggregate", gen_pos)
     assert agg_pos > gen_pos, "word-freq aggregate must feed the explode"
+
+
+def test_bpe_iterated_rounds_stay_vocab_sized(spark, sf_dir):
+    """Iterated BPE (3 unrolled rounds): every round's re-segmentation must
+    consume the 1-ROW best-merge relation by broadcast (two inter-round
+    state updates = exactly the allowed nested-loop joins of one row each),
+    and the vocab aggregate must appear once per round — no stage rescans
+    the corpus-token explode more than the single initial vocab build."""
+    plan = plan_of(QUERIES["bpe_train_iterated"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the 1-row best-merge broadcasts: round k's union branch re-states the
+    # k-1 earlier updates (0 + 1 + 2 across the three branches, plus one
+    # exchange the optimizer declines to reuse) — all of them single-row
+    # builds; a corpus-sized nested loop would also trip the row histogram
+    # in test_bpe_iterated_matches_python_bpe
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+    # exactly one scan family of the documents table per UNION branch would
+    # be wrong — the corpus-token explode feeds ONE word-freq aggregate;
+    # each round's pair count is a vocab-sized HashAggregate above it
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+
+
+def test_bpe_iterated_matches_python_bpe(spark, sf_dir):
+    """3-round BPE == plain-Python greedy BPE trainer (independent of both
+    engines' wrapped-string representation — catches a both-sides-wrong
+    merge rule)."""
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    freq: Counter = Counter()
+    for r in docs:
+        if r.text is None:
+            continue
+        for w in r.text.split(" "):
+            if w:
+                freq[w] += 1
+    vocab = {w: [c for c in w] for w in freq}
+    want = []
+    for _ in range(3):
+        counts: Counter = Counter()
+        for w, toks in vocab.items():
+            f = freq[w]
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += f
+        (x, y), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((x, y, n))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == x and toks[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    got = sorted(
+        QUERIES["bpe_train_iterated"](spark, sf_dir).collect(),
+        key=lambda r: r.round,
+    )
+    assert [(r.lhs, r.rhs, r.n_merges) for r in got] == want
+    for r in got:
+        assert r.merged == r.lhs + r.rhs
 
 
 def test_incremental_dedup_has_no_self_join(spark, sf_dir):

@@ -307,6 +307,21 @@ def test_stopshingle_knob_keeps_oracle_parity(sf_dir, query):
     assert res["match"], res
 
 
+def test_knn_cell_rows_knob_keeps_oracle_parity(sf_dir):
+    """SPARK_GRAFT_KNN_CELL_ROWS (the kNN graph's per-cell row target,
+    round 10's data-proportional refinement) must keep the Spark plan and
+    the DuckDB oracle on the SAME target. 32 forces n_planes >= 1 on the
+    500-vector fixture (10 labels × 32 × 2^0 < 500), so the non-default
+    run exercises a genuinely refined cell layout."""
+    res = _knob_parity(
+        sf_dir,
+        "knn_graph_within_cells",
+        "embeddings",
+        SPARK_GRAFT_KNN_CELL_ROWS="32",
+    )
+    assert res["match"], res
+
+
 def test_mh_bands_knob_keeps_oracle_parity(sf_dir):
     """SPARK_GRAFT_MH_BANDS (MinHash banding; rows = 32/bands) must keep
     plan and oracle on the SAME banding. bands=16 is the pre-round-7
@@ -329,6 +344,7 @@ def test_mh_bands_knob_keeps_oracle_parity(sf_dir):
         ("SPARK_GRAFT_STOPSHINGLE_DF", "-1"),
         ("SPARK_GRAFT_MH_BANDS", "0"),
         ("SPARK_GRAFT_MH_BANDS", "3"),  # not a divisor of 32
+        ("SPARK_GRAFT_KNN_CELL_ROWS", "0"),
     ],
 )
 def test_invalid_knob_values_fail_loudly_at_import(var, val):

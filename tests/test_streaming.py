@@ -487,6 +487,45 @@ def test_cms_cells_stream_converges_to_batch_sketch(spark, sf_dir, event_stream)
     assert got_set == want_set
 
 
+def test_dsir_lm_stream_converges(spark, sf_dir, tmp_path_factory):
+    """Streaming DSIR LM maintenance (update-mode 4096-bucket aggregate —
+    O(1) state like the CMS cells): after a full replay the LM table
+    equals the batch ``dsir_bucket_stats`` bit-for-bit, and scoring the
+    corpus against the streamed LM reproduces the batch
+    ``dsir_importance_weights`` exactly (integer micro-nats, no
+    tolerance)."""
+    from kafka_streams_tcp_reconciliation_spark.plans.pipeline import (
+        dsir_bucket_stats,
+        dsir_tf,
+    )
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+    from kafka_streams_tcp_reconciliation_spark.streaming.dsir import (
+        chunked_lang_text_stream,
+        dsir_lm_stream,
+        dsir_score_against,
+    )
+
+    chunks = str(tmp_path_factory.mktemp("dsirchunks"))
+    feed = chunked_lang_text_stream(spark, sf_dir, chunks, n_chunks=4)
+    got_lm = run_stream(spark, dsir_lm_stream(feed), "complete", "t_dsir_lm")
+
+    docs = load_table(spark, sf_dir, "documents")
+    want_lm = dsir_bucket_stats(
+        dsir_tf(docs.filter(docs.text.isNotNull()))
+    ).toPandas()
+    got_set = {tuple(r) for r in got_lm[["bucket", "cnt_c", "cnt_t"]].values.tolist()}
+    want_set = {tuple(r) for r in want_lm[["bucket", "cnt_c", "cnt_t"]].values.tolist()}
+    assert got_set == want_set
+
+    lm_df = spark.createDataFrame(
+        got_lm[["bucket", "cnt_c", "cnt_t"]],
+        "bucket long, cnt_c long, cnt_t long",
+    )
+    got_w = dsir_score_against(docs, lm_df).toPandas()
+    want_w = all_queries()["dsir_importance_weights"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(got_w), canon(want_w))
+
+
 def test_growth_stream_converges(spark, sf_dir, event_stream):
     """Incremental growth accounting: rolling the emitted (day, status)
     rows up reproduces the batch new/retained/resurrected decomposition,
