@@ -93,7 +93,16 @@ def spark_poly_hash(col: str, base: int = BASE_A, mod: int = MOD) -> str:
 
 
 def duck_poly_hash(col: str, base: int = BASE_A, mod: int = MOD) -> str:
-    """DuckDB SQL: same polynomial hash (verified identical to Spark's)."""
+    """DuckDB SQL: same polynomial hash (verified identical to Spark's).
+
+    NULL input caveat: the two dialects DISAGREE on a NULL ``col`` —
+    Spark's hash NULL-propagates (safe_seq1 → NULL array → NULL), but
+    DuckDB's ``range(1, NULL)`` is an EMPTY list, so this expression
+    folds to the seed **0**. Callers hashing a nullable column must
+    either filter NULLs first (what every text-hashing query does) or
+    branch on ``col IS NULL`` explicitly in BOTH dialects — a coalesce
+    around the hash is NOT equivalent (found by the null-injection sweep
+    on dedup_canonical_by_priority's source priority, round 10)."""
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
         f" list_transform(range(1, length({col})+1),"

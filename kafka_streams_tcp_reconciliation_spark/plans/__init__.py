@@ -49,6 +49,7 @@ _PLAN_MODULES = (
     "mlprep",
     "advanced",
     "pipeline",
+    "selection",
     "governance",
     "sequences",
     "relational",

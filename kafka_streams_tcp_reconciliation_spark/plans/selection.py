@@ -1,0 +1,669 @@
+"""Data-selection operators — deciding WHAT of a 100 TB corpus to train on.
+
+The dedup/similarity layer (plans/llm.py) removes redundancy; this module
+covers the next stage of a pretraining-data pipeline: scoring every
+document, allocating the token budget across languages, and picking the
+canonical copy when duplicates span sources. All five additions are
+standard public-literature passes:
+
+- ``unimax_language_budgets`` — UniMax (Chung et al. 2023): water-filling
+  allocation of a global token budget across languages under a per-
+  language epoch cap, so head languages don't swamp the mixture and tail
+  languages aren't repeated past the cap.
+- ``tokenizer_fertility_by_lang`` — tokens-per-word / chars-per-token by
+  language for a fixed subword segmentation (the metric used to compare
+  tokenizers across languages, e.g. in the XLM-R and NLLB reports).
+- ``quality_classifier_linear`` — fastText-style linear text classifier
+  (Joulin et al. 2016): hashed bag-of-words weights summed per document,
+  the standard cheap quality gate (GPT-3/LLaMA-style "looks like good
+  text" filters).
+- ``quality_tercile_buckets`` — CCNet-style head/middle/tail bucketing
+  (Wenzek et al. 2020): per-language terciles of the quality score, the
+  shape used to keep/downsample/drop corpus strata.
+- ``char_entropy_filter`` — per-document character-level Shannon entropy
+  in integer micro-nats; low-entropy documents are the classic
+  repeated-character / boilerplate spam signature.
+- ``dedup_canonical_by_priority`` — when exact duplicates span sources,
+  keep the copy from the most-trusted source (deterministic source
+  priority, doc_id tie-break): the "which copy survives" policy stage
+  that follows pair/cluster detection.
+
+Determinism contract (driver hash-compares against DuckDB):
+
+- All scores are integer micro-units produced by rounding ONCE per
+  additive term (the unigram_logprob_score / DSIR trick), so every
+  downstream sum is exact BIGINT arithmetic in any association order.
+- Integer division is Spark ``DIV`` / DuckDB ``//`` — both truncate
+  toward zero (measured, incl. negative operands).
+- The classifier's "model" is the shared polynomial hash family
+  (functions/hashing.py) mapped to signed weights, identical by
+  construction in both engines — no RNG, no trained artifact.
+- ntile() splits N rows into buckets of floor/ceil(N/k) with earlier
+  buckets larger in BOTH engines (probed); ordering always carries a
+  doc_id tie-break, and NULL-score rows are filtered before ranking
+  (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST — excluding them is
+  what keeps the two rankings identical).
+
+Scale posture (the 100 TB question), per query, in the docstrings below.
+The common theme: per-document scores are computed with JVM higher-order
+functions on the text column (zero shuffle, whole-stage codegen), and
+everything after the per-document pass aggregates to O(languages) or
+O(duplicate clusters) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
+    duck_poly_hash,
+    spark_poly_hash,
+)
+from kafka_streams_tcp_reconciliation_spark.plans import register
+from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared per-document expressions (Spark + DuckDB dialect pairs)
+# ---------------------------------------------------------------------------
+
+# whitespace words, empties dropped (multi-space / empty-text safe)
+_SPARK_WORDS = "filter(split(text, ' '), sw_w -> sw_w <> '')"
+_DUCK_WORDS = "list_filter(string_split(text, ' '), sw_w -> sw_w <> '')"
+
+# Subword segmentation for fertility: consonant-run + vowel-run syllable
+# chunks. Only char classes / + / * / | — identical semantics in Java
+# regex (Spark) and RE2 (DuckDB); a space is in neither class so tokens
+# never cross word boundaries.
+_SYL_RE = "[^aeiou ]*[aeiou]+|[^aeiou ]+"
+
+# fastText-style hashed linear weights: w(term) = (h(term) mod 2001) - 1000,
+# i.e. integer micro-units in [-1000, 1000]. The "trained model" is the
+# deterministic shared hash family — cross-engine identical by construction.
+_W_MOD = 2001
+_W_OFF = 1000
+
+
+def _spark_score_sum() -> str:
+    """Spark SQL: BIGINT sum of hashed weights over a document's words —
+    a single higher-order ``aggregate`` per row: no explode, no shuffle,
+    whole-stage codegen."""
+    return (
+        f"aggregate({_SPARK_WORDS}, CAST(0 AS BIGINT),"
+        f" (qc_a, qc_t) -> qc_a + (({spark_poly_hash('qc_t')}) % {_W_MOD})"
+        f" - {_W_OFF})"
+    )
+
+
+def _duck_score_sum() -> str:
+    """DuckDB SQL twin of :func:`_spark_score_sum` (list_sum of an empty
+    list is NULL in DuckDB, hence the coalesce to Spark's 0 seed)."""
+    return (
+        f"coalesce(list_sum(list_transform({_DUCK_WORDS},"
+        f" qc_t -> (({duck_poly_hash('qc_t')}) % {_W_MOD}) - {_W_OFF})),"
+        f" CAST(0 AS BIGINT))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# UniMax language budgets
+# ---------------------------------------------------------------------------
+
+# Each language may be repeated at most E = 1 epoch (no repetition) and
+# the global budget is 3/4 of one corpus epoch: the "downsample fairly"
+# regime, where tail languages saturate (keep ALL their data) and head
+# languages split the rest evenly. Chosen over E = 2 / B = 1 epoch
+# because on the fixtures' language mix THAT regime never saturates
+# anyone — the differential would only ever exercise one branch of the
+# water-filling.
+_UNIMAX_EPOCH_CAP = 1
+_UNIMAX_BUDGET_NUM, _UNIMAX_BUDGET_DEN = 3, 4
+
+
+@register(
+    "unimax_language_budgets",
+    oracle=f"""
+    WITH lang_tokens AS (
+        SELECT lang,
+               CAST(sum(len({_DUCK_WORDS})) AS BIGINT) AS c_tokens
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY lang
+    ),
+    framed AS (
+        SELECT lang, c_tokens,
+               CAST({_UNIMAX_EPOCH_CAP} * c_tokens AS BIGINT) AS cap_tokens,
+               count(*) OVER ()                        AS n_langs,
+               CAST(sum(c_tokens) OVER () * {_UNIMAX_BUDGET_NUM} AS BIGINT)
+                   // {_UNIMAX_BUDGET_DEN}              AS budget,
+               -- coalesce: a NULL language group (injected-null fixtures)
+               -- must sort identically in both engines (Spark NULLS
+               -- FIRST asc vs DuckDB NULLS LAST would split cap ties
+               -- differently)
+               row_number() OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * c_tokens,
+                                  coalesce(lang, ''))  AS i,
+               CAST(sum({_UNIMAX_EPOCH_CAP} * c_tokens)
+                    OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * c_tokens,
+                          coalesce(lang, ''))
+                    AS BIGINT)                         AS prefix_cap
+        FROM lang_tokens
+    ),
+    flagged AS (
+        SELECT *,
+               (cap_tokens * (n_langs - i + 1)
+                    <= budget - (prefix_cap - cap_tokens)) AS saturated
+        FROM framed
+    ),
+    leveled AS (
+        SELECT *,
+               CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END)
+                    OVER () AS BIGINT) AS k,
+               CAST(sum(CASE WHEN saturated THEN cap_tokens ELSE 0 END)
+                    OVER () AS BIGINT) AS p_k
+        FROM flagged
+    )
+    SELECT lang, c_tokens, cap_tokens, saturated,
+           CASE WHEN saturated THEN cap_tokens * 1000000
+                ELSE ((budget - p_k) * 1000000) // (n_langs - k)
+           END AS alloc_micro_tokens
+    FROM leveled
+    """,
+)
+def unimax_language_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a global token budget B across languages as
+    evenly as possible, capping each language at E epochs of its own
+    token count. Here B = 3/4 of one corpus epoch and E = 1 (the
+    "downsample fairly, no repetition" regime — tail languages keep all
+    their data, head languages split the remainder evenly).
+
+    Water-filling in closed form: with per-language caps sorted
+    ascending, a language is *saturated* (gets its full cap) iff handing
+    every not-yet-allocated language the current cap would still fit the
+    remaining budget — saturation is therefore a prefix of the sorted
+    order, and every unsaturated language gets the common water level
+    (B - Σ saturated caps) / (#unsaturated). A plain-Python iterative
+    water-filler property-tests this closed form (tests/test_selection.py).
+
+    Determinism: token counts are exact BIGINTs; the water level is
+    computed in micro-tokens with truncating integer division, so both
+    engines agree bit-for-bit. If every language saturates (B ≥ Σ caps)
+    the ELSE branch is never evaluated — no division by zero.
+
+    Scale: the corpus pass is one map-side-combinable groupBy(lang) whose
+    per-row token count is a higher-order filter/size on the text column
+    (no explode, no token shuffle). Everything after runs on an
+    O(#languages) frame — the unpartitioned windows touch ~5 rows, never
+    the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return unimax_allocate(lang_token_counts(docs))
+
+
+def lang_token_counts(docs: DataFrame) -> DataFrame:
+    """(lang, c_tokens): per-language whitespace-token totals. On a
+    STREAMING docs relation this groupBy IS the O(#languages) LM state
+    (update mode) — see streaming/selection.py."""
+    return docs.groupBy("lang").agg(
+        F.sum(F.expr(f"size({_SPARK_WORDS})")).cast("long").alias("c_tokens")
+    )
+
+
+def unimax_allocate(lang_tokens: DataFrame) -> DataFrame:
+    """Closed-form water-filling over a (lang, c_tokens) frame — pure
+    DataFrame algebra on O(#languages) rows, shared by the batch query
+    and the streaming twin so a full replay converges bit-exactly."""
+    cap = (F.lit(_UNIMAX_EPOCH_CAP) * F.col("c_tokens")).cast("long")
+    w_all = Window.partitionBy()
+    # coalesce(lang, ''): cross-engine NULL sort position (see oracle)
+    w_ord = Window.partitionBy().orderBy(
+        "cap_tokens", F.expr("coalesce(lang, '')")
+    )
+    framed = lang_tokens.select(
+        "lang",
+        "c_tokens",
+        cap.alias("cap_tokens"),
+    ).select(
+        "*",
+        F.count(F.lit(1)).over(w_all).alias("n_langs"),
+        F.expr(
+            f"CAST(sum(c_tokens) OVER () * {_UNIMAX_BUDGET_NUM} AS BIGINT)"
+            f" DIV {_UNIMAX_BUDGET_DEN}"
+        ).alias("budget"),
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("cap_tokens")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("prefix_cap"),
+    )
+    flagged = framed.withColumn(
+        "saturated",
+        F.col("cap_tokens") * (F.col("n_langs") - F.col("i") + 1)
+        <= F.col("budget") - (F.col("prefix_cap") - F.col("cap_tokens")),
+    )
+    leveled = flagged.select(
+        "*",
+        F.sum(F.when(F.col("saturated"), 1).otherwise(0))
+        .over(w_all)
+        .cast("long")
+        .alias("k"),
+        F.sum(F.when(F.col("saturated"), F.col("cap_tokens")).otherwise(0))
+        .over(w_all)
+        .cast("long")
+        .alias("p_k"),
+    )
+    return leveled.select(
+        "lang",
+        "c_tokens",
+        "cap_tokens",
+        "saturated",
+        F.when(F.col("saturated"), F.col("cap_tokens") * F.lit(1_000_000))
+        .otherwise(
+            F.expr(
+                "((budget - p_k) * CAST(1000000 AS BIGINT))"
+                " DIV (n_langs - k)"
+            )
+        )
+        .cast("long")
+        .alias("alloc_micro_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len({_DUCK_WORDS}) AS BIGINT)      AS n_words,
+               CAST(len(regexp_extract_all(text, '{_SYL_RE}'))
+                    AS BIGINT)                         AS n_subtok,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_subtok) AS BIGINT) AS n_subtokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_subtok) * 1000000 AS BIGINT)
+               // nullif(CAST(sum(n_words) AS BIGINT), 0)
+               AS fertility_micro,
+           CAST(sum(n_chars) * 1000000 AS BIGINT)
+               // nullif(CAST(sum(n_subtok) AS BIGINT), 0)
+               AS chars_per_subtok_micro
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens per whitespace word) and
+    compression (chars per subword token) by language — the standard
+    cross-language tokenizer-fairness report (XLM-R, NLLB): a language
+    whose fertility is 2× pays 2× the sequence length for the same text.
+
+    The segmentation is a fixed public rule (consonant-run + vowel-run
+    chunks via one regex) rather than a learned vocab — the Spark surface
+    (regexp_extract_all + higher-order counting, per-row, shuffle-free)
+    is identical for any regex-describable pre-tokenizer, which is how
+    GPT-2/tiktoken-style pre-tokenization is expressed.
+
+    Determinism: all counts are exact BIGINTs; ratios are micro-unit
+    truncating integer division, NULL for empty denominators (a language
+    with only empty documents).
+
+    Scale: one corpus scan; per-row token counts stay inside whole-stage
+    codegen (no explode — size() over the extracted arrays), then a
+    map-side-combinable groupBy(lang) to an O(#languages) result.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    per_doc = docs.select(
+        "lang",
+        F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(text, '{_SYL_RE}', 0)) AS BIGINT)"
+        ).alias("n_subtok"),
+        F.length(F.regexp_replace("text", " ", ""))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subtok").cast("long").alias("n_subtokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            "CAST(sum(n_subtok) * 1000000 AS BIGINT)"
+            " DIV nullif(CAST(sum(n_words) AS BIGINT), 0)"
+        ).alias("fertility_micro"),
+        F.expr(
+            "CAST(sum(n_chars) * 1000000 AS BIGINT)"
+            " DIV nullif(CAST(sum(n_subtok) AS BIGINT), 0)"
+        ).alias("chars_per_subtok_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_classifier_linear",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_words,
+           CAST({_duck_score_sum()} AS BIGINT) AS score_sum,
+           CAST({_duck_score_sum()} * 1000000 AS BIGINT)
+               // nullif(CAST(len({_DUCK_WORDS}) AS BIGINT), 0)
+               AS score_micro,
+           (CAST({_duck_score_sum()} * 1000000 AS BIGINT)
+               // nullif(CAST(len({_DUCK_WORDS}) AS BIGINT), 0)) >= 0
+               AS keep
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality score (Joulin et al. 2016): each word
+    hashes to a signed integer weight in [-1000, 1000] micro-units; the
+    document score is the mean weight, and ``keep`` is the sign gate —
+    structurally the GPT-3/LLaMA "quality classifier" filter pass with
+    the learned weight table replaced by the repo's deterministic hash
+    family (a real model would broadcast its weight table and join, or
+    inline it the same way; the Spark plan is unchanged).
+
+    Determinism: the weight sum is exact BIGINT (one hash → one integer
+    weight per word, summed by a higher-order aggregate); the mean is
+    micro-unit truncating division, NULL (and NULL keep) for empty
+    documents.
+
+    Scale: zero shuffles — the entire scorer is per-row JVM higher-order
+    expressions inside whole-stage codegen; output is one row per
+    document with no aggregation barrier, so it pipelines straight into
+    a downstream filter/write at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    scored = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
+        F.expr(f"CAST({_spark_score_sum()} AS BIGINT)").alias("score_sum"),
+    ).select(
+        "*",
+        F.expr(
+            "(score_sum * CAST(1000000 AS BIGINT))"
+            " DIV nullif(n_words, CAST(0 AS BIGINT))"
+        ).alias("score_micro"),
+    )
+    return scored.select(
+        "*", (F.col("score_micro") >= 0).alias("keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language quality terciles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_tercile_buckets",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST({_duck_score_sum()} * 1000000 AS BIGINT)
+                   // CAST(len({_DUCK_WORDS}) AS BIGINT) AS score_micro
+        FROM documents
+        WHERE text IS NOT NULL AND len({_DUCK_WORDS}) > 0
+    ),
+    ranked AS (
+        SELECT lang, score_micro,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY score_micro, doc_id) AS tercile
+        FROM scored
+    )
+    SELECT lang, CAST(tercile AS INT) AS tercile,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(min(score_micro) AS BIGINT) AS min_score_micro,
+           CAST(max(score_micro) AS BIGINT) AS max_score_micro,
+           CAST(sum(score_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS mean_score_micro
+    FROM ranked
+    GROUP BY lang, tercile
+    """,
+)
+def quality_tercile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail strata (Wenzek et al. 2020): per
+    language, rank documents by the linear quality score and cut into
+    terciles; report each stratum's size and score range. CCNet keeps
+    "head", downsamples "middle", drops "tail" — this query is the
+    stratification that policy reads.
+
+    Determinism: ntile(3) splits N rows with earlier buckets larger in
+    both engines (probed); the ordering carries a doc_id tie-break, and
+    zero-word documents (NULL score) are filtered BEFORE ranking because
+    the engines disagree on NULL sort position (Spark NULLS FIRST asc,
+    DuckDB NULLS LAST). Stratum means are truncating integer division.
+
+    Scale: the scorer is shuffle-free (see quality_classifier_linear);
+    ntile is one sort per language partition — Spark's distributed
+    range-partitioned sort, the same cost class as any global ranking
+    operator (and exactly what CCNet does corpus-wide). The final rollup
+    is O(#languages × 3) rows. For a sort-free approximation at extreme
+    scale, cut at approx_percentile(score, [1/3, 2/3]) instead — same
+    downstream shape; this query keeps the exact semantics so the oracle
+    can hash-match.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
+        F.expr(f"CAST({_spark_score_sum()} AS BIGINT)").alias("score_sum"),
+    ).filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "lang",
+        F.expr("(score_sum * CAST(1000000 AS BIGINT)) DIV n_words").alias(
+            "score_micro"
+        ),
+    )
+    ranked = scored.select(
+        "lang",
+        "score_micro",
+        F.ntile(3)
+        .over(
+            Window.partitionBy("lang").orderBy("score_micro", "doc_id")
+        )
+        .alias("tercile"),
+    )
+    return ranked.groupBy("lang", "tercile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("score_micro").cast("long").alias("min_score_micro"),
+        F.max("score_micro").cast("long").alias("max_score_micro"),
+        F.expr(
+            "CAST(sum(score_micro) AS BIGINT) DIV CAST(count(*) AS BIGINT)"
+        ).alias("mean_score_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy spam filter
+# ---------------------------------------------------------------------------
+
+_LOW_ENTROPY_MICRO = 2_000_000  # 2.0 nats; healthy word-text sits ~2.7-3.0
+
+
+@register(
+    "char_entropy_filter",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    counts AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+        FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT)  AS n_chars,
+           CAST(count(*) AS BIGINT)  AS n_distinct_chars,
+           CAST(round(ln(sum(cnt)) * 1000000) AS BIGINT)
+               - CAST(sum(CAST(round(cnt * ln(cnt) * 1000000) AS BIGINT))
+                      AS BIGINT) // CAST(sum(cnt) AS BIGINT)
+               AS entropy_micro,
+           (CAST(round(ln(sum(cnt)) * 1000000) AS BIGINT)
+               - CAST(sum(CAST(round(cnt * ln(cnt) * 1000000) AS BIGINT))
+                      AS BIGINT) // CAST(sum(cnt) AS BIGINT))
+               < {_LOW_ENTROPY_MICRO} AS is_low_entropy
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy in integer micro-nats,
+    with a low-entropy flag — the classic repeated-character / template
+    spam signature (a doc of one repeated char has entropy ~0; healthy
+    lowercase word text sits near ln(27) ≈ 3.3 nats). Used as a cheap
+    pre-filter before the expensive dedup/classifier passes.
+
+    H = ln(n) − (Σ_c cnt_c·ln cnt_c)/n over character counts cnt_c.
+    Determinism: each additive term cnt·ln(cnt) is rounded ONCE to
+    integer micro-nats (the DSIR trick), so the per-document sum is
+    exact BIGINT in any association order; the final division truncates
+    identically (DIV vs //). Empty documents are excluded up front
+    (length 0 has no entropy; also the engines disagree on splitting '').
+
+    Scale: explode-to-characters is the one corpus-sized stage — a
+    single shuffle keyed (doc_id, char) with full map-side combine (≤28
+    distinct chars per doc partition-locally), then an O(docs) rollup.
+    Linear, skew-free (keys are doc-scoped), no Python anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ent = F.expr(
+        "CAST(round(ln(sum(cnt)) * 1000000) AS BIGINT)"
+        " - CAST(sum(CAST(round(cnt * ln(cnt) * 1000000) AS BIGINT))"
+        " AS BIGINT) DIV CAST(sum(cnt) AS BIGINT)"
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        ent.alias("entropy_micro"),
+        (ent < F.lit(_LOW_ENTROPY_MICRO)).alias("is_low_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-copy selection across sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_canonical_by_priority",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT md5(text) AS text_hash, doc_id, source,
+               -- explicit NULL-source guard: a NULL source (injected-null
+               -- fixtures) gets the WORST priority sentinel in both
+               -- engines. Must be a CASE on source, not a coalesce around
+               -- the hash: DuckDB's range(1, NULL) is an EMPTY list, so
+               -- its poly hash of NULL folds to the seed 0, while Spark's
+               -- NULL-propagates — the two coalesces would see different
+               -- inputs (hashing.py "NULL input" note)
+               CASE WHEN source IS NULL THEN 100
+                    ELSE ({duck_poly_hash("source")}) % 100 END
+                   AS src_priority,
+               row_number() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY CASE WHEN source IS NULL THEN 100
+                                 ELSE ({duck_poly_hash("source")}) % 100 END,
+                            doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY md5(text)) AS n_copies
+        FROM documents WHERE text IS NOT NULL
+    ),
+    srcs AS (
+        SELECT md5(text) AS text_hash,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_distinct_sources
+        FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+    )
+    SELECT r.text_hash,
+           r.doc_id     AS canonical_doc_id,
+           r.source     AS canonical_source,
+           CAST(r.src_priority AS BIGINT) AS src_priority,
+           CAST(r.n_copies AS BIGINT)     AS n_copies,
+           s.n_distinct_sources
+    FROM ranked r JOIN srcs s ON r.text_hash = s.text_hash
+    WHERE r.rn = 1
+    """,
+)
+def dedup_canonical_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection: the deduped corpus KEEP-LIST — one row
+    per distinct text, carrying which copy survives (the copy from the
+    highest-priority source, lowest priority number, doc_id tie-break)
+    plus the cluster's size and source spread. This is the policy stage
+    after detection — real pipelines rank Wikipedia over Common Crawl
+    over a scrape; here the priority table is a deterministic hash of the
+    source name (a real deployment broadcasts a tiny source→priority dim
+    instead; the plan is identical). Singleton clusters are kept in the
+    output on purpose: the keep-list IS the deduped corpus mapping, and
+    downstream consumers (``n_copies > 1`` for an audit, a semi-join on
+    canonical_doc_id for the rewrite) filter it.
+
+    Determinism: the cluster key is md5(text) (identical in both
+    engines); the canonical pick is an argmin over (priority, doc_id) —
+    a total order, so no min_by tie ambiguity.
+
+    Scale: shuffles are keyed on the 32-char md5 (never the full text —
+    at 100 TB the shuffle payload is doc metadata, not documents). The
+    count-distinct makes Catalyst plan the standard two-phase distinct
+    aggregate: a map-side-combined exchange on (text_hash, source)
+    followed by an exchange on text_hash over already-cluster-sized rows
+    — one corpus-metadata shuffle plus one shuffle of the (much smaller)
+    per-(text, source) frame. The argmin is a lexicographic struct min,
+    combinable in both phases. Output is O(distinct texts), the same
+    cardinality class as the deduped corpus itself.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        F.md5("text").alias("text_hash"),
+        "doc_id",
+        "source",
+        F.expr(
+            f"CASE WHEN source IS NULL THEN 100"
+            f" ELSE ({spark_poly_hash('source')}) % 100 END"
+        ).alias("src_priority"),
+    )
+    agg = base.groupBy("text_hash").agg(
+        F.min(F.struct("src_priority", "doc_id", "source")).alias("best"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.countDistinct("source").cast("long").alias("n_distinct_sources"),
+    )
+    return agg.select(
+        "text_hash",
+        F.col("best.doc_id").alias("canonical_doc_id"),
+        F.col("best.source").alias("canonical_source"),
+        F.col("best.src_priority").cast("long").alias("src_priority"),
+        "n_copies",
+        "n_distinct_sources",
+    )

@@ -1,0 +1,51 @@
+"""Streaming UniMax budget maintenance — the online twin of
+``plans/selection.unimax_language_budgets``.
+
+UniMax's input statistic is O(#languages) state: one token count per
+language. Like the DSIR LMs (streaming/dsir.py) that is the textbook
+update-mode stateful aggregate — the state IS the aggregate — so the
+streaming twin is the shared ``lang_token_counts`` builder applied to a
+streaming document relation: state bounded at #languages rows forever,
+however many petabytes of documents flow through.
+
+Allocation is deliberately SEPARATE from count maintenance: the
+water-filling is a global decision over ALL languages (a cross-row
+computation), so a production pipeline keeps the counts warm on the
+ingest stream and recomputes the allocation from a snapshot whenever the
+mixture is (re)planned — allocating inside the stream would emit budgets
+computed against a partial corpus every micro-batch. The convergence
+contract: after a FULL replay, the streamed count table equals the batch
+``lang_token_counts`` bit-for-bit, and ``unimax_allocate`` on it
+reproduces the batch query's budgets exactly (integer micro-tokens — no
+tolerance). Locked by
+tests/test_streaming.py::test_unimax_counts_stream_converges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_tcp_reconciliation_spark.plans.selection import (
+    lang_token_counts,
+    unimax_allocate,
+)
+
+
+def lang_token_stream(docs: DataFrame) -> DataFrame:
+    """Incrementally maintained per-language token counts over a document
+    stream (doc_id, lang, text). Output (update/complete mode): one row
+    per language with its running c_tokens — the shared batch builder,
+    which keeps the token-counting expression (higher-order filter/size,
+    no explode) identical on both paths."""
+    return lang_token_counts(docs.filter(F.col("text").isNotNull()))
+
+
+def unimax_budgets_against(count_snapshot: DataFrame) -> DataFrame:
+    """Water-fill a budget allocation from a counts snapshot — e.g. the
+    streamed count table read back from its sink. With the fully-replayed
+    counts the result is bit-identical to ``unimax_language_budgets``."""
+    return unimax_allocate(count_snapshot)
+
+
+__all__ = ["lang_token_stream", "unimax_budgets_against"]

@@ -526,6 +526,42 @@ def test_dsir_lm_stream_converges(spark, sf_dir, tmp_path_factory):
     pd.testing.assert_frame_equal(canon(got_w), canon(want_w))
 
 
+def test_unimax_counts_stream_converges(spark, sf_dir, tmp_path_factory):
+    """Streaming UniMax count maintenance (update-mode O(#languages)
+    aggregate): after a full replay the count table equals the batch
+    ``lang_token_counts`` bit-for-bit, and water-filling the snapshot
+    reproduces the batch ``unimax_language_budgets`` exactly (integer
+    micro-tokens, no tolerance)."""
+    from kafka_streams_tcp_reconciliation_spark.plans.selection import lang_token_counts
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+    from kafka_streams_tcp_reconciliation_spark.streaming.dsir import (
+        chunked_lang_text_stream,
+    )
+    from kafka_streams_tcp_reconciliation_spark.streaming.selection import (
+        lang_token_stream,
+        unimax_budgets_against,
+    )
+
+    chunks = str(tmp_path_factory.mktemp("unimaxchunks"))
+    feed = chunked_lang_text_stream(spark, sf_dir, chunks, n_chunks=4)
+    got_counts = run_stream(
+        spark, lang_token_stream(feed), "complete", "t_unimax_counts"
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    want_counts = lang_token_counts(docs.filter(docs.text.isNotNull())).toPandas()
+    got_set = {tuple(r) for r in got_counts[["lang", "c_tokens"]].values.tolist()}
+    want_set = {tuple(r) for r in want_counts[["lang", "c_tokens"]].values.tolist()}
+    assert got_set == want_set
+
+    snap = spark.createDataFrame(
+        got_counts[["lang", "c_tokens"]], "lang string, c_tokens long"
+    )
+    got_b = unimax_budgets_against(snap).toPandas()
+    want_b = all_queries()["unimax_language_budgets"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(got_b), canon(want_b))
+
+
 def test_growth_stream_converges(spark, sf_dir, event_stream):
     """Incremental growth accounting: rolling the emitted (day, status)
     rows up reproduces the batch new/retained/resurrected decomposition,
