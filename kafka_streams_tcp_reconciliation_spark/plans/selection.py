@@ -3,7 +3,7 @@
 The dedup/similarity layer (plans/llm.py) removes redundancy; this module
 covers the next stage of a pretraining-data pipeline: scoring every
 document, allocating the token budget across languages, and picking the
-canonical copy when duplicates span sources. All five additions are
+canonical copy when duplicates span sources. All nine additions are
 standard public-literature passes:
 
 - ``unimax_language_budgets`` — UniMax (Chung et al. 2023): water-filling
@@ -27,6 +27,16 @@ standard public-literature passes:
   keep the copy from the most-trusted source (deterministic source
   priority, doc_id tie-break): the "which copy survives" policy stage
   that follows pair/cluster detection.
+- ``dedup_canonical_neardup_clusters`` — the same policy applied to
+  TRANSITIVE near-dup clusters: SimHash pairs → connected components →
+  source-priority canonical → per-document keep/drop verdict (the full
+  production fuzzy-dedup decision, end to end).
+- ``unimax_sample_plan`` — materialize the UniMax budgets as per-document
+  keep decisions: deterministic scrambled-id order, cumulative token
+  cutoff per language — the sampled-corpus manifest.
+- ``bigram_logprob_score`` — CCNet-style perplexity signal one order up
+  from the unigram scorer: per-document mean bigram log-probability under
+  the corpus's own hashed-bigram LM (O(1) LM state).
 
 Determinism contract (driver hash-compares against DuckDB):
 
@@ -58,9 +68,17 @@ from pyspark.sql import functions as F
 
 from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
     duck_poly_hash,
+    safe_seq1,
     spark_poly_hash,
 )
+from kafka_streams_tcp_reconciliation_spark.operators.graph import (
+    connected_components_propagate,
+)
 from kafka_streams_tcp_reconciliation_spark.plans import register
+from kafka_streams_tcp_reconciliation_spark.plans.llm import (
+    SIMHASH_CAND_CTES,
+    simhash_pair_frame,
+)
 from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -666,4 +684,361 @@ def dedup_canonical_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.src_priority").cast("long").alias("src_priority"),
         "n_copies",
         "n_distinct_sources",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical selection over TRANSITIVE near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_canonical_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {SIMHASH_CAND_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM simhash_pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM simhash_pairs
+    ),
+    walk(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ),
+    labeled AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM walk GROUP BY src
+    ),
+    pri AS (
+        SELECT l.doc_id, l.cluster_id, d.source,
+               CASE WHEN d.source IS NULL THEN 100
+                    ELSE ({duck_poly_hash("d.source")}) % 100 END
+                   AS src_priority
+        FROM labeled l JOIN documents d ON d.doc_id = l.doc_id
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY src_priority, doc_id) AS rn,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM pri
+    ),
+    canon AS (
+        SELECT cluster_id, doc_id AS canonical_doc_id,
+               source AS canonical_source
+        FROM ranked WHERE rn = 1
+    )
+    SELECT r.doc_id, r.cluster_id,
+           CAST(r.cluster_size AS BIGINT) AS cluster_size,
+           c.canonical_doc_id, c.canonical_source,
+           r.doc_id = c.canonical_doc_id AS is_kept
+    FROM ranked r JOIN canon c USING (cluster_id)
+    """,
+)
+def dedup_canonical_neardup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full production near-dup dedup decision, end to end: SimHash
+    candidate pairs → transitive clusters (connected components) →
+    per-cluster canonical chosen by SOURCE PRIORITY (doc_id tie-break) →
+    a per-document keep/drop verdict. Composes the three layers the repo
+    implements separately (``dedup_simhash`` pairs,
+    ``dedup_cluster_resolve`` components, ``dedup_canonical_by_priority``
+    policy): A~B~C collapses to one survivor even when A and C were never
+    directly paired, and the survivor is the most-trusted source's copy —
+    NOT simply the lowest doc_id (the policy real pipelines actually
+    want: prefer the Wikipedia copy over the crawl copy wherever the
+    cluster membership came from).
+
+    Determinism: cluster labels are min-doc_id components
+    (algorithm-independent); the canonical argmin runs over the total
+    order (priority, doc_id); the NULL-source sentinel and the hash
+    family are shared with dedup_canonical_by_priority.
+
+    Scale: pair generation is the blocked SimHash index (never all
+    pairs); label propagation is diameter-bounded rounds of an
+    equi-shuffle; the policy stage adds ONE window over clusters — output
+    is O(docs in near-dup clusters), a vanishing fraction of the corpus.
+    The oracle mirrors the pipeline with a recursive transitive closure
+    over the same pair CTEs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pair_frame(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_propagate(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    pri = labels.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).withColumn(
+        "src_priority",
+        F.expr(
+            f"CASE WHEN source IS NULL THEN 100"
+            f" ELSE ({spark_poly_hash('source')}) % 100 END"
+        ),
+    )
+    w_clu = Window.partitionBy("cluster_id")
+    ranked = pri.select(
+        "*",
+        F.row_number()
+        .over(w_clu.orderBy("src_priority", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w_clu).cast("long").alias("cluster_size"),
+    )
+    canon = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        F.col("source").alias("canonical_source"),
+    )
+    return ranked.join(canon, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "canonical_doc_id",
+        "canonical_source",
+        (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UniMax sample plan — materialize the budget as per-document decisions
+# ---------------------------------------------------------------------------
+
+# affine scramble of doc_id (see plans/pipeline._SAMPLE_HASH rationale:
+# the char-fold hash is near-monotone on sequential ids; the affine map
+# decorrelates sampling order from ingestion order)
+_DOC_SCRAMBLE = "((doc_id % 1000000007) * 2654435761 + 1013904223) % 1000000007"
+
+
+@register(
+    "unimax_sample_plan",
+    oracle=f"""
+    WITH lang_tokens AS (
+        SELECT lang,
+               CAST(sum(len({_DUCK_WORDS})) AS BIGINT) AS c_tokens
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY lang
+    ),
+    framed AS (
+        SELECT lang, c_tokens,
+               CAST({_UNIMAX_EPOCH_CAP} * c_tokens AS BIGINT) AS cap_tokens,
+               count(*) OVER ()                        AS n_langs,
+               CAST(sum(c_tokens) OVER () * {_UNIMAX_BUDGET_NUM} AS BIGINT)
+                   // {_UNIMAX_BUDGET_DEN}              AS budget,
+               row_number() OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * c_tokens,
+                                  coalesce(lang, ''))  AS i,
+               CAST(sum({_UNIMAX_EPOCH_CAP} * c_tokens)
+                    OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * c_tokens,
+                          coalesce(lang, ''))
+                    AS BIGINT)                         AS prefix_cap
+        FROM lang_tokens
+    ),
+    flagged AS (
+        SELECT *,
+               (cap_tokens * (n_langs - i + 1)
+                    <= budget - (prefix_cap - cap_tokens)) AS saturated
+        FROM framed
+    ),
+    leveled AS (
+        SELECT *,
+               CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END)
+                    OVER () AS BIGINT) AS k,
+               CAST(sum(CASE WHEN saturated THEN cap_tokens ELSE 0 END)
+                    OVER () AS BIGINT) AS p_k
+        FROM flagged
+    ),
+    budgets AS (
+        SELECT lang,
+               CASE WHEN saturated THEN cap_tokens * 1000000
+                    ELSE ((budget - p_k) * 1000000) // (n_langs - k)
+               END AS alloc_micro_tokens
+        FROM leveled
+    ),
+    ordered AS (
+        SELECT doc_id, lang,
+               CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_words,
+               CAST(sum(CAST(len({_DUCK_WORDS}) AS BIGINT) * 1000000)
+                    OVER (PARTITION BY lang
+                          ORDER BY {_DOC_SCRAMBLE}, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_micro_tokens
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT o.doc_id, o.lang, o.n_words, o.cum_micro_tokens
+    FROM ordered o JOIN budgets b ON o.lang = b.lang
+    WHERE o.cum_micro_tokens <= b.alloc_micro_tokens
+    """,
+)
+def unimax_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the UniMax budgets as per-document KEEP decisions: per
+    language, walk documents in deterministic scrambled-id order,
+    accumulate token cost, and keep the prefix that fits the language's
+    water-filled allocation. This is the step that turns a mixture plan
+    into an actual training set — the output is the sampled corpus
+    manifest (doc_id + its cumulative position), reproducible run-to-run
+    with no RNG (the affine id scramble decorrelates sampling order from
+    ingestion order; a char-fold hash would not — see
+    plans/pipeline._SAMPLE_HASH).
+
+    Boundary semantics: greedy prefix — a document that would straddle
+    the budget line is dropped entirely (its successors too: the cut is
+    a cumulative threshold, identical in both engines' exact BIGINT
+    arithmetic). NULL-language documents are excluded (the inner join on
+    lang never matches NULL in either engine).
+
+    Scale: the budget frame is O(#languages) (see
+    unimax_language_budgets) and broadcasts onto the corpus; the cumsum
+    is one window sort per language — the same distributed-sort cost
+    class as the CCNet tercile ranking, paid once to emit a manifest.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    budgets = unimax_allocate(lang_token_counts(docs)).select(
+        "lang", "alloc_micro_tokens"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.expr(_DOC_SCRAMBLE), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ordered = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
+    ).select(
+        "*",
+        F.sum(F.col("n_words") * F.lit(1_000_000))
+        .over(w)
+        .cast("long")
+        .alias("cum_micro_tokens"),
+    )
+    return ordered.join(F.broadcast(budgets), "lang").filter(
+        F.col("cum_micro_tokens") <= F.col("alloc_micro_tokens")
+    ).select("doc_id", "lang", "n_words", "cum_micro_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity scoring (hashed contexts, O(1) LM state)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_BUCKETS = 4096
+
+
+@register(
+    "bigram_logprob_score",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_id, p.b1, p.b2
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(hs)),
+                          bg_i -> struct_pack(b1 := hs[bg_i],
+                                              b2 := hs[bg_i + 1]))) AS p
+            FROM (
+                -- hash each word once, then pair adjacent buckets
+                -- (mirrors the Spark layout)
+                SELECT doc_id,
+                       list_transform({_DUCK_WORDS},
+                           bg_w -> ({duck_poly_hash("bg_w")})
+                                   % {_BIGRAM_BUCKETS}) AS hs
+                FROM documents WHERE text IS NOT NULL
+            )
+        )
+    ),
+    tf AS (
+        SELECT doc_id, b1, b2, CAST(count(*) AS BIGINT) AS tf
+        FROM pairs GROUP BY 1, 2, 3
+    ),
+    lm AS (
+        SELECT b1, b2, CAST(sum(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT b1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY b1
+    ),
+    ratio AS (
+        SELECT lm.b1, lm.b2,
+               CAST(round((ln(lm.c12 + 1.0)
+                           - ln(ctx.c1 + {_BIGRAM_BUCKETS}))
+                          * 1000000) AS BIGINT) AS logp_micro
+        FROM lm JOIN ctx ON lm.b1 = ctx.b1
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+           CAST(CAST(sum(tf.tf * r.logp_micro) AS BIGINT)
+                // CAST(sum(tf.tf) AS BIGINT) AS BIGINT)
+               AS mean_logprob_micro
+    FROM tf JOIN ratio r ON tf.b1 = r.b1 AND tf.b2 = r.b2
+    GROUP BY tf.doc_id
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    hashed-bigram language model (add-1 smoothing over {_BIGRAM_BUCKETS}
+    successor buckets) in integer micro-nats — the CCNet-style
+    "perplexity against an in-domain LM" quality signal
+    (Wenzek et al. 2020), one order up from ``unigram_logprob_score``:
+    improbable word SEQUENCES score low even when every word is common.
+
+    Determinism: per-(context, successor) log prob is rounded ONCE to
+    integer micro-nats (the DSIR trick), so per-document sums are exact
+    BIGINT in any association order; the mean is truncating integer
+    division. Documents with fewer than two words have no bigrams and are
+    absent from the output in both engines.
+
+    Scale: the LM state is bounded at {_BIGRAM_BUCKETS}² buckets
+    regardless of corpus size (hash collisions are part of the
+    estimator, identical in both engines) and in practice at the number
+    of DISTINCT observed bucket pairs; the context rollup derives from
+    the LM frame (never a second corpus scan). Per-document scoring is
+    one equi-join on (b1, b2) — shuffle-bounded by the doc-bigram tf
+    frame, which is strictly smaller than the token stream.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    # hash every word ONCE into its bucket, THEN pair adjacent buckets —
+    # hashing inside the pair struct would evaluate the char fold twice
+    # per word per side (~4x the hash work; measured 9.7 s -> ~2 s at
+    # sf0.1 with this layout + the tf cache below)
+    bucketed = (
+        f"transform({_SPARK_WORDS},"
+        f" bg_w -> ({spark_poly_hash('bg_w')}) % {_BIGRAM_BUCKETS})"
+    )
+    pair_struct = (
+        f"transform({safe_seq1('size(hs) - 1')},"
+        f" bg_i -> struct(element_at(hs, bg_i) AS b1,"
+        f" element_at(hs, bg_i + 1) AS b2))"
+    )
+    pairs = (
+        docs.select("doc_id", F.expr(bucketed).alias("hs"))
+        .select("doc_id", F.explode(F.expr(pair_struct)).alias("p"))
+        .select("doc_id", F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2"))
+    )
+    # cache: tf feeds BOTH the LM rollup and the scoring join — without
+    # it the interpreted word-hash pass reruns per consumer (the same
+    # barrier rationale as curate_corpus's shingle cache)
+    tf = pairs.groupBy("doc_id", "b1", "b2").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).cache()
+    lm = tf.groupBy("b1", "b2").agg(F.sum("tf").cast("long").alias("c12"))
+    ctx = lm.groupBy("b1").agg(F.sum("c12").cast("long").alias("c1"))
+    ratio = lm.join(ctx, "b1").select(
+        "b1",
+        "b2",
+        F.expr(
+            f"CAST(round((ln(c12 + 1.0) - ln(c1 + {_BIGRAM_BUCKETS}))"
+            f" * 1000000) AS BIGINT)"
+        ).alias("logp_micro"),
+    )
+    return (
+        tf.join(ratio, ["b1", "b2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.expr(
+                "CAST(CAST(sum(tf * logp_micro) AS BIGINT)"
+                " DIV CAST(sum(tf) AS BIGINT) AS BIGINT)"
+            ).alias("mean_logprob_micro"),
+        )
     )

@@ -336,3 +336,123 @@ def test_unimax_single_corpus_pass(spark):
     df = QUERIES["unimax_language_budgets"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_unimax_sample_plan_vs_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["unimax_sample_plan"](spark, SF_DIR).collect()
+    }
+    docs = [d for d in _docs() if d["text"] is not None]
+    counts: Counter[str] = Counter()
+    for d in docs:
+        counts[d["lang"]] += len(_words(d["text"]))
+    langs = sorted(counts)
+    caps = [counts[lang] for lang in langs]
+    budget = 3 * sum(counts.values()) // 4
+    alloc = dict(zip(langs, _water_fill_iterative(caps, budget)))
+
+    def scramble(doc_id: int) -> int:
+        return ((doc_id % 1_000_000_007) * 2_654_435_761
+                + 1_013_904_223) % 1_000_000_007
+
+    expect = {}
+    for lang in langs:
+        cum = 0
+        for d in sorted(
+            (d for d in docs if d["lang"] == lang),
+            key=lambda d: (scramble(d["doc_id"]), d["doc_id"]),
+        ):
+            nw = len(_words(d["text"]))
+            cum += nw * 1_000_000
+            if cum <= alloc[lang]:
+                expect[d["doc_id"]] = (lang, nw, cum)
+    assert set(got) == set(expect)
+    for doc_id, (lang, nw, cum) in expect.items():
+        r = got[doc_id]
+        assert (r["lang"], r["n_words"], r["cum_micro_tokens"]) \
+            == (lang, nw, cum)
+    # the plan is a real subset: something kept, something dropped
+    assert 0 < len(expect) < len(docs)
+
+
+def test_canonical_neardup_consistent_with_cluster_resolve(spark):
+    """The composition's clusters must be exactly dedup_cluster_resolve's
+    components, and its canonical the (priority, doc_id) argmin within
+    each — one survivor per cluster."""
+    comp = QUERIES["dedup_canonical_neardup_clusters"](spark, SF_DIR).collect()
+    resolve = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in QUERIES["dedup_cluster_resolve"](spark, SF_DIR).collect()
+    }
+    docs = {d["doc_id"]: d for d in _docs()}
+    assert {r["doc_id"] for r in comp} == set(resolve)
+    clusters: dict[int, list] = {}
+    for r in comp:
+        assert (r["cluster_id"], r["cluster_size"]) == resolve[r["doc_id"]]
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    assert len(clusters) > 0
+    for rows in clusters.values():
+        kept = [r for r in rows if r["is_kept"]]
+        assert len(kept) == 1
+        best = min(
+            rows,
+            key=lambda r: (
+                100 if docs[r["doc_id"]]["source"] is None
+                else _poly_hash(docs[r["doc_id"]]["source"]) % 100,
+                r["doc_id"],
+            ),
+        )
+        assert kept[0]["doc_id"] == best["doc_id"]
+        assert all(
+            r["canonical_doc_id"] == best["doc_id"] for r in rows
+        )
+
+
+def test_bigram_logprob_vs_bruteforce(spark):
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["bigram_logprob_score"](spark, SF_DIR).collect()
+    }
+    docs = [d for d in _docs() if d["text"] is not None]
+    B = 4096
+
+    def bucket(w: str) -> int:
+        return _poly_hash(w) % B
+
+    lm: Counter[tuple[int, int]] = Counter()
+    per_doc: dict[int, Counter] = {}
+    for d in docs:
+        ws = _words(d["text"])
+        tf = Counter(
+            (bucket(a), bucket(b)) for a, b in zip(ws, ws[1:])
+        )
+        if tf:
+            per_doc[d["doc_id"]] = tf
+            lm.update(tf)
+    ctx: Counter[int] = Counter()
+    for (b1, _), c in lm.items():
+        ctx[b1] += c
+    assert set(got) == set(per_doc)
+    for doc_id, tf in list(per_doc.items())[:200]:
+        n = sum(tf.values())
+        s = sum(
+            c * round(
+                (math.log(lm[k] + 1.0) - math.log(ctx[k[0]] + B)) * 1_000_000
+            )
+            for k, c in tf.items()
+        )
+        mean = s // n
+        if s % n != 0 and s < 0:  # SQL DIV truncates toward zero
+            mean += 1
+        r = got[doc_id]
+        assert r["n_bigrams"] == n
+        assert r["mean_logprob_micro"] == mean
+
+
+def test_sample_plan_broadcasts_budgets(spark):
+    """The O(#languages) budget frame must broadcast — a shuffle join
+    against a 5-row frame would repartition the corpus for nothing."""
+    df = QUERIES["unimax_sample_plan"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
