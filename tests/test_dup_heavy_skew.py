@@ -1,0 +1,158 @@
+"""Duplicate-heavy + language-skew differential sweeps (round 10).
+
+The round-9 sweeps attacked text SHAPES (degenerate strings) and event
+TIME (ties); this round's selection layer makes two corpus-level
+DISTRIBUTIONS load-bearing that the synthetic fixtures barely exercise:
+
+- **Duplication**: the fixtures carry ~0.16% exact duplicates, but the
+  canonical/cluster policy stage exists precisely for corpora where
+  duplication is heavy. At 50% verbatim duplication (each dup re-homed
+  to a different source), the md5 clusters span sources, ntile ranks
+  carry massive score ties, and every dedup family's candidate volume
+  explodes — any cross-engine tie-break or NULL-fold divergence that the
+  thin-duplication fixtures mask becomes a hash mismatch here.
+- **Language skew**: a 99%-one-language corpus drives the UniMax
+  water-filling to its saturation cliff (four near-empty languages all
+  saturate, the head takes the entire water level), the CCNet terciles
+  down to 1-2-row strata, and the per-language fertility/sample-plan
+  denominators toward zero.
+
+Both fixtures re-run EVERY documents-consuming oracle query with full
+value parity against DuckDB on the same data — same harness contract as
+tests/test_degenerate_text.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_streams_tcp_reconciliation_spark.plans import (
+    ORACLES,
+    QUERIES,
+    load_all,
+)
+from kafka_streams_tcp_reconciliation_spark.sources.tables import TABLE_NAMES
+from tests.test_empty_tables import ResilientDuck, _canon
+
+load_all()
+
+DOCUMENT_QUERIES = sorted(
+    n for n, sql in ORACLES.items() if "documents" in sql
+)
+
+
+def _rewrite_documents(src: str, dst, mutate) -> str:
+    for t in TABLE_NAMES:
+        tb = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        tb = tb.replace_schema_metadata(None)
+        if t == "documents":
+            rows = tb.to_pylist()
+            rows = mutate(rows)
+            tb = pa.Table.from_pylist(rows, schema=tb.schema)
+        pq.write_table(tb, str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def dup_heavy_sf_dir(tmp_path_factory) -> str:
+    """50% of documents become verbatim copies of another document,
+    re-homed to a rotated source (so exact-dup clusters SPAN sources —
+    the canonical-priority policy's real input shape)."""
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("sf_dup_heavy")
+    rng = np.random.default_rng(23)
+
+    def mutate(rows):
+        n = len(rows)
+        sources = sorted({r["source"] for r in rows})
+        victims = rng.choice(n, size=n // 2, replace=False)
+        for i in victims:
+            donor = rows[int(rng.integers(0, n))]
+            rows[i]["text"] = donor["text"]
+            rows[i]["n_chars"] = donor["n_chars"]
+            rows[i]["lang"] = donor["lang"]
+            src_i = sources.index(rows[i]["source"])
+            rows[i]["source"] = sources[(src_i + 1) % len(sources)]
+        return rows
+
+    return _rewrite_documents(src, dst, mutate)
+
+
+@pytest.fixture(scope="module")
+def lang_skew_sf_dir(tmp_path_factory) -> str:
+    """99% of documents re-labeled to one language: near-empty tail
+    languages (1-2 docs each) against one gigantic head."""
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("sf_lang_skew")
+    rng = np.random.default_rng(29)
+
+    def mutate(rows):
+        for r in rows:
+            if rng.random() < 0.99:
+                r["lang"] = "en"
+        return rows
+
+    return _rewrite_documents(src, dst, mutate)
+
+
+@pytest.fixture(scope="function")
+def dup_duck(dup_heavy_sf_dir, tmp_path_factory):
+    d = ResilientDuck(dup_heavy_sf_dir, tmp_path_factory)
+    yield d
+    d.close()
+
+
+@pytest.fixture(scope="function")
+def skew_duck(lang_skew_sf_dir, tmp_path_factory):
+    d = ResilientDuck(lang_skew_sf_dir, tmp_path_factory)
+    yield d
+    d.close()
+
+
+def _assert_parity(sdf, odf):
+    assert len(sdf) == len(odf), f"rows {len(sdf)} vs {len(odf)}"
+    if len(sdf):
+        a, b = _canon(sdf), _canon(odf)
+        assert list(a.columns) == list(b.columns)
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                av = av.astype(float)
+                bv = bv.astype(float)
+                assert (av.isna() == bv.isna()).all(), c
+                both = ~av.isna()
+                assert ((av[both] - bv[both]).abs() < 1e-9).all(), c
+            else:
+                assert av.astype(str).equals(bv.astype(str)), c
+
+
+@pytest.mark.parametrize("name", DOCUMENT_QUERIES)
+def test_query_survives_heavy_duplication(name, spark, dup_heavy_sf_dir,
+                                          dup_duck):
+    sdf = QUERIES[name](spark, dup_heavy_sf_dir).toPandas()
+    _assert_parity(sdf, dup_duck.execute(ORACLES[name]).df())
+
+
+@pytest.mark.parametrize("name", DOCUMENT_QUERIES)
+def test_query_survives_language_skew(name, spark, lang_skew_sf_dir,
+                                      skew_duck):
+    sdf = QUERIES[name](spark, lang_skew_sf_dir).toPandas()
+    _assert_parity(sdf, skew_duck.execute(ORACLES[name]).df())
+
+
+def test_dup_heavy_fixture_actually_heavy(dup_heavy_sf_dir):
+    tb = pq.read_table(os.path.join(dup_heavy_sf_dir, "documents.parquet"))
+    texts = tb.column("text").to_pylist()
+    assert len(texts) - len(set(texts)) > len(texts) // 4
+
+
+def test_lang_skew_fixture_actually_skewed(lang_skew_sf_dir):
+    tb = pq.read_table(os.path.join(lang_skew_sf_dir, "documents.parquet"))
+    langs = tb.column("lang").to_pylist()
+    assert langs.count("en") > 0.95 * len(langs)
+    assert len(set(langs)) >= 2  # some tail languages survive
