@@ -7,6 +7,17 @@ Prints ONE JSON line:
 Each query is materialized with a count() of the full result (forces the
 complete plan without driver-side collect of payload data).
 
+Per-query timings are the MEDIAN OF 3 back-to-back executions since
+round 11: the driver records a single artifact per round, and with ~200
+of 241 queries under 0.5 s the single-execution protocol was noise-gated
+— identical code produced phantom >2x-of-baseline readings two rounds
+running (r9 ``reconcile_loss_rate_hourly_deduped`` 2.40x, r10
+``text_fingerprint`` 2.17x; both judge-adjudicated as host noise).
+Three executions cost ~2x extra wall clock (the warmup already absorbed
+codegen) and give the artifact the same noise immunity as BASELINE.md's
+median-of-5-runs protocol. ``value`` is the sum of per-query medians.
+Set SPARK_GRAFT_BENCH_REPS to override (1 = the old behavior).
+
 Timings are STEADY-STATE since round 7: before the timed pass, every
 query runs once (untimed) against the smallest sibling fixture
 (sf0.001), so whole-stage-codegen compile — a one-time cost that
@@ -100,24 +111,35 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     total = 0.0
     for name, fn in sorted(queries.items()):
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            timings[name] = round(dt, 3)
-            total += dt
-            print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-        except Exception as e:  # keep benching even if one query breaks
+        runs: list[float] = []
+        n = -1
+        err: Exception | None = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+                runs.append(time.perf_counter() - t0)
+            except Exception as e:  # keep benching even if one query breaks
+                err = e
+                break
+            finally:
+                # per-query caches never help a later query (each builds
+                # fresh lineage); dropping them keeps timings independent
+                # and avoids slow GC buildup over the run
+                spark.catalog.clearCache()
+        if err is not None or not runs:
             timings[name] = -1.0
-            print(f"# {name}: FAILED {e}", file=sys.stderr)
-        finally:
-            # per-query caches never help a later query (each builds fresh
-            # lineage); dropping them keeps timings independent and avoids
-            # slow GC buildup over the run
-            spark.catalog.clearCache()
+            print(f"# {name}: FAILED {err}", file=sys.stderr)
+            continue
+        dt = sorted(runs)[len(runs) // 2]  # median (middle of sorted reps)
+        timings[name] = round(dt, 3)
+        total += dt
+        spread = f" [{min(runs):.3f}..{max(runs):.3f}]" if reps > 1 else ""
+        print(f"# {name}: {dt:.3f}s{spread} ({n} rows)", file=sys.stderr)
 
     full = json.dumps(
         {

@@ -283,15 +283,65 @@ def duck_band_select(sig_col: str, bands: int, rows: int) -> str:
     )
 
 
+def duck_capped_cand_ctes(id_col: str, max_bucket: int) -> str:
+    """DuckDB CTE fragment producing capped candidate pairs from a
+    ``bands`` CTE with columns (id_col, band, bkey) — the bit-exact twin
+    of ``lsh_candidate_pairs(..., max_bucket=...)``: clique pairs for
+    buckets at or under the cap, id-ordered chain pairs above it. The
+    a.bw predicate suffices — both sides of a bucket join share one bw."""
+    return f"""
+    sized AS (
+        SELECT {id_col}, band, bkey,
+               count(*) OVER (PARTITION BY band, bkey) AS bw,
+               lead({id_col}) OVER (PARTITION BY band, bkey
+                                    ORDER BY {id_col}) AS nxt
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+            FROM sized a
+            JOIN sized b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.{id_col} < b.{id_col}
+            WHERE a.bw <= {max_bucket}
+            UNION ALL
+            SELECT {id_col} AS doc_a, nxt AS doc_b
+            FROM sized
+            WHERE bw > {max_bucket} AND nxt IS NOT NULL
+        )
+    )"""
+
+
 def lsh_candidate_pairs(
-    with_sig: DataFrame, id_col: str, sig_col: str, bands: int, rows: int
+    with_sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
 
     Shuffle key is (band, bkey): at scale this is an inverted-index
     self-join over buckets — cost proportional to bucket collisions, never
-    all-pairs. Skew guard: genuinely hot buckets mean near-identical docs,
-    which ARE the output; cap bucket width upstream if adversarial.
+    all-pairs.
+
+    ``max_bucket`` (round 11) is the occupancy cap for that residual cost:
+    on duplicate-heavy / saturated-vocabulary corpora bucket occupancy
+    grows with corpus size and the self-join's Σ n² goes superlinear
+    (measured: the sf100 synthetic fixture's 31-word vocabulary drove the
+    uncapped batch path to 604 s — SCALE.md round 10). With a cap, buckets
+    wider than ``max_bucket`` switch from the O(n²) clique to an O(n)
+    CHAIN — consecutive members in id order — which preserves candidate
+    CONNECTIVITY (transitive cluster resolution still unites the bucket;
+    hot buckets are near-identical docs, so chain neighbors verify like
+    any other pair) while bounding per-bucket work. Pair-level recall
+    inside a hot bucket is deliberately traded away: downstream consumers
+    are cluster-level (resolve → canonical keep-list), and a verify stage
+    keyed on exact similarity re-checks every emitted pair anyway. The
+    precedent is the stop-shingle df cap (round 7); like there, the capped
+    semantics are deterministic and mirrored bit-for-bit in the DuckDB
+    oracle (``duck_lsh_cand_ctes``).
     """
     # explode_outer + null-filter, not explode: InferFiltersFromGenerate
     # would synthesize size(bands)>0 below the projection and re-evaluate
@@ -305,20 +355,51 @@ def lsh_candidate_pairs(
         .filter(F.col("bb").isNotNull())
         .select(id_col, "bb.band", "bb.bkey")
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bkey") == F.col(f"b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if max_bucket is None:
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    from pyspark.sql import Window
+
+    # one window pass adds occupancy + chain successor per bucket entry;
+    # its (band, bkey) shuffle is the same exchange the self-join needs,
+    # so the cap costs a per-partition sort, not an extra shuffle
+    w = Window.partitionBy("band", "bkey")
+    sized = bucketed.select(
+        F.col(id_col),
+        "band",
+        "bkey",
+        F.count(F.lit(1)).over(w).alias("bw"),
+        F.lead(id_col).over(w.orderBy(id_col)).alias("nxt"),
     )
+    a = sized.filter(F.col("bw") <= max_bucket).alias("a")
+    b = sized.filter(F.col("bw") <= max_bucket).alias("b")
+    clique = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    chain = (
+        sized.filter((F.col("bw") > max_bucket) & F.col("nxt").isNotNull())
+        .select(F.col(id_col).alias("id_a"), F.col("nxt").alias("id_b"))
+    )
+    return clique.unionByName(chain).distinct()
 
 
 def lsh_candidate_pairs_vs(

@@ -562,6 +562,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = hs.select("doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig"))
     cand = dd.lsh_candidate_pairs(sig, "doc_id", "sig", _MH_BANDS, _MH_ROWS)
+    return _jaccard_verify(cand, hs)
+
+
+def _jaccard_verify(cand: DataFrame, hs: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs against the
+    cached gram-set frame — shared by the uncapped and occupancy-capped
+    MinHash queries so the verify semantics stay identical."""
     n_inter = F.size(F.array_intersect(F.col("x.hs"), F.col("y.hs")))
     jacc = n_inter / (
         F.size(F.col("x.hs")) + F.size(F.col("y.hs")) - n_inter
@@ -574,6 +581,101 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jacc >= _JACC_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
     )
+
+
+# LSH bucket-occupancy cap (round 11): above this width a bucket's
+# candidate clique degrades to an id-ordered chain. 64 is inactive on the
+# organic fixtures (measured max occupancy: 3 at sf0.01, 14 at sf0.1) and
+# fires exactly where the measured superlinearity lives — the sf100
+# saturated-vocabulary fixture's hot buckets and real boilerplate-heavy
+# corpora (SCALE.md round 10: uncapped 604 s at sf100).
+_LSH_MAX_BUCKET = int(_os.environ.get("SPARK_GRAFT_LSH_MAX_BUCKET", "64"))
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    oracle=f"""
+    WITH wh AS (
+        SELECT doc_id,
+               {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
+               {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
+        FROM documents WHERE text IS NOT NULL
+    ),
+    hs AS (
+        SELECT * FROM (
+            SELECT doc_id,
+                   {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS hs
+            FROM wh
+        ) WHERE len(hs) > 0
+    ),
+    sig AS (
+        SELECT doc_id, {dd.duck_minhash_sig_expr("hs", _MH_NUM)} AS sig FROM hs
+    ),
+    bands AS (
+        SELECT doc_id, unnest({dd.duck_band_select("sig", _MH_BANDS, _MH_ROWS)},
+                              recursive := true)
+        FROM sig
+    ),
+    {dd.duck_capped_cand_ctes("doc_id", _LSH_MAX_BUCKET)}
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(x.hs, y.hs))
+                 / CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))
+                        AS DOUBLE), 6) AS jaccard
+    FROM cand
+    JOIN hs x ON x.doc_id = doc_a
+    JOIN hs y ON y.doc_id = doc_b
+    WHERE len(list_intersect(x.hs, y.hs))
+          / CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))
+                 AS DOUBLE) >= {_JACC_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup with a bucket-occupancy cap — the
+    duplicate-heavy-corpus production variant of ``dedup_minhash_lsh``.
+
+    Round 10 measured the uncapped bucket self-join going superlinear on
+    the sf100 fixture (86.8 s @ sf30 → 604 s @ sf100: the synthetic
+    31-word vocabulary saturates the shingle space, so bucket occupancy —
+    and the self-join's Σ n² — grows with corpus size). Real corpora hit
+    the same cliff through boilerplate and verbatim duplication. The cap
+    bounds every bucket's contribution: buckets wider than
+    {_LSH_MAX_BUCKET} (env ``SPARK_GRAFT_LSH_MAX_BUCKET``) emit an
+    id-ordered CHAIN of consecutive pairs instead of the full clique —
+    O(n) pairs, connectivity preserved for downstream cluster resolution
+    (hot buckets are near-identical docs; every emitted pair still passes
+    the exact-Jaccard >= {_JACC_THRESHOLD} verify). Pair-level recall
+    inside hot buckets is the documented trade; cluster membership is
+    not, because the chain spans the bucket.
+
+    On the organic fixtures the cap never fires (max occupancy 14 at
+    sf0.1), so this query's output is identical to the uncapped one there
+    — the dup-heavy pytest fixture and the sf100 sweep exercise the
+    capped branch (tests/test_dup_heavy_skew.py::test_lsh_cap_active).
+    The DuckDB oracle mirrors the cap bit-for-bit
+    (``duck_capped_cand_ctes``), so post-cap semantics get the strong
+    value-hash tier exactly like the stop-shingle df cap did.
+    """
+    docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    wh = docs.select(
+        "doc_id",
+        dd.word_polyhashes_expr("text", 31).alias("wh1"),
+        dd.word_polyhashes_expr("text", 131).alias("wh2"),
+    )
+    # cache-above-filter barrier: same rationale as dedup_minhash_lsh
+    hs = (
+        wh.select(
+            "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
+        )
+        .cache()
+        .filter(F.size("hs") > 0)
+    )
+    sig = hs.select("doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig"))
+    cand = dd.lsh_candidate_pairs(
+        sig, "doc_id", "sig", _MH_BANDS, _MH_ROWS, max_bucket=_LSH_MAX_BUCKET
+    )
+    return _jaccard_verify(cand, hs)
 
 
 _SIMHASH_MAX_HAMMING = 8

@@ -159,9 +159,15 @@ _UNIMAX_BUDGET_NUM, _UNIMAX_BUDGET_DEN = 3, 4
                -- differently)
                row_number() OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * c_tokens,
                                   coalesce(lang, ''))  AS i,
+               -- explicit ROWS frame: DuckDB's default RANGE frame would
+               -- sum BOTH rows of a (cap_tokens, coalesce(lang,'')) tie
+               -- into each row's prefix (possible when a NULL-lang and an
+               -- ''-lang group have equal caps), diverging from the Spark
+               -- side's rowsBetween(unboundedPreceding, 0)
                CAST(sum({_UNIMAX_EPOCH_CAP} * c_tokens)
                     OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * c_tokens,
-                          coalesce(lang, ''))
+                          coalesce(lang, '')
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT)                         AS prefix_cap
         FROM lang_tokens
     ),
@@ -514,6 +520,128 @@ def quality_tercile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TERCILE_APPROX_ACC = 1000  # GK sketch accuracy: eps = 1/acc of rank
+
+
+@register(
+    "quality_tercile_buckets_approx",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               CAST({_duck_score_sum()} * 1000000 AS BIGINT)
+                   // CAST(len({_DUCK_WORDS}) AS BIGINT) AS score_micro
+        FROM documents
+        WHERE text IS NOT NULL AND len({_DUCK_WORDS}) > 0
+    ),
+    per_lang AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM scored GROUP BY lang
+    )
+    SELECT lang, CAST(t.q_permille AS INT) AS q_permille, n_docs,
+           TRUE AS within_bound
+    FROM per_lang CROSS JOIN (VALUES (333), (667)) AS t(q_permille)
+    """,
+)
+def quality_tercile_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-free tercile stratification — the documented extreme-scale
+    escape hatch of ``quality_tercile_buckets``, promoted from prose to a
+    tested query (round 11): per language, cut at
+    approx_percentile(score, [1/3, 2/3]) GK-sketch cutpoints instead of
+    ntile's full per-language sort, so parallelism is no longer bounded
+    by #languages (the sketch merges map-side across ALL partitions; the
+    per-language sort disappears entirely).
+
+    Sketch cutpoints are engine-specific, so — exactly like
+    ``approx_percentile_value`` / ``approx_distinct_users`` — the sketch
+    half is validated through its deterministic rank guarantee rather
+    than its raw value: with accuracy {_TERCILE_APPROX_ACC} (eps =
+    1/{_TERCILE_APPROX_ACC}), the returned cutpoint's rank interval
+    [count(score < v) + 1, count(score <= v)] must intersect
+    q·n ± (5·eps·n + 2) — tie-robust on duplicate-heavy corpora, where
+    count(score <= v) jumps discontinuously across a tie block. The
+    exact half (per-language population) is value-checked directly;
+    ``within_bound`` is a column both engines agree on iff the sketch
+    honours its guarantee.
+
+    Scale: one corpus pass builds (n, cutpoints) per language
+    (map-side-combinable sketch agg); the rank re-check joins the
+    O(#languages) cutpoint frame back broadcast — the same
+    one-extra-pass shape as approx_percentile_value.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    scored = docs.select(
+        "lang",
+        F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
+        F.expr(f"CAST({_spark_score_sum()} AS BIGINT)").alias("score_sum"),
+    ).filter(F.col("n_words") > 0).select(
+        "lang",
+        F.expr("(score_sum * CAST(1000000 AS BIGINT)) DIV n_words").alias(
+            "score_micro"
+        ),
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "approx_percentile(score_micro,"
+            f" array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3),"
+            f" {_TERCILE_APPROX_ACC})"
+        ).alias("cs"),
+    )
+    ranks = (
+        scored.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", "n_docs")
+        .agg(
+            F.sum(F.when(F.col("score_micro") < F.expr("cs[0]"), 1).otherwise(0))
+            .cast("long")
+            .alias("r1_lt"),
+            F.sum(F.when(F.col("score_micro") <= F.expr("cs[0]"), 1).otherwise(0))
+            .cast("long")
+            .alias("r1_le"),
+            F.sum(F.when(F.col("score_micro") < F.expr("cs[1]"), 1).otherwise(0))
+            .cast("long")
+            .alias("r2_lt"),
+            F.sum(F.when(F.col("score_micro") <= F.expr("cs[1]"), 1).otherwise(0))
+            .cast("long")
+            .alias("r2_le"),
+        )
+    )
+    eps_slack = (
+        F.col("n_docs").cast("double") * 5.0 / _TERCILE_APPROX_ACC + 2.0
+    )
+
+    def bound(q_num: int, lt: str, le: str):
+        target = F.col("n_docs").cast("double") * q_num / 3.0
+        # the cutpoint's rank interval [lt+1, le] must intersect
+        # target ± eps_slack
+        return (F.col(lt).cast("double") + 1 <= target + eps_slack) & (
+            F.col(le).cast("double") >= target - eps_slack
+        )
+
+    return ranks.select(
+        "lang",
+        "n_docs",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(333).cast("int").alias("q_permille"),
+                    bound(1, "r1_lt", "r1_le").alias("within_bound"),
+                ),
+                F.struct(
+                    F.lit(667).cast("int").alias("q_permille"),
+                    bound(2, "r2_lt", "r2_le").alias("within_bound"),
+                ),
+            )
+        ).alias("qb"),
+    ).select(
+        "lang",
+        F.col("qb.q_permille").alias("q_permille"),
+        "n_docs",
+        F.col("qb.within_bound").alias("within_bound"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Character-entropy spam filter
 # ---------------------------------------------------------------------------
@@ -814,9 +942,14 @@ _DOC_SCRAMBLE = "((doc_id % 1000000007) * 2654435761 + 1013904223) % 1000000007"
     "unimax_sample_plan",
     oracle=f"""
     WITH lang_tokens AS (
+        -- lang IS NOT NULL: a NULL-lang group would be counted toward the
+        -- global budget B but could never be sampled (the final inner join
+        -- on lang never matches NULL), silently under-spending B on
+        -- null-lang corpora. Budgets here are computed over the sampleable
+        -- population only.
         SELECT lang,
                CAST(sum(len({_DUCK_WORDS})) AS BIGINT) AS c_tokens
-        FROM documents WHERE text IS NOT NULL
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
         GROUP BY lang
     ),
     framed AS (
@@ -827,9 +960,15 @@ _DOC_SCRAMBLE = "((doc_id % 1000000007) * 2654435761 + 1013904223) % 1000000007"
                    // {_UNIMAX_BUDGET_DEN}              AS budget,
                row_number() OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * c_tokens,
                                   coalesce(lang, ''))  AS i,
+               -- explicit ROWS frame: DuckDB's default RANGE frame would
+               -- sum BOTH rows of a (cap_tokens, coalesce(lang,'')) tie
+               -- into each row's prefix (possible when a NULL-lang and an
+               -- ''-lang group have equal caps), diverging from the Spark
+               -- side's rowsBetween(unboundedPreceding, 0)
                CAST(sum({_UNIMAX_EPOCH_CAP} * c_tokens)
                     OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * c_tokens,
-                          coalesce(lang, ''))
+                          coalesce(lang, '')
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT)                         AS prefix_cap
         FROM lang_tokens
     ),
@@ -862,7 +1001,7 @@ _DOC_SCRAMBLE = "((doc_id % 1000000007) * 2654435761 + 1013904223) % 1000000007"
                           ORDER BY {_DOC_SCRAMBLE}, doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS cum_micro_tokens
-        FROM documents WHERE text IS NOT NULL
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
     )
     SELECT o.doc_id, o.lang, o.n_words, o.cum_micro_tokens
     FROM ordered o JOIN budgets b ON o.lang = b.lang
@@ -883,8 +1022,11 @@ def unimax_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Boundary semantics: greedy prefix — a document that would straddle
     the budget line is dropped entirely (its successors too: the cut is
     a cumulative threshold, identical in both engines' exact BIGINT
-    arithmetic). NULL-language documents are excluded (the inner join on
-    lang never matches NULL in either engine).
+    arithmetic). NULL-language documents are excluded from BOTH the
+    budget computation and the sample (round-11 ADVICE fix: previously
+    their tokens inflated the global budget B while the inner join on
+    lang made their allocation unspendable, so the realized sample
+    silently under-spent B on null-lang corpora).
 
     Scale: the budget frame is O(#languages) (see
     unimax_language_budgets) and broadcasts onto the corpus; the cumsum
@@ -892,7 +1034,7 @@ def unimax_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     class as the CCNet tercile ranking, paid once to emit a manifest.
     """
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
     )
     budgets = unimax_allocate(lang_token_counts(docs)).select(
         "lang", "alloc_micro_tokens"
@@ -986,6 +1128,14 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. Documents with fewer than two words have no bigrams and are
     absent from the output in both engines.
 
+    ULP assumption (shared with unigram_logprob_score / DSIR): the single
+    round() assumes JVM Math.log and DuckDB's libm log agree to the last
+    bit on ln(c12+1) - ln(c1+4096) — a 1-ulp difference at an exact .5
+    micro-nat boundary would flip one value. Both are correctly-rounded
+    on the arguments this family produces (integer-valued doubles well
+    inside [1, 2^53]); tests/test_selection.py additionally asserts no
+    observed logp lands within 1e-7 of a .5 boundary on the fixtures.
+
     Scale: the LM state is bounded at {_BIGRAM_BUCKETS}² buckets
     regardless of corpus size (hash collisions are part of the
     estimator, identical in both engines) and in practice at the number
@@ -1017,7 +1167,13 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cache: tf feeds BOTH the LM rollup and the scoring join — without
     # it the interpreted word-hash pass reruns per consumer (the same
-    # barrier rationale as curate_corpus's shingle cache)
+    # barrier rationale as curate_corpus's shingle cache). LIFETIME: the
+    # cache is deliberately not unpersisted here (the result DataFrame is
+    # lazy — tf must stay cached until the CALLER materializes it); the
+    # bench and differential harnesses drop it via
+    # spark.catalog.clearCache() after each query, and a library caller
+    # embedding this in a long-lived session should do the same (or
+    # unpersist) once the result is materialized.
     tf = pairs.groupBy("doc_id", "b1", "b2").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     ).cache()

@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The Janino class cache (static conf) defaults to 100 entries; this
+        # suite compiles 240+ distinct plans per pass, so with the default a
+        # warmup pass evicts every compiled class before the timed pass (or a
+        # long-lived production session) re-reaches it, and each query re-pays
+        # 0.5-3 s of whole-stage-codegen compile. Measured round 11: raising
+        # the cap recovers the ~3x "session inflation" on the hash-heavy
+        # family (SCALE.md). Sized for ~10 suites' worth of plans; each entry
+        # is a compiled class, not data, so memory cost is a few hundred MB
+        # at worst on the driver.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -48,4 +48,37 @@ def unimax_budgets_against(count_snapshot: DataFrame) -> DataFrame:
     return unimax_allocate(count_snapshot)
 
 
-__all__ = ["lang_token_stream", "unimax_budgets_against"]
+def counts_snapshot_sink(
+    counts_stream: DataFrame, snapshot_dir: str, checkpoint_dir: str
+):
+    """Persist the streamed count table as a parquet snapshot replaced
+    each micro-batch — the handoff surface between online count
+    maintenance and offline mixture (re)planning: the planner reads the
+    latest snapshot and water-fills it (``unimax_budgets_against``)
+    whenever the mixture is revisited, never touching the stream.
+
+    complete-mode foreachBatch: each batch delivers the FULL count table
+    (O(#languages) rows), so a plain overwrite is an atomic-enough
+    snapshot at this cardinality; the checkpoint makes replay-on-restart
+    idempotent (same counts → same snapshot). End-to-end lock:
+    tests/test_streaming.py::test_unimax_streamed_snapshot_end_to_end
+    replays the corpus through this sink and asserts the read-back
+    budgets equal the batch query bit-for-bit."""
+
+    def write_snapshot(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.coalesce(1).write.mode("overwrite").parquet(snapshot_dir)
+
+    return (
+        counts_stream.writeStream.outputMode("complete")
+        .foreachBatch(write_snapshot)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+__all__ = [
+    "counts_snapshot_sink",
+    "lang_token_stream",
+    "unimax_budgets_against",
+]

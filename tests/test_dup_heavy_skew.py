@@ -145,6 +145,90 @@ def test_query_survives_language_skew(name, spark, lang_skew_sf_dir,
     _assert_parity(sdf, skew_duck.execute(ORACLES[name]).df())
 
 
+@pytest.fixture(scope="module")
+def boilerplate_sf_dir(tmp_path_factory) -> str:
+    """150 documents share ONE verbatim boilerplate text — the corpus
+    shape (license headers, templated pages) that drives LSH bucket
+    occupancy past the round-11 cap (150 > 64) and, uncapped, costs
+    O(n²) candidate pairs per bucket."""
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("sf_boilerplate")
+    rng = np.random.default_rng(31)
+    boiler = (
+        "all rights reserved this page is provided as is without warranty "
+        "of any kind either express or implied including but not limited "
+        "to the implied warranties of merchantability and fitness"
+    )
+
+    def mutate(rows):
+        victims = rng.choice(len(rows), size=150, replace=False)
+        for i in victims:
+            rows[i]["text"] = boiler
+            rows[i]["n_chars"] = len(boiler)
+        return rows
+
+    return _rewrite_documents(src, dst, mutate)
+
+
+def test_lsh_cap_active(spark, boilerplate_sf_dir, tmp_path_factory):
+    """The occupancy cap must actually FIRE on a boilerplate-heavy corpus:
+    the 150-doc identical-text cluster emits an id-ordered chain (149
+    pairs, connectivity preserved) instead of the 11 175-pair clique,
+    and the capped output still matches the mirrored DuckDB oracle
+    bit-for-bit."""
+    from kafka_streams_tcp_reconciliation_spark.plans.llm import _LSH_MAX_BUCKET
+
+    assert _LSH_MAX_BUCKET < 150  # the fixture must exceed the cap
+    capped = QUERIES["dedup_minhash_lsh_capped"](
+        spark, boilerplate_sf_dir
+    ).toPandas()
+    uncapped = QUERIES["dedup_minhash_lsh"](
+        spark, boilerplate_sf_dir
+    ).toPandas()
+    # cap active: strictly fewer candidate pairs survive
+    assert len(capped) < len(uncapped)
+
+    tb = pq.read_table(
+        os.path.join(boilerplate_sf_dir, "documents.parquet")
+    ).to_pylist()
+    texts = {}
+    for r in tb:
+        texts.setdefault(r["text"], []).append(r["doc_id"])
+    cluster = sorted(next(ids for t, ids in texts.items() if len(ids) >= 150))
+    cset = set(cluster)
+    in_cluster = capped[
+        capped["doc_a"].isin(cset) & capped["doc_b"].isin(cset)
+    ]
+    # chain, not clique: exactly n-1 consecutive pairs in id order
+    assert len(in_cluster) == len(cluster) - 1
+    got_pairs = set(map(tuple, in_cluster[["doc_a", "doc_b"]].values.tolist()))
+    assert got_pairs == set(zip(cluster, cluster[1:]))
+    # uncapped emits the full clique on the same cluster
+    un_in = uncapped[
+        uncapped["doc_a"].isin(cset) & uncapped["doc_b"].isin(cset)
+    ]
+    assert len(un_in) == len(cluster) * (len(cluster) - 1) // 2
+    # connectivity preserved: union-find over capped pairs unites the lot
+    parent = {d: d for d in cluster}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got_pairs:
+        parent[find(a)] = find(b)
+    assert len({find(d) for d in cluster}) == 1
+    # oracle parity on the cap-active fixture (strong tier)
+    duck = ResilientDuck(boilerplate_sf_dir, tmp_path_factory)
+    try:
+        odf = duck.execute(ORACLES["dedup_minhash_lsh_capped"]).df()
+    finally:
+        duck.close()
+    _assert_parity(capped, odf)
+
+
 def test_dup_heavy_fixture_actually_heavy(dup_heavy_sf_dir):
     tb = pq.read_table(os.path.join(dup_heavy_sf_dir, "documents.parquet"))
     texts = tb.column("text").to_pylist()

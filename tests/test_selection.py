@@ -165,6 +165,25 @@ def test_quality_classifier_vs_bruteforce(spark):
             assert r["score_micro"] is None and r["keep"] is None
 
 
+def test_tercile_approx_bound_and_population(spark):
+    """The approx-tercile escape hatch (round 11): exactly two rows per
+    language, per-language populations matching brute force exactly, and
+    every sketch cutpoint satisfying its rank guarantee (within_bound
+    TRUE) on the fixture."""
+    rows = QUERIES["quality_tercile_buckets_approx"](spark, SF_DIR).collect()
+    docs = [
+        d for d in _docs()
+        if d["text"] is not None and len(_words(d["text"])) > 0
+    ]
+    by_lang: dict[str, int] = Counter(d["lang"] for d in docs)
+    assert {(r["lang"], r["q_permille"]) for r in rows} == {
+        (lang, q) for lang in by_lang for q in (333, 667)
+    }
+    for r in rows:
+        assert r["n_docs"] == by_lang[r["lang"]]
+        assert r["within_bound"] is True
+
+
 def test_char_entropy_vs_bruteforce(spark):
     got = {
         r["doc_id"]: r
@@ -343,7 +362,12 @@ def test_unimax_sample_plan_vs_bruteforce(spark):
         r["doc_id"]: r
         for r in QUERIES["unimax_sample_plan"](spark, SF_DIR).collect()
     }
-    docs = [d for d in _docs() if d["text"] is not None]
+    # NULL-lang docs are outside the sampleable population AND the budget
+    # (round-11 semantics: previously they inflated B unspendably)
+    docs = [
+        d for d in _docs()
+        if d["text"] is not None and d["lang"] is not None
+    ]
     counts: Counter[str] = Counter()
     for d in docs:
         counts[d["lang"]] += len(_words(d["text"]))
@@ -448,6 +472,15 @@ def test_bigram_logprob_vs_bruteforce(spark):
         r = got[doc_id]
         assert r["n_bigrams"] == n
         assert r["mean_logprob_micro"] == mean
+    # ULP-boundary audit (round-11 ADVICE): the cross-engine hash parity
+    # assumes JVM Math.log and DuckDB libm log agree to the last bit
+    # BEFORE the single round(). Assert no observed log prob lands within
+    # 1e-7 micro-nats of an exact .5 rounding boundary on this fixture,
+    # so a hypothetical 1-ulp disagreement could not flip a value.
+    for k, c12 in lm.items():
+        x = (math.log(c12 + 1.0) - math.log(ctx[k[0]] + B)) * 1_000_000
+        frac = abs(x - math.floor(x) - 0.5)
+        assert frac > 1e-7, f"logp {x} within 1e-7 of a .5 boundary at {k}"
 
 
 def test_sample_plan_broadcasts_budgets(spark):

@@ -562,6 +562,35 @@ def test_unimax_counts_stream_converges(spark, sf_dir, tmp_path_factory):
     pd.testing.assert_frame_equal(canon(got_b), canon(want_b))
 
 
+def test_unimax_streamed_snapshot_end_to_end(spark, sf_dir, tmp_path_factory):
+    """Round-11 end-to-end lock: documents replayed through the count
+    stream → parquet snapshot SINK → snapshot read back from disk →
+    water-filled — one pipeline, asserting the realized budgets equal the
+    batch ``unimax_language_budgets`` bit-for-bit (the prior convergence
+    test compared count tables in memory; this drives the actual handoff
+    surface a production planner would read)."""
+    from kafka_streams_tcp_reconciliation_spark.streaming.dsir import (
+        chunked_lang_text_stream,
+    )
+    from kafka_streams_tcp_reconciliation_spark.streaming.selection import (
+        counts_snapshot_sink,
+        lang_token_stream,
+        unimax_budgets_against,
+    )
+
+    chunks = str(tmp_path_factory.mktemp("unimaxe2echunks"))
+    snap_dir = str(tmp_path_factory.mktemp("unimaxsnap") / "counts")
+    ckpt = str(tmp_path_factory.mktemp("unimaxckpt"))
+    feed = chunked_lang_text_stream(spark, sf_dir, chunks, n_chunks=4)
+    q = counts_snapshot_sink(lang_token_stream(feed), snap_dir, ckpt)
+    q.awaitTermination(timeout=300)
+
+    snap = spark.read.parquet(snap_dir).select("lang", "c_tokens")
+    got = unimax_budgets_against(snap).toPandas()
+    want = all_queries()["unimax_language_budgets"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
 def test_growth_stream_converges(spark, sf_dir, event_stream):
     """Incremental growth accounting: rolling the emitted (day, status)
     rows up reproduces the batch new/retained/resurrected decomposition,
