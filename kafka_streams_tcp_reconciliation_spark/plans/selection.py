@@ -580,7 +580,14 @@ def quality_tercile_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("(score_sum * CAST(1000000 AS BIGINT)) DIV n_words").alias(
             "score_micro"
         ),
-    )
+    ).cache()
+    # cache: (lang, score_micro) feeds the sketch agg AND the rank
+    # re-check probe — uncached, the interpreted HOF scoring pass runs
+    # once per consumer (measured 27 s vs ~10 s at sf10). Two narrow
+    # columns, so the cached footprint is tiny relative to the corpus.
+    # Lifetime contract = bigram_logprob_score's tf cache: the caller
+    # materializes, then clearCache()/unpersist (bench + differential
+    # harnesses already do).
     cuts = scored.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.expr(
