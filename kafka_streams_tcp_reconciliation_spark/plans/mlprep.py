@@ -2760,3 +2760,180 @@ def did_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (round 11)
+# ---------------------------------------------------------------------------
+
+_BT_K = 4  # neighborhood size for the margin denominators
+_BT_MARGIN_MICRO = 1_050_000  # ratio margin threshold (1.05) in micro units
+_BT_SIDE_SPLIT = 5  # label < 5 = source side, label >= 5 = target side
+
+
+@register(
+    "bitext_margin_mining",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id AS src_id, embedding AS sv
+        FROM embeddings WHERE label < {_BT_SIDE_SPLIT}
+    ),
+    t AS (
+        SELECT vec_id AS tgt_id, embedding AS tv
+        FROM embeddings WHERE label >= {_BT_SIDE_SPLIT}
+    ),
+    pairs AS (
+        SELECT src_id, tgt_id,
+               CAST(round({sim.duck_cosine_expr("sv", "tv")} * 1000000)
+                    AS BIGINT) AS cos_micro
+        FROM s, t
+    ),
+    fwd AS (
+        SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS sumk_fwd
+        FROM (
+            SELECT src_id, cos_micro,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cos_micro DESC, tgt_id)
+                       AS rn
+            FROM pairs
+        ) WHERE rn <= {_BT_K}
+        GROUP BY src_id
+    ),
+    bwd AS (
+        SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS sumk_bwd
+        FROM (
+            SELECT tgt_id, cos_micro,
+                   row_number() OVER (PARTITION BY tgt_id
+                                      ORDER BY cos_micro DESC, src_id)
+                       AS rn
+            FROM pairs
+        ) WHERE rn <= {_BT_K}
+        GROUP BY tgt_id
+    ),
+    margined AS (
+        SELECT p.src_id, p.tgt_id, p.cos_micro,
+               CASE WHEN p.cos_micro > 0
+                         AND f.sumk_fwd + b.sumk_bwd > 0
+                    THEN CAST(2 * {_BT_K} * p.cos_micro * 1000000 AS BIGINT)
+                         // CAST(f.sumk_fwd + b.sumk_bwd AS BIGINT)
+                    ELSE CAST(0 AS BIGINT)
+               END AS margin_micro
+        FROM pairs p
+        JOIN fwd f ON f.src_id = p.src_id
+        JOIN bwd b ON b.tgt_id = p.tgt_id
+    )
+    SELECT src_id, tgt_id, cos_micro, margin_micro,
+           margin_micro > {_BT_MARGIN_MICRO} AS mined
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+                                     ORDER BY margin_micro DESC, tgt_id)
+                      AS rn
+        FROM margined
+    )
+    WHERE rn = 1
+    """,
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings"): for every source-side vector, score each target-side
+    candidate by the RATIO margin — cosine divided by the average of the
+    two directions' k-NN neighborhoods — and keep the best-margin
+    candidate, mined iff the margin clears 1.05. The margin fixes plain
+    cosine-threshold mining's hubness failure (a generic "hub" vector is
+    close to everything, so its raw cosine is high against many sources;
+    its neighborhood average is equally high, so its margin is ~1).
+
+    Sides: the embeddings fixture has no language column, so the two
+    "languages" are the label partition (label < {_BT_SIDE_SPLIT} =
+    source side, rest = target) — the machinery is the point, the side
+    predicate is one line for a real corpus.
+
+    Determinism: cosine is the deterministic ordered fold rounded ONCE
+    to integer micro units; margin is pure BIGINT cross-multiplication
+    (2K·cos·1e6 DIV (Σk_fwd + Σk_bwd)) with non-positive numerators and
+    denominators pinned to 0 — no float division anywhere, and Spark's
+    truncating DIV never sees a negative operand where DuckDB's flooring
+    // would diverge. Ordering ties break on ids.
+
+    Scale: this is the exact NxN baseline tier (the same contract as
+    ``similarity_topk_bruteforce``) — one broadcast of the target side,
+    pairs cached once and consumed by fwd/bwd/final. The production path
+    at corpus scale swaps the crossJoin for sign-LSH bucket candidates
+    (``operators/similarity.lsh_bucket_expr``, the dedup_embedding
+    pattern) and keeps everything downstream — the margin arithmetic is
+    already candidate-set-shaped.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    s = emb.filter(F.col("label") < _BT_SIDE_SPLIT).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("sv")
+    )
+    t = emb.filter(F.col("label") >= _BT_SIDE_SPLIT).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tv")
+    )
+    pairs = (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.expr(
+                f"CAST(round((({sim.dot_expr('sv', 'tv')})"
+                f" / sqrt(({sim.dot_expr('sv', 'sv')})"
+                f" * ({sim.dot_expr('tv', 'tv')})))"
+                f" * 1000000) AS BIGINT)"
+            ).alias("cos_micro"),
+        )
+        .cache()
+    )
+    w_f = Window.partitionBy("src_id").orderBy(
+        F.col("cos_micro").desc(), F.col("tgt_id").asc()
+    )
+    fwd = (
+        pairs.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= _BT_K)
+        .groupBy("src_id")
+        .agg(F.sum("cos_micro").cast("long").alias("sumk_fwd"))
+    )
+    w_b = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_micro").desc(), F.col("src_id").asc()
+    )
+    bwd = (
+        pairs.withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= _BT_K)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_micro").cast("long").alias("sumk_bwd"))
+    )
+    margined = (
+        pairs.join(F.broadcast(fwd), "src_id")
+        .join(F.broadcast(bwd), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_micro",
+            F.when(
+                (F.col("cos_micro") > 0)
+                & (F.col("sumk_fwd") + F.col("sumk_bwd") > 0),
+                F.expr(
+                    f"CAST(2 * {_BT_K} * cos_micro * 1000000 AS BIGINT)"
+                    " DIV CAST(sumk_fwd + sumk_bwd AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("margin_micro"),
+        )
+    )
+    w_best = Window.partitionBy("src_id").orderBy(
+        F.col("margin_micro").desc(), F.col("tgt_id").asc()
+    )
+    return (
+        margined.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_micro",
+            "margin_micro",
+            (F.col("margin_micro") > _BT_MARGIN_MICRO).alias("mined"),
+        )
+    )

@@ -596,8 +596,15 @@ def quality_tercile_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFram
             f" {_TERCILE_APPROX_ACC})"
         ).alias("cs"),
     )
+    # NULL-SAFE join: a NULL-lang group must survive the rank re-check
+    # exactly like the oracle's per_lang CTE keeps it (a plain equi-join
+    # silently drops it — caught by the null-injection sweep round 11)
     ranks = (
-        scored.join(F.broadcast(cuts), "lang")
+        scored.join(
+            F.broadcast(cuts.withColumnRenamed("lang", "ct_lang")),
+            F.col("lang").eqNullSafe(F.col("ct_lang")),
+        )
+        .drop("ct_lang")
         .groupBy("lang", "n_docs")
         .agg(
             F.sum(F.when(F.col("score_micro") < F.expr("cs[0]"), 1).otherwise(0))
@@ -1203,5 +1210,114 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(CAST(sum(tf * logp_micro) AS BIGINT)"
                 " DIV CAST(sum(tf) AS BIGINT) AS BIGINT)"
             ).alias("mean_logprob_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher top-bigram character fraction (round 11)
+# ---------------------------------------------------------------------------
+
+_TOP_BG_FLAG_MICRO = 200_000  # flag docs whose top bigram covers > 20%
+
+
+@register(
+    "top_bigram_char_fraction",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
+               {_DUCK_WORDS} AS ws
+        FROM documents
+        WHERE text IS NOT NULL AND len({_DUCK_WORDS}) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, n_chars_text,
+               unnest(list_transform(range(1, len(ws)),
+                      tb_i -> ws[tb_i] || ' ' || ws[tb_i + 1])) AS bigram
+        FROM words
+    ),
+    counted AS (
+        SELECT doc_id, n_chars_text, bigram,
+               CAST(count(*) AS BIGINT) AS bg_count
+        FROM bg GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, bigram AS top_bigram, bg_count,
+           CAST(bg_count * CAST(length(bigram) AS BIGINT) * 1000000
+                AS BIGINT) // n_chars_text AS frac_micro,
+           (bg_count * CAST(length(bigram) AS BIGINT) * 1000000)
+               // n_chars_text > {_TOP_BG_FLAG_MICRO} AS flagged
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY bg_count DESC, bigram)
+                      AS rn
+        FROM counted
+    )
+    WHERE rn = 1
+    """,
+)
+def top_bigram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rule #2 (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", Table A1): the fraction of a document's
+    characters covered by occurrences of its MOST FREQUENT word bigram —
+    the complement of ``doc_repetition_score``'s duplicate-n-gram
+    fraction (that one asks "how much is repeated at all"; this one asks
+    "is there one dominant boilerplate phrase"). Flagged above 20%.
+
+    Determinism: the top bigram breaks count ties lexicographically
+    (binary collation in both engines); the fraction is exact BIGINT
+    arithmetic over codepoint lengths, truncating division on
+    non-negative operands. Documents with fewer than two words have no
+    bigram and are absent in both engines.
+
+    Scale: one explode of adjacent-word pairs (the token stream, same
+    cost class as ``bigram_logprob_score``'s pair stream), one
+    map-side-combinable count keyed (doc_id, bigram), one per-doc argmax
+    window — the window's partition key is doc_id, so parallelism is
+    corpus-wide, never vocabulary- or language-bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.expr(f"size({_SPARK_WORDS})") >= 2)
+    )
+    words = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.expr(_SPARK_WORDS).alias("ws"),
+    )
+    bg = words.select(
+        "doc_id",
+        "n_chars_text",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " tb_i -> concat(element_at(ws, tb_i), ' ',"
+                " element_at(ws, tb_i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    counted = bg.groupBy("doc_id", "n_chars_text", "bigram").agg(
+        F.count(F.lit(1)).cast("long").alias("bg_count")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("bg_count").desc(), F.col("bigram").asc()
+    )
+    covered = (
+        F.col("bg_count") * F.length("bigram").cast("long") * F.lit(1_000_000)
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            "bg_count",
+            F.expr(
+                "CAST(bg_count * CAST(length(bigram) AS BIGINT) * 1000000"
+                " AS BIGINT) DIV n_chars_text"
+            ).alias("frac_micro"),
+            (
+                covered / F.col("n_chars_text").cast("double")
+                > _TOP_BG_FLAG_MICRO
+            ).alias("flagged"),
         )
     )
