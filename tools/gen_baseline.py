@@ -1,11 +1,13 @@
 """Regenerate BASELINE.md's measured section from 5 bench runs.
 
-Protocol (round 7): 5 back-to-back `bench.py` runs at sf0.1 on the SAME
-committed code, per-query MEDIAN. Since round 7 bench.py times
-STEADY-STATE execution (an untimed warmup pass of every query at
-sf0.001 precedes the timed pass — see bench.py's docstring), so these
-medians are warm-execution medians; the driver's per-round BENCH run
-uses the identical protocol, keeping the 2x acceptance gate coherent.
+Protocol (round 7, tightened round 11): 5 back-to-back `bench.py` runs
+at sf0.1 on the SAME committed code, per-query MEDIAN over the runs —
+and since round 11 each run's per-query value is itself the median of 3
+back-to-back executions (bench.py), so a baseline row is the median of
+5 medians-of-3. bench.py times STEADY-STATE execution (an untimed
+warmup pass of every query at sf0.001 precedes the timed pass); the
+driver's per-round BENCH run uses the identical protocol, keeping the
+2x acceptance gate coherent.
 
 Usage:
     for i in 1..5: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
@@ -62,32 +64,34 @@ of carrying fabricated citations.
 | Workload tables | region(5) nation(25) supplier(10) customer(150) part(200) orders(1.5k) lineitem(6k) events(1k) documents(500) embeddings(500) rows at sf0.001 | parquet, seed=42 | measured with pyarrow round 3; `TESTDATA.md:3-5` |
 | Environment | PySpark 4.1.2, DuckDB 1.0.0, PyArrow 16.1.0, OpenJDK 17.0.20, Linux 6.18, Spark local mode | measured round 3 | — |
 
-## Measured baseline (round 10, 2026-08-16 — ONE protocol, all {n} queries,
-## STEADY-STATE timings)
+## Measured baseline (round 11, 2026-08-16 — ONE protocol, all {n} queries,
+## STEADY-STATE per-query MEDIANS-OF-3)
 
-Re-baselined in full this round (round-9 VERDICT item 2): the round-8
-table was measured on a visibly faster host day — round-9 code re-probed
-on today's host reproduces today's timings, not round-8's (SCALE.md), so
-per-row surgical edits would have left the 2× gate noise-triggered for
-every hash-heavy query, exactly the artifact the judge flagged on
-`reconcile_loss_rate_hourly_deduped`. On the deduped twin measuring
-CHEAPER than its non-deduped parent (the round-9 "implausible" note):
-it reproduces in all 5 fresh runs (0.176-0.191 vs 0.188-0.219 s), so it
-is a stable property of these two ~0.2 s plans on this host, not a
-baseline typo — at this magnitude both rows live at the per-query
-scheduling noise floor and the ordering carries no structural meaning
-(the deduped plan provably does MORE work: +3 exchanges, +6 partial
-aggregates). The round-9 2.40x gate breach was baseline staleness, now
-re-measured. Same protocol as
-round 8: per-query wall-clock at sf0.1, `local[32]`, **median over 5
-back-to-back bench.py runs on final round-10 code**, whole-run timed
+Re-baselined in full this round for two structural reasons (round-10
+VERDICT item 1): (a) bench.py's per-query timing protocol changed from
+a single execution to the MEDIAN OF 3 back-to-back executions — the
+single-run artifact was noise-gated for the ~200 sub-0.5 s queries and
+produced a phantom >2× breach two rounds running (r9
+reconcile_loss_rate_hourly_deduped 2.40×, r10 text_fingerprint 2.17×,
+both judge-adjudicated as host noise); a baseline row is now the median
+over 5 runs of medians-of-3, and the driver's artifact carries the same
+per-query noise immunity as the baseline. (b) Round 11 registered 4 new
+queries (dedup_minhash_lsh_capped, quality_tercile_buckets_approx,
+bitext_margin_mining, top_bigram_char_fraction) that need rows. The
+protocol change also retires the round-10 carried artifacts the old
+single-run table had absorbed (dedup_minhash_lsh 3.938 s where the
+isolated median is 1.23 s — tools/isolated_medians.py, SCALE.md round
+11). Per-query wall-clock at sf0.1, `local[32]`, **median over 5
+back-to-back bench.py runs on final round-11 code**, whole-run timed
 totals {totals} s.
 Since round 7 bench.py measures steady-state execution: every query
 first runs once UNTIMED at sf0.001, so whole-stage-codegen compile — a
 one-time cost that amortizes at any production scale but injected
 2-3 s/query of variance locally (SCALE.md round-6/7 floor
 decompositions) — is excluded from the timings on BOTH sides of the 2×
-gate. This supersedes the round-6 codegen-cold table wholesale.
+gate; since round 11 session.py also sizes the Janino codegen cache
+(4096) above the plan count so the warmup's compiled classes survive to
+the timed pass (SCALE.md round 11).
 
 Host-contention caveat (unchanged): identical runs vary 2-3x whole-run;
 judge a regression by median-of-3+, never one run. Config: PySpark
