@@ -2937,3 +2937,202 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("margin_micro") > _BT_MARGIN_MICRO).alias("mined"),
         )
     )
+
+
+@register(
+    "bitext_margin_mining_lsh",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id AS src_id, embedding AS sv
+        FROM embeddings WHERE label < {_BT_SIDE_SPLIT}
+    ),
+    t AS (
+        SELECT vec_id AS tgt_id, embedding AS tv
+        FROM embeddings WHERE label >= {_BT_SIDE_SPLIT}
+    ),
+    sb AS (
+        SELECT src_id, unnest({sim.duck_lsh_bucket_select("sv")},
+                              recursive := true)
+        FROM s
+    ),
+    tb AS (
+        SELECT tgt_id, unnest({sim.duck_lsh_bucket_select("tv")},
+                              recursive := true)
+        FROM t
+    ),
+    cand AS (
+        SELECT DISTINCT sb.src_id, tb.tgt_id
+        FROM sb JOIN tb ON sb.tbl = tb.tbl AND sb.bucket = tb.bucket
+    ),
+    pairs AS (
+        SELECT c.src_id, c.tgt_id,
+               CAST(round({sim.duck_cosine_expr("s.sv", "t.tv")} * 1000000)
+                    AS BIGINT) AS cos_micro
+        FROM cand c
+        JOIN s ON s.src_id = c.src_id
+        JOIN t ON t.tgt_id = c.tgt_id
+    ),
+    fwd AS (
+        SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS sumk_fwd
+        FROM (
+            SELECT src_id, cos_micro,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cos_micro DESC, tgt_id)
+                       AS rn
+            FROM pairs
+        ) WHERE rn <= {_BT_K}
+        GROUP BY src_id
+    ),
+    bwd AS (
+        SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS sumk_bwd
+        FROM (
+            SELECT tgt_id, cos_micro,
+                   row_number() OVER (PARTITION BY tgt_id
+                                      ORDER BY cos_micro DESC, src_id)
+                       AS rn
+            FROM pairs
+        ) WHERE rn <= {_BT_K}
+        GROUP BY tgt_id
+    ),
+    margined AS (
+        SELECT p.src_id, p.tgt_id, p.cos_micro,
+               CASE WHEN p.cos_micro > 0
+                         AND f.sumk_fwd + b.sumk_bwd > 0
+                    THEN CAST(2 * {_BT_K} * p.cos_micro * 1000000 AS BIGINT)
+                         // CAST(f.sumk_fwd + b.sumk_bwd AS BIGINT)
+                    ELSE CAST(0 AS BIGINT)
+               END AS margin_micro
+        FROM pairs p
+        JOIN fwd f ON f.src_id = p.src_id
+        JOIN bwd b ON b.tgt_id = p.tgt_id
+    )
+    SELECT src_id, tgt_id, cos_micro, margin_micro,
+           margin_micro > {_BT_MARGIN_MICRO} AS mined
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+                                     ORDER BY margin_micro DESC, tgt_id)
+                      AS rn
+        FROM margined
+    )
+    WHERE rn = 1
+    """,
+)
+def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale tier of ``bitext_margin_mining``: candidates come
+    from a CROSS-SET sign-LSH bucket join (a source-target pair is scored
+    only if the two vectors share a bucket in any of the {sim.LSH_TABLES}
+    hash tables) instead of the exact NxN product — the same
+    inverted-index shape as ``dedup_minhash_incremental``, so candidate
+    volume scales with bucket collisions, never |src| x |tgt|. The margin
+    denominators are the forward/backward top-{_BT_K} neighborhood sums
+    WITHIN the candidate set — the standard approximation in mined-bitext
+    pipelines (the true k-NN needs the exact product; a hub's candidates
+    still expose its inflated neighborhood, which is what the margin
+    normalizes away). Only sources with at least one candidate appear —
+    mirrored inner joins on both engines.
+
+    Determinism: bucket bits are the shared deterministic rational
+    hyperplanes (``operators/similarity``); everything downstream is the
+    parent query's all-BIGINT margin arithmetic. Recall misses are
+    bucket-exact on both engines, so the differential stays the strong
+    value-hash tier (the ``dedup_minhash_lsh`` precedent).
+
+    Recall honesty: sign-LSH collision probability is (1 - θ/π)^planes
+    per table, OR-ed over tables. On the RANDOM-vector fixture the exact
+    tier's "mined" pairs sit at θ ≈ 60-70° (cos 0.3-0.4 — random data
+    has no true parallel pairs), so measured recall of those pairs is
+    ~6% at 8 planes x 2 tables — correct behavior, not a defect: real
+    parallel pairs (cos ≥ 0.8, θ ≤ 37°) collide per table at ~0.8^8 ≈
+    17%, and the table count is the recall dial (1-(1-p)^T; 8 tables →
+    ~78%). The fixture's job here is differential exactness; the recall
+    arithmetic is the documented production knob
+    (tests/test_mlprep_ops.py::test_bitext_lsh_consistent_with_exact).
+
+    Scale: two narrow bucket projections ({sim.LSH_TABLES} rows per
+    vector), one equi-join on (tbl, bucket), cosine only on candidates,
+    two windowed top-K passes keyed by vector id. The plane count is the
+    occupancy knob (``SPARK_GRAFT_LSH_PLANES``, validated 1..62): planes
+    grow with log(corpus) to hold per-bucket population constant —
+    measured for the shared machinery in SCALE.md round 7.
+    """
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    s = emb.filter(F.col("label") < _BT_SIDE_SPLIT).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("sv")
+    )
+    t = emb.filter(F.col("label") >= _BT_SIDE_SPLIT).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tv")
+    )
+    sb = s.select(
+        "src_id", F.explode(sim.lsh_bucket_structs_expr("sv")).alias("bb")
+    ).select("src_id", "bb.tbl", "bb.bucket")
+    tb = t.select(
+        "tgt_id", F.explode(sim.lsh_bucket_structs_expr("tv")).alias("bb")
+    ).select("tgt_id", "bb.tbl", "bb.bucket")
+    cand = sb.join(tb, ["tbl", "bucket"]).select("src_id", "tgt_id").distinct()
+    pairs = (
+        cand.join(s, "src_id")
+        .join(F.broadcast(t), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.expr(
+                f"CAST(round((({sim.dot_expr('sv', 'tv')})"
+                f" / sqrt(({sim.dot_expr('sv', 'sv')})"
+                f" * ({sim.dot_expr('tv', 'tv')})))"
+                f" * 1000000) AS BIGINT)"
+            ).alias("cos_micro"),
+        )
+        .cache()
+    )
+    w_f = Window.partitionBy("src_id").orderBy(
+        F.col("cos_micro").desc(), F.col("tgt_id").asc()
+    )
+    fwd = (
+        pairs.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= _BT_K)
+        .groupBy("src_id")
+        .agg(F.sum("cos_micro").cast("long").alias("sumk_fwd"))
+    )
+    w_b = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_micro").desc(), F.col("src_id").asc()
+    )
+    bwd = (
+        pairs.withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= _BT_K)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_micro").cast("long").alias("sumk_bwd"))
+    )
+    margined = (
+        pairs.join(fwd, "src_id")
+        .join(bwd, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_micro",
+            F.when(
+                (F.col("cos_micro") > 0)
+                & (F.col("sumk_fwd") + F.col("sumk_bwd") > 0),
+                F.expr(
+                    f"CAST(2 * {_BT_K} * cos_micro * 1000000 AS BIGINT)"
+                    " DIV CAST(sumk_fwd + sumk_bwd AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("margin_micro"),
+        )
+    )
+    w_best = Window.partitionBy("src_id").orderBy(
+        F.col("margin_micro").desc(), F.col("tgt_id").asc()
+    )
+    return (
+        margined.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_micro",
+            "margin_micro",
+            (F.col("margin_micro") > _BT_MARGIN_MICRO).alias("mined"),
+        )
+    )

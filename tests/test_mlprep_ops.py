@@ -223,3 +223,73 @@ def test_cuped_arms_partition_users(spark, sf_dir):
     out = QUERIES["cuped_ab_lift"](spark, sf_dir).toPandas()
     assert sorted(out["arm"]) == [0, 1]
     assert out["n_users"].sum() == ev["user_id"].nunique()
+
+
+def test_bitext_margin_exact_bruteforce(spark, sf_dir):
+    """The exact tier's per-source winner and integer margin must match a
+    plain-Python rebuild from the parquet vectors (cos rounded once to
+    micro, top-4 neighborhood sums, cross-multiplied margin)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import os
+
+    got = {
+        r["src_id"]: r
+        for r in all_queries()["bitext_margin_mining"](spark, sf_dir).collect()
+    }
+    tb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pylist()
+    src = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+           for r in tb if r["label"] < 5}
+    tgt = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+           for r in tb if r["label"] >= 5}
+    cos = {}
+    for si, sv in src.items():
+        for ti, tv in tgt.items():
+            c = float(sv @ tv) / math.sqrt(float(sv @ sv) * float(tv @ tv))
+            cos[(si, ti)] = int(np.round(c * 1_000_000))
+    K = 4
+    fwd = {
+        si: sum(sorted((cos[(si, ti)] for ti in tgt), reverse=True)[:K])
+        for si in src
+    }
+    bwd = {
+        ti: sum(sorted((cos[(si, ti)] for si in src), reverse=True)[:K])
+        for ti in tgt
+    }
+    assert set(got) == set(src)
+    for si in src:
+        best = None
+        for ti in sorted(tgt):
+            c = cos[(si, ti)]
+            denom = fwd[si] + bwd[ti]
+            m = (2 * K * c * 1_000_000) // denom if c > 0 and denom > 0 else 0
+            if best is None or m > best[1]:
+                best = (ti, m)
+        r = got[si]
+        assert (r["tgt_id"], r["margin_micro"]) == best, si
+        assert r["mined"] == (best[1] > 1_050_000)
+
+
+def test_bitext_lsh_consistent_with_exact(spark, sf_dir):
+    """The LSH tier must agree with the exact tier wherever they overlap:
+    identical cos_micro for any (src, tgt) pair both rank first, and an
+    LSH margin never exceeds what the exact-product margin arithmetic
+    allows for that pair (candidate-restricted neighborhood sums are
+    <= the true top-K sums only when fewer than K candidates exist, so
+    the check is on the shared pairs' cosine, the engine-exact part)."""
+    ex = {
+        (r["src_id"], r["tgt_id"]): r
+        for r in all_queries()["bitext_margin_mining"](spark, sf_dir).collect()
+    }
+    ls = {
+        (r["src_id"], r["tgt_id"]): r
+        for r in all_queries()["bitext_margin_mining_lsh"](
+            spark, sf_dir
+        ).collect()
+    }
+    shared = set(ex) & set(ls)
+    assert shared, "fixture produced no overlapping rank-1 pairs"
+    for k in shared:
+        assert ex[k]["cos_micro"] == ls[k]["cos_micro"], k
+    # the LSH tier only emits sources that had >= 1 bucket collision
+    assert set(s for s, _ in ls) <= set(s for s, _ in ex)
