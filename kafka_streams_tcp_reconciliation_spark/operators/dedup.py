@@ -341,7 +341,7 @@ def lsh_candidate_pairs(
     keyed on exact similarity re-checks every emitted pair anyway. The
     precedent is the stop-shingle df cap (round 7); like there, the capped
     semantics are deterministic and mirrored bit-for-bit in the DuckDB
-    oracle (``duck_lsh_cand_ctes``).
+    oracle (``duck_capped_cand_ctes``).
     """
     # explode_outer + null-filter, not explode: InferFiltersFromGenerate
     # would synthesize size(bands)>0 below the projection and re-evaluate

@@ -3053,7 +3053,15 @@ def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     two windowed top-K passes keyed by vector id. The plane count is the
     occupancy knob (``SPARK_GRAFT_LSH_PLANES``, validated 1..62): planes
     grow with log(corpus) to hold per-bucket population constant —
-    measured for the shared machinery in SCALE.md round 7.
+    measured for the shared machinery in SCALE.md round 7. The two
+    enrichment joins that attach the vectors back to the candidate ids
+    are plain keyed equi-joins with NO strategy hint: in the mined-bitext
+    use case each side is a whole language's corpus, so the planner must
+    stay free to pick SMJ/SHJ when the side is large and BHJ only when
+    AQE measures it small (end-to-end sweep: SCALE.md round 12). The
+    ``pairs`` cache lives until the caller's ``spark.catalog.clearCache()``
+    — the same session-lifetime contract as the selection layer's
+    tf cache; at corpus scale prefer a checkpoint/parquet round-trip.
     """
     emb = scale_out(load_table(spark, sf_dir, "embeddings"))
     s = emb.filter(F.col("label") < _BT_SIDE_SPLIT).select(
@@ -3071,7 +3079,7 @@ def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = sb.join(tb, ["tbl", "bucket"]).select("src_id", "tgt_id").distinct()
     pairs = (
         cand.join(s, "src_id")
-        .join(F.broadcast(t), "tgt_id")
+        .join(t, "tgt_id")
         .select(
             "src_id",
             "tgt_id",

@@ -1301,9 +1301,6 @@ def top_bigram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.col("bg_count").desc(), F.col("bigram").asc()
     )
-    covered = (
-        F.col("bg_count") * F.length("bigram").cast("long") * F.lit(1_000_000)
-    )
     return (
         counted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -1315,9 +1312,10 @@ def top_bigram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(bg_count * CAST(length(bigram) AS BIGINT) * 1000000"
                 " AS BIGINT) DIV n_chars_text"
             ).alias("frac_micro"),
-            (
-                covered / F.col("n_chars_text").cast("double")
-                > _TOP_BG_FLAG_MICRO
-            ).alias("flagged"),
         )
+        # flagged derives from the SAME truncated BIGINT fraction the
+        # oracle tests — never a parallel float division, whose result
+        # diverges from the floor inside a 1-micro-unit window above the
+        # threshold (exact fraction in (0.200000, 0.200001)).
+        .withColumn("flagged", F.col("frac_micro") > _TOP_BG_FLAG_MICRO)
     )

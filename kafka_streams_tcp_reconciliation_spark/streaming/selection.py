@@ -48,6 +48,9 @@ def unimax_budgets_against(count_snapshot: DataFrame) -> DataFrame:
     return unimax_allocate(count_snapshot)
 
 
+_LATEST_POINTER = "_LATEST"
+
+
 def counts_snapshot_sink(
     counts_stream: DataFrame, snapshot_dir: str, checkpoint_dir: str
 ):
@@ -57,16 +60,47 @@ def counts_snapshot_sink(
     latest snapshot and water-fills it (``unimax_budgets_against``)
     whenever the mixture is revisited, never touching the stream.
 
-    complete-mode foreachBatch: each batch delivers the FULL count table
-    (O(#languages) rows), so a plain overwrite is an atomic-enough
-    snapshot at this cardinality; the checkpoint makes replay-on-restart
-    idempotent (same counts → same snapshot). End-to-end lock:
+    Atomicity (round 12): a direct ``mode("overwrite")`` on the snapshot
+    path deletes the directory before rewriting, so a planner reading
+    concurrently could observe a missing/partial snapshot. Instead each
+    batch writes a fresh ``batch_<id>/`` subdirectory and then atomically
+    repoints the ``_LATEST`` pointer file (temp file + ``os.replace``,
+    atomic on POSIX): readers resolving through
+    :func:`read_counts_snapshot` always see a COMPLETE snapshot — the
+    pointer flips only after the parquet commit. The previous batch's
+    directory is retained one generation (a reader may have just resolved
+    it); older generations are pruned. complete-mode foreachBatch: each
+    batch delivers the FULL count table (O(#languages) rows), and the
+    checkpoint makes replay-on-restart idempotent (same counts → same
+    snapshot). End-to-end lock:
     tests/test_streaming.py::test_unimax_streamed_snapshot_end_to_end
     replays the corpus through this sink and asserts the read-back
     budgets equal the batch query bit-for-bit."""
 
     def write_snapshot(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.coalesce(1).write.mode("overwrite").parquet(snapshot_dir)
+        import os
+
+        gen_dir = os.path.join(snapshot_dir, f"batch_{batch_id}")
+        batch_df.coalesce(1).write.mode("overwrite").parquet(gen_dir)
+        tmp = os.path.join(snapshot_dir, f"._LATEST.tmp.{batch_id}")
+        with open(tmp, "w") as f:
+            f.write(f"batch_{batch_id}\n")
+        os.replace(tmp, os.path.join(snapshot_dir, _LATEST_POINTER))
+        # prune generations older than the previous one (kept as a grace
+        # window for readers that resolved the pointer just pre-flip)
+        import shutil
+
+        for name in os.listdir(snapshot_dir):
+            if not name.startswith("batch_"):
+                continue
+            try:
+                gen = int(name.removeprefix("batch_"))
+            except ValueError:
+                continue
+            if gen < batch_id - 1:
+                shutil.rmtree(
+                    os.path.join(snapshot_dir, name), ignore_errors=True
+                )
 
     return (
         counts_stream.writeStream.outputMode("complete")
@@ -77,8 +111,20 @@ def counts_snapshot_sink(
     )
 
 
+def read_counts_snapshot(spark, snapshot_dir: str) -> DataFrame:
+    """Resolve the ``_LATEST`` pointer written by
+    :func:`counts_snapshot_sink` and load that complete snapshot
+    generation — the reader half of the atomic handoff."""
+    import os
+
+    with open(os.path.join(snapshot_dir, _LATEST_POINTER)) as f:
+        gen = f.read().strip()
+    return spark.read.parquet(os.path.join(snapshot_dir, gen))
+
+
 __all__ = [
     "counts_snapshot_sink",
     "lang_token_stream",
+    "read_counts_snapshot",
     "unimax_budgets_against",
 ]

@@ -179,3 +179,56 @@ def test_registry_invocation_clears_prior_cache(spark, sf_dir):
     assert cm.isEmpty()
     # the registry stores a wrapper; the composable raw fn is __wrapped__
     assert hasattr(QUERIES["q1_pricing_summary"], "__wrapped__")
+
+
+def test_bench_episode_detector():
+    """Round-12 host-episode self-diagnosis: >=4 CONTIGUOUS execution-order
+    queries all >2x their baseline medians flag an episode block in the
+    bench artifact (sustained co-running host load inflates alphabetical
+    blocks — round-11 re-baseline run 4); scattered or short runs do not,
+    and queries with no baseline row are neutral (neither extend nor
+    break a run)."""
+    import bench
+
+    base = {f"q{i:02d}": 1.0 for i in range(12)}
+
+    # all nominal -> no episodes
+    assert bench.detect_host_episodes(dict(base), base) == []
+
+    # 5-long contiguous block >2x -> one episode with correct bounds
+    t = dict(base)
+    for i in range(3, 8):
+        t[f"q{i:02d}"] = 3.0
+    eps = bench.detect_host_episodes(t, base)
+    assert eps == [
+        {"start": "q03", "end": "q07", "n": 5, "median_ratio": 3.0}
+    ]
+
+    # 3-long run is below the minimum — a genuine regression pattern
+    t2 = dict(base)
+    for i in (3, 4, 5):
+        t2[f"q{i:02d}"] = 3.0
+    assert bench.detect_host_episodes(t2, base) == []
+
+    # scattered breaches never form an episode
+    t3 = dict(base)
+    for i in (0, 3, 6, 9):
+        t3[f"q{i:02d}"] = 3.0
+    assert bench.detect_host_episodes(t3, base) == []
+
+    # a query with no baseline row inside the block is neutral: the
+    # run spans it rather than splitting
+    t4 = dict(base)
+    for i in range(3, 8):
+        t4[f"q{i:02d}"] = 3.0
+    b4 = dict(base)
+    del b4["q05"]
+    eps4 = bench.detect_host_episodes(t4, b4)
+    assert eps4 == [
+        {"start": "q03", "end": "q07", "n": 4, "median_ratio": 3.0}
+    ]
+
+    # failed timings (-1) are neutral too, never a ratio
+    t5 = dict(base)
+    t5["q00"] = -1.0
+    assert bench.detect_host_episodes(t5, base) == []

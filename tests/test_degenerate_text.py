@@ -151,3 +151,101 @@ def test_short_doc_shingles_empty_not_crash(spark):
         "text", F.lit(None).cast("string")
     )
     assert df2.select(shingle_expr("text", 3).alias("sh")).collect()[0].sh is None
+
+
+# ---------------------------------------------------------------------------
+# top-bigram threshold boundary (round 12)
+# ---------------------------------------------------------------------------
+#
+# Round-11 verdict finding #1: `top_bigram_char_fraction.flagged` computed
+# the 20% threshold with FLOAT division on the Spark side but truncating
+# BIGINT division in the oracle. The two diverge exactly when a document's
+# covered-fraction lands strictly inside (0.200000, 0.200001): the floor is
+# exactly 200000 (not flagged) while the float quotient exceeds 200000
+# (flagged). The fix derives `flagged` from the truncated `frac_micro`;
+# these planted documents EXERCISE the one-micro-unit window (the old float
+# form provably flips on the boundary doc) instead of merely closing it.
+#
+# Construction: top bigram "ab ab" (5 chars) occurring exactly 10 000 times
+# ("ab" repeated 10 001 times), so covered_micro = 10000*5*1e6 = 5e10, and
+# unique-word filler pads the doc to a chosen total length N:
+#   N = 249 999 -> 5e10/N = 200000.80  in the window: floor 200000, float >
+#   N = 250 000 -> exactly 200000: not flagged on either arithmetic
+#   N = 249 990 -> 200008: flagged on both
+
+
+def _top_bigram_boundary_doc(n_total: int) -> str:
+    prefix = ("ab " * 10_001).strip()  # 30 002 chars, "ab ab" x 10 000
+    need = n_total - len(prefix)  # filler chars, each " w%06d" = 8
+    n_full, rem = divmod(need, 8)
+    assert rem == 0 or rem >= 2, "final word would be empty"
+    s = prefix + "".join(f" w{i:06d}" for i in range(n_full))
+    if rem:
+        s += " " + "z" * (rem - 1)
+    assert len(s) == n_total
+    return s
+
+
+@pytest.fixture(scope="module")
+def top_bigram_boundary_dir(tmp_path_factory) -> str:
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = tmp_path_factory.mktemp("sf_topbg_boundary")
+    planted = [
+        (9_000_001, _top_bigram_boundary_doc(249_999)),  # inside window
+        (9_000_002, _top_bigram_boundary_doc(250_000)),  # exact boundary
+        (9_000_003, _top_bigram_boundary_doc(249_990)),  # clearly over
+    ]
+    for t in TABLE_NAMES:
+        tb = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        tb = tb.replace_schema_metadata(None)
+        if t == "documents":
+            tb = pa.table(
+                {
+                    "doc_id": pa.array(
+                        [d for d, _ in planted], type=pa.int64()
+                    ),
+                    "text": pa.array([s for _, s in planted]),
+                    "lang": pa.array(["en"] * len(planted)),
+                    "source": pa.array(["boundary"] * len(planted)),
+                    "n_chars": pa.array(
+                        [len(s) for _, s in planted], type=pa.int64()
+                    ),
+                }
+            )
+        pq.write_table(tb, str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+def test_top_bigram_flag_boundary(spark, top_bigram_boundary_dir, tmp_path_factory):
+    name = "top_bigram_char_fraction"
+    sdf = (
+        QUERIES[name](spark, top_bigram_boundary_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    d = ResilientDuck(top_bigram_boundary_dir, tmp_path_factory)
+    try:
+        odf = d.execute(ORACLES[name]).df().set_index("doc_id").sort_index()
+    finally:
+        d.close()
+
+    # full parity on the planted boundary docs — the old float `flagged`
+    # fails this compare on doc 9000001
+    for c in ("top_bigram", "bg_count", "frac_micro", "flagged"):
+        assert list(sdf[c]) == list(odf[c]), c
+
+    # the window is real: on the in-window doc the float quotient exceeds
+    # the threshold while the truncated micro-fraction does not
+    row = sdf.loc[9_000_001]
+    assert row["top_bigram"] == "ab ab" and row["bg_count"] == 10_000
+    covered_micro = 10_000 * 5 * 1_000_000
+    assert covered_micro / 249_999 > 200_000  # old float form: flips
+    assert row["frac_micro"] == 200_000 and not row["flagged"]
+
+    # exact-boundary: 200000 is NOT > 200000 on either arithmetic
+    assert sdf.loc[9_000_002]["frac_micro"] == 200_000
+    assert not sdf.loc[9_000_002]["flagged"]
+    # clearly over: flagged on both
+    assert sdf.loc[9_000_003]["frac_micro"] == 200_008
+    assert bool(sdf.loc[9_000_003]["flagged"])

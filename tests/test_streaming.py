@@ -575,17 +575,25 @@ def test_unimax_streamed_snapshot_end_to_end(spark, sf_dir, tmp_path_factory):
     from kafka_streams_tcp_reconciliation_spark.streaming.selection import (
         counts_snapshot_sink,
         lang_token_stream,
+        read_counts_snapshot,
         unimax_budgets_against,
     )
 
     chunks = str(tmp_path_factory.mktemp("unimaxe2echunks"))
-    snap_dir = str(tmp_path_factory.mktemp("unimaxsnap") / "counts")
+    snap_root = tmp_path_factory.mktemp("unimaxsnap") / "counts"
+    snap_root.mkdir()
+    snap_dir = str(snap_root)
     ckpt = str(tmp_path_factory.mktemp("unimaxckpt"))
     feed = chunked_lang_text_stream(spark, sf_dir, chunks, n_chunks=4)
     q = counts_snapshot_sink(lang_token_stream(feed), snap_dir, ckpt)
     q.awaitTermination(timeout=300)
 
-    snap = spark.read.parquet(snap_dir).select("lang", "c_tokens")
+    # the sink writes generation subdirs + an atomically-replaced _LATEST
+    # pointer; readers resolve through the pointer, never a raw overwrite
+    import os
+
+    assert os.path.exists(os.path.join(snap_dir, "_LATEST"))
+    snap = read_counts_snapshot(spark, snap_dir).select("lang", "c_tokens")
     got = unimax_budgets_against(snap).toPandas()
     want = all_queries()["unimax_language_budgets"](spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(want))

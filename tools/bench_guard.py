@@ -99,12 +99,31 @@ def main() -> int:
     if missing_bench:
         print(f"  baseline rows with no timing ({len(missing_bench)}): "
               f"{', '.join(missing_bench)}")
+    # bench.py (round 12+) self-diagnoses sustained host interference as
+    # "episodes": contiguous execution-order blocks all >2x baseline. A
+    # warn row inside an episode block is adjudication-suspect — the
+    # inflation source is the co-running load, not the plan; re-measure
+    # with tools/isolated_medians.py before treating it as a regression.
+    episodes = bench.get("episodes") or []
+    if episodes:
+        print(f"  host episodes flagged by bench.py ({len(episodes)}):")
+        for ep in episodes:
+            print(
+                f"    {ep['start']}..{ep['end']} ({ep['n']} queries, "
+                f"median {ep['median_ratio']}x) — suspect host load, not "
+                f"regression; confirm via tools/isolated_medians.py"
+            )
+
+    def in_episode(name: str) -> bool:
+        return any(ep["start"] <= name <= ep["end"] for ep in episodes)
+
     if warn:
         print(f"  over {ratio}x ({len(warn)}):")
-        print("  | query | bench s | baseline s | ratio |")
-        print("  |---|---|---|---|")
+        print("  | query | bench s | baseline s | ratio | |")
+        print("  |---|---|---|---|---|")
         for r, name, t, b in sorted(warn, reverse=True):
-            print(f"  | {name} | {t:.3f} | {b:.3f} | {r:.2f}x |")
+            tag = "in host episode" if in_episode(name) else ""
+            print(f"  | {name} | {t:.3f} | {b:.3f} | {r:.2f}x | {tag} |")
     else:
         print(f"  no query above {ratio}x its baseline median")
     return 1 if warn or failed else 0
