@@ -535,3 +535,173 @@ def duck_simhash_chunks(sim_col: str) -> str:
         f"[{{'chunk': sc_c, 'cval': ({sim_col} >> (sc_c * {_CHUNK_BITS}))"
         f" & {2**_CHUNK_BITS - 1}}} FOR sc_c IN range(0, {SIMHASH_CHUNKS})]"
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized gram-hash + MinHash signature kernel (round 12)
+# ---------------------------------------------------------------------------
+#
+# Round 10-11 characterized a session-level bimodality in the minhash
+# family: identical code, identical plans, tight within-session timing
+# triplets — but ~40-50% of fresh sessions ran the whole family ~5x
+# slower (fast ~1.0 s vs slow ~3.9 s at sf0.1), surviving codegen-cache,
+# storage, GC and JIT-code-cache rule-outs. The remaining mechanism is
+# HotSpot profile pollution of the INTERPRETED higher-order-function
+# kernels: the per-doc signature math (transform/aggregate/array_min
+# lambdas over ~60-bit integers) sits outside whole-stage codegen, and
+# which megamorphic call-site profile those shared lambda frames JIT
+# into depends on unrelated earlier queries — per-session, not per-plan.
+# The structural fix is the round-6 ``pairwise_cosine_matrix`` precedent:
+# move the arithmetic to a blocked numpy kernel behind ``mapInPandas`` —
+# same integers bit-for-bit, Arrow-batched, immune to interpreter profile
+# state because numpy's loops are compiled C.
+
+
+def _make_minhash_doc_kernel():
+    # Factory indirection ON PURPOSE (pairwise_cosine_matrix precedent):
+    # the returned function pickles BY VALUE, so the Python workers of a
+    # foreign-cwd driver that cannot import this package still run it.
+    def minhash_doc_batch(doc_ids, texts, n, params, base_a, base_b, mod):
+        """One Arrow batch: doc texts -> (ids, gram-hash arrays, MinHash
+        signatures), with the EXACT integer semantics of the SQL twins
+        ``word_polyhashes_expr`` + ``gram_fold64_expr`` +
+        ``minhash_sig_expr`` (verified bit-identical by
+        tests/test_dup_heavy_skew.py::test_minhash_kernel_matches_hof):
+
+        - words = text.split(' ') keeping empty tokens (Spark split with
+          a literal-space pattern keeps them; an empty token hashes to
+          the fold seed 0, like ascii('') = 0);
+        - per-word polynomial char-code fold (acc*base + codepoint) % mod
+          for bases ``base_a``/``base_b`` — numpy fold over the padded
+          UCS-4 codepoint matrix, masked by word length;
+        - per-gram two-base fold over ``n`` consecutive word hashes,
+          combined g1 + g2 * 2^30 (int64-safe: each fold < 2^30);
+        - sig[k] = min over grams of (a_k*(g % mod) + b_k) % mod —
+          duplicates don't move a min, so the distinct step the SQL twin
+          applies before signing is skipped here;
+        - docs with fewer than ``n`` words have no grams and are DROPPED
+          (the callers' mirrored ``len(hs) > 0`` filter).
+
+        Returns (ids list, hs list of int64 arrays (sorted distinct),
+        sigs list of int64 arrays). The hs arrays are SORTED distinct
+        grams, not the SQL twin's first-occurrence order — every
+        consumer treats hs as a set (array_intersect sizes), so only
+        membership is contractual.
+        """
+        import numpy as np
+
+        ids_out: list = []
+        hs_out: list = []
+        sig_out: list = []
+        # words per doc, flattened; split(' ') keeps empties end-to-end
+        words_per_doc = [t.split(" ") for t in texts]
+        counts = np.fromiter(
+            (len(w) for w in words_per_doc), dtype=np.int64,
+            count=len(words_per_doc),
+        )
+        flat_words = [w for ws in words_per_doc for w in ws]
+        if not flat_words:
+            return ids_out, hs_out, sig_out
+        arr = np.array(flat_words, dtype="U")
+        width = arr.dtype.itemsize // 4
+        if width == 0:  # every word empty -> every hash is the seed 0
+            wh1 = np.zeros(len(flat_words), dtype=np.int64)
+            wh2 = np.zeros(len(flat_words), dtype=np.int64)
+        else:
+            cp = arr.view(np.uint32).reshape(len(flat_words), width)
+            cp = cp.astype(np.int64)
+            # true lengths (not last-nonzero): an embedded U+0000 both
+            # counts toward length and folds as code 0, exactly like the
+            # SQL twin's length()/ascii()
+            lengths = np.char.str_len(arr).astype(np.int64)
+            wh1 = np.zeros(len(flat_words), dtype=np.int64)
+            wh2 = np.zeros(len(flat_words), dtype=np.int64)
+            for j in range(width):
+                live = j < lengths
+                c = cp[:, j]
+                wh1 = np.where(live, (wh1 * base_a + c) % mod, wh1)
+                wh2 = np.where(live, (wh2 * base_b + c) % mod, wh2)
+
+        # gram fold over n consecutive word hashes, windows that stay
+        # inside one doc (flat layout is doc-contiguous)
+        total = len(flat_words)
+        if total < n:
+            return ids_out, hs_out, sig_out
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        f1 = np.zeros(total - n + 1, dtype=np.int64)
+        f2 = np.zeros(total - n + 1, dtype=np.int64)
+        for j in range(n):
+            f1 = (f1 * base_b + wh1[j : total - n + 1 + j]) % mod
+            f2 = (f2 * base_a + wh2[j : total - n + 1 + j]) % mod
+        valid = doc_of[: total - n + 1] == doc_of[n - 1 :]
+        grams = f1[valid] + f2[valid] * np.int64(1 << 30)
+        gdoc = doc_of[: total - n + 1][valid]
+        if grams.size == 0:
+            return ids_out, hs_out, sig_out
+
+        # per-doc sorted-distinct hs via one lexsort; per-doc signature
+        # mins via reduceat on the doc-contiguous gram layout
+        starts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+        live_docs = gdoc[starts]
+        g_red = grams % mod
+        sig_mat = np.empty((len(params), len(starts)), dtype=np.int64)
+        for k, (a, b) in enumerate(params):
+            hk = (a * g_red + b) % mod
+            sig_mat[k] = np.minimum.reduceat(hk, starts)
+        order = np.lexsort((grams, gdoc))
+        gs, ds = grams[order], gdoc[order]
+        keep = np.r_[True, (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])]
+        gs, ds = gs[keep], ds[keep]
+        hstarts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
+        bounds = np.r_[hstarts, gs.size]
+        ids_np = np.asarray(doc_ids)
+        # Python-list boundary: Arrow's pandas converter rejects
+        # ndarray-valued object columns (NumPyConverter list<int64>)
+        for i, d in enumerate(live_docs):
+            ids_out.append(int(ids_np[d]))
+            hs_out.append(gs[bounds[i] : bounds[i + 1]].tolist())
+            sig_out.append(sig_mat[:, i].tolist())
+        return ids_out, hs_out, sig_out
+
+    return minhash_doc_batch
+
+
+minhash_doc_batch = _make_minhash_doc_kernel()
+
+
+def minhash_gram_sig_frame(
+    docs: DataFrame, n: int, num_hashes: int
+) -> DataFrame:
+    """(doc_id, hs, sig) for every doc with at least ``n`` words — the
+    Arrow/numpy twin of the HOF pipeline word_polyhashes -> gram_fold64
+    -> minhash_sig, one ``mapInPandas`` pass, no shuffle (see the kernel
+    docstring for the exact-semantics contract and the bimodality
+    rationale above). ``docs`` must carry non-NULL ``doc_id``/``text``.
+    """
+    kernel = minhash_doc_batch
+    params = hash_params(num_hashes)
+    ba, bb, mod = BASE_A, BASE_B, MOD
+    gram_n = n
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hs, sigs = kernel(
+                pdf["doc_id"].values, pdf["text"].tolist(),
+                gram_n, params, ba, bb, mod,
+            )
+            # explicit dtypes: an empty batch (every doc under n words)
+            # otherwise infers float64 columns, which Arrow cannot cast
+            # to list<int64>
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "hs": pd.Series(hs, dtype="object"),
+                    "sig": pd.Series(sigs, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, hs array<long>, sig array<long>"
+    )

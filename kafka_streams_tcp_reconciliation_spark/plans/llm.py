@@ -527,10 +527,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingle features are the two-level 64-bit word-gram hashes: per-doc
     cost O(words·n) integer ops instead of char-folding every gram string,
     and the verify sets are 2^60-wide (a single mod-1e9+7 hash shows
-    false-positive overlap already at sf0.1). The signature's universal
-    hashes reduce each gram mod P first (see minhash_sig_expr — int64
-    overflow constraint). wh1/wh2 stay separate projected columns so the
-    gram fold references them by name (inlining → O(words²)/doc).
+    false-positive overlap already at sf0.1).
+
+    Since round 12 the per-doc compute (word polyhashes → gram fold →
+    signature) runs in ONE Arrow/numpy ``mapInPandas`` pass
+    (``operators/dedup.minhash_gram_sig_frame``), bit-identical to the
+    SQL twins the DuckDB oracle still mirrors (locked by
+    tests/test_dup_heavy_skew.py::test_minhash_kernel_matches_hof). The
+    HOF form computed the same integers but lived OUTSIDE whole-stage
+    codegen, and its interpreted lambda frames picked up per-session JIT
+    profile pollution — a reproducible ~5× session-level bimodality
+    (round-11 characterization) that baselines had to floor around. The
+    numpy kernel's loops are compiled C: immune to interpreter profile
+    state, and the slow mode is gone structurally. Docs with fewer than
+    {gram-width} words are dropped INSIDE the kernel — the mirrored
+    ``len(hs) > 0`` filter (empty sets are undefined under
+    MinHash/Jaccard and would share one hot LSH bucket). The single
+    ``.cache()`` feeds the signature banding and both verify-join sides
+    from one kernel pass.
     """
     # NULL text carries no shingles; the engines' NULL-list semantics
     # diverge (Spark drops such docs through NULL joins, DuckDB folds
@@ -538,29 +552,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    wh = docs.select(
-        "doc_id",
-        dd.word_polyhashes_expr("text", 31).alias("wh1"),
-        dd.word_polyhashes_expr("text", 131).alias("wh2"),
-    )
-    # empty gram sets (docs shorter than the gram width) are undefined
-    # under MinHash/Jaccard AND would share one hot LSH bucket -> 0/0 in
-    # the verify; filter mirrored in the oracle's len(hs) > 0.
-    # ORDER MATTERS: the filter must sit ABOVE the cache. Below it,
-    # Catalyst pushes size(hs) > 0 through the projection by SUBSTITUTING
-    # the whole gram-fold expression into an interpreted Filter and keeps
-    # pushing it below the round-robin exchange onto the single-split scan
-    # side - the entire shingle compute then runs twice, serialized on one
-    # task (measured round 9: 556 s vs 11 s at sf1.0). The cache is the
-    # optimizer barrier that keeps the predicate where it is cheap.
-    hs = (
-        wh.select(
-            "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
-        )
-        .cache()
-        .filter(F.size("hs") > 0)
-    )
-    sig = hs.select("doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig"))
+    gs = dd.minhash_gram_sig_frame(docs, _JACC_N, _MH_NUM).cache()
+    hs = gs.select("doc_id", "hs")
+    sig = gs.select("doc_id", "sig")
     cand = dd.lsh_candidate_pairs(sig, "doc_id", "sig", _MH_BANDS, _MH_ROWS)
     return _jaccard_verify(cand, hs)
 
@@ -658,20 +652,11 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    wh = docs.select(
-        "doc_id",
-        dd.word_polyhashes_expr("text", 31).alias("wh1"),
-        dd.word_polyhashes_expr("text", 131).alias("wh2"),
-    )
-    # cache-above-filter barrier: same rationale as dedup_minhash_lsh
-    hs = (
-        wh.select(
-            "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
-        )
-        .cache()
-        .filter(F.size("hs") > 0)
-    )
-    sig = hs.select("doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig"))
+    # one Arrow/numpy kernel pass for grams + signature — same rationale
+    # and bit-equality lock as dedup_minhash_lsh (round 12)
+    gs = dd.minhash_gram_sig_frame(docs, _JACC_N, _MH_NUM).cache()
+    hs = gs.select("doc_id", "hs")
+    sig = gs.select("doc_id", "sig")
     cand = dd.lsh_candidate_pairs(
         sig, "doc_id", "sig", _MH_BANDS, _MH_ROWS, max_bucket=_LSH_MAX_BUCKET
     )
@@ -1620,31 +1605,12 @@ def minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    wh = docs.select(
-        "doc_id",
-        dd.word_polyhashes_expr("text", 31).alias("wh1"),
-        dd.word_polyhashes_expr("text", 131).alias("wh2"),
-    )
-    # empty gram sets (docs shorter than the gram width) are undefined
-    # under MinHash/Jaccard AND would share one hot LSH bucket -> 0/0 in
-    # the verify; filter mirrored in the oracle's len(hs) > 0.
-    # ORDER MATTERS: the filter must sit ABOVE the cache. Below it,
-    # Catalyst pushes size(hs) > 0 through the projection by SUBSTITUTING
-    # the whole gram-fold expression into an interpreted Filter and keeps
-    # pushing it below the round-robin exchange onto the single-split scan
-    # side - the entire shingle compute then runs twice, serialized on one
-    # task (measured round 9: 556 s vs 11 s at sf1.0). The cache is the
-    # optimizer barrier that keeps the predicate where it is cheap.
-    hs = (
-        wh.select(
-            "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
-        )
-        .cache()
-        .filter(F.size("hs") > 0)
-    )
-    sig = hs.select(
-        "doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig")
-    ).cache()
+    # one Arrow/numpy kernel pass for grams + signature — same rationale
+    # and bit-equality lock as dedup_minhash_lsh (round 12); the single
+    # cache feeds banding plus all four verify-join sides
+    gs = dd.minhash_gram_sig_frame(docs, _JACC_N, _MH_NUM).cache()
+    hs = gs.select("doc_id", "hs")
+    sig = gs.select("doc_id", "sig")
     cand = dd.lsh_candidate_pairs(sig, "doc_id", "sig", _MH_BANDS, _MH_ROWS)
     n_match = F.expr(
         "CAST(size(filter(zip_with(sx.sig, sy.sig, (mc_a, mc_b) -> mc_a = mc_b),"
@@ -1745,22 +1711,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    wh = docs.select(
-        "doc_id",
-        dd.word_polyhashes_expr("text", 31).alias("wh1"),
-        dd.word_polyhashes_expr("text", 131).alias("wh2"),
-    )
-    # cache BELOW the size filter - see dedup_minhash_lsh: a filter under
-    # the cache gets substituted through the projection and pushed below
-    # the repartition, serializing the shingle compute on one task
-    hs = (
-        wh.select(
-            "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
-        )
-        .cache()
-        .filter(F.size("hs") > 0)
-    )
-    sig = hs.select("doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig"))
+    # one Arrow/numpy kernel pass for grams + signature — same rationale
+    # and bit-equality lock as dedup_minhash_lsh (round 12)
+    gs = dd.minhash_gram_sig_frame(docs, _JACC_N, _MH_NUM).cache()
+    hs = gs.select("doc_id", "hs")
+    sig = gs.select("doc_id", "sig")
     is_new = F.col("doc_id") % _INCR_MOD == 0
     cand = dd.lsh_candidate_pairs_vs(
         sig.filter(is_new), sig.filter(~is_new), "doc_id", "sig",

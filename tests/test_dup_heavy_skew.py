@@ -240,3 +240,68 @@ def test_lang_skew_fixture_actually_skewed(lang_skew_sf_dir):
     langs = tb.column("lang").to_pylist()
     assert langs.count("en") > 0.95 * len(langs)
     assert len(set(langs)) >= 2  # some tail languages survive
+
+
+def test_minhash_kernel_matches_hof(spark):
+    """Round-12 bit-equality lock for the Arrow/numpy minhash kernel.
+
+    ``operators/dedup.minhash_gram_sig_frame`` replaced the interpreted
+    higher-order-function pipeline (word_polyhashes -> gram_fold64 ->
+    minhash_sig) inside the two LSH dedup queries because the HOF form's
+    lambda frames picked up per-session JIT profile pollution (the
+    round-10/11 ~5x session bimodality). The DuckDB oracles still mirror
+    the SQL twins, so the kernel must produce the SAME integers: same
+    surviving docs (>= gram-width words), same gram-hash SETS (the
+    kernel emits sorted-distinct; every consumer is set-semantics), and
+    the same 32-entry signature element-for-element — across organic
+    docs, every degenerate text shape, and non-BMP codepoints."""
+    from pyspark.sql import functions as F
+
+    import kafka_streams_tcp_reconciliation_spark.operators.dedup as dd
+    from kafka_streams_tcp_reconciliation_spark.plans.llm import (
+        _JACC_N,
+        _MH_NUM,
+    )
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import (
+        load_table,
+    )
+    from tests.test_degenerate_text import DEGENERATE_TEXTS
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    extra = spark.createDataFrame(
+        [(10_000_000 + i, t) for i, t in enumerate(DEGENERATE_TEXTS)]
+        + [(10_000_900, "\U0001f600 emoji codepoints fold identically ok")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+
+    wh = docs.select(
+        "doc_id",
+        dd.word_polyhashes_expr("text", 31).alias("wh1"),
+        dd.word_polyhashes_expr("text", 131).alias("wh2"),
+    )
+    hs_hof = wh.select(
+        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("hs")
+    ).filter(F.size("hs") > 0)
+    sig_hof = hs_hof.select(
+        "doc_id", dd.minhash_sig_expr("hs", _MH_NUM).alias("sig")
+    )
+    hof: dict = {r.doc_id: [sorted(r.hs), None] for r in hs_hof.collect()}
+    for r in sig_hof.collect():
+        hof[r.doc_id][1] = list(r.sig)
+
+    ker = {
+        r.doc_id: (list(r.hs), list(r.sig))
+        for r in dd.minhash_gram_sig_frame(docs, _JACC_N, _MH_NUM).collect()
+    }
+
+    assert set(hof) == set(ker)
+    assert len(hof) > 400  # the organic corpus actually participated
+    for d, (hs, sig) in hof.items():
+        assert ker[d][0] == hs, f"gram set diverged for doc {d}"
+        assert ker[d][1] == sig, f"signature diverged for doc {d}"

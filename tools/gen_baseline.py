@@ -35,25 +35,17 @@ for n in names:
     assert len(vals) == 5, (n, len(vals))
     medians[n] = round(statistics.median(vals), 3)
 
-# Session-bimodal rows (round 11, SCALE.md "Refinement from the round-11
-# re-baseline batch"): the MinHash-LSH family's interpreted HOF kernels
-# run fast (~1 s) or slow (~4-6 s) depending on per-session JIT state
-# that is set stochastically and persists for the session. A baseline
-# row drawn from a fast-mode batch would read a slow-mode driver run as
-# a 4-5x phantom gate breach — the exact artifact the median protocol
-# exists to kill. These rows therefore record the SLOW-mode median
-# measured this round (10 runs total: modes [4.0, 1.0, 5.0, 3.7, 3.7]
-# then [0.70, 0.88, 0.81, 1.00, 0.95] uncapped): a fast-mode driver run
-# reads ~0.25x, a slow-mode one ~1.3x — only a genuine regression can
-# breach. Re-derive whenever the kernels change.
-BIMODAL_SLOW_MEDIANS = {
-    "dedup_minhash_lsh": 3.856,
-    "dedup_minhash_lsh_capped": 5.926,
-}
-for q, v in BIMODAL_SLOW_MEDIANS.items():
-    if q in medians and medians[q] < v:
-        medians[q] = v
-
+# Round 12 RETIRED the round-11 BIMODAL_SLOW_MEDIANS override (slow-mode
+# floors 3.856/5.926 s for the two MinHash-LSH rows): the bimodality's
+# mechanism — per-session JIT profile pollution of the interpreted HOF
+# signature kernels — was eliminated structurally by moving the per-doc
+# compute to the Arrow/numpy kernel (operators/dedup.minhash_gram_sig_frame,
+# bit-equality-locked). Eight fresh-session medians-of-3 on the kernel
+# code: uncapped 1.65-2.56 s (1.55x spread), capped 2.49-5.33 s where the
+# single 5.33 outlier had a WIDE within-session triplet (4.0-8.3 s, the
+# host-noise signature, unlike the old tight slow-mode triplets); without
+# it 1.61x spread. Unimodal -> these rows are honest 5-run medians again,
+# and the 2x gate regains full sensitivity on them.
 totals = [r["value"] for r in runs]
 agg = round(sum(medians.values()), 1)
 
