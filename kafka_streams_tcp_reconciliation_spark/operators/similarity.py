@@ -90,7 +90,23 @@ def duck_cosine_expr(a: str, b: str) -> str:
 #   ((k*DIM + d) * KNUTH mod P) / P - 0.5
 # — reproducible in any engine with int64 + double arithmetic.
 
-LSH_TABLES = 2
+# OR-ed hash tables: each table is an independent 2^planes bucketing,
+# and a pair is a candidate if it collides in ANY table — so the table
+# count is the RECALL dial (P_hit = 1 - (1-p)^T for per-table collision
+# probability p = (1-θ/π)^planes) at a linear cost in bucket projections
+# and index size. Env knob since round 12 (the planted-parallel-pair
+# bitext fixture measures the dial: see
+# tests/test_mlprep_ops.py::test_bitext_planted_pair_recall); import-time
+# like SPARK_GRAFT_LSH_PLANES below, so the Spark plan and the DuckDB
+# oracle always read the same constant (parity at a non-default count
+# locked by tests/test_scale_ops.py::test_lsh_tables_knob_keeps_oracle_parity).
+import os as _os
+
+LSH_TABLES = int(_os.environ.get("SPARK_GRAFT_LSH_TABLES", "2"))
+if not (1 <= LSH_TABLES <= 16):
+    raise ValueError(
+        f"SPARK_GRAFT_LSH_TABLES must be in [1, 16], got {LSH_TABLES}"
+    )
 # Sign bits per table: 2^planes buckets/table. With a FIXED plane count
 # the within-bucket pair volume is ~n²/2^planes per table — the round-7
 # sf0.1→sf1→sf10 sweep measured exactly that (49k → 4.7M → 473M bucket
@@ -103,8 +119,6 @@ LSH_TABLES = 2
 # non-default setting keeps the differential exact (locked by
 # tests/test_scale_ops.py::test_lsh_planes_knob_keeps_oracle_parity);
 # the driver-visible default is unchanged.
-import os as _os
-
 LSH_PLANES = int(_os.environ.get("SPARK_GRAFT_LSH_PLANES", "8"))
 # Validated at import (fail loudly, not at plan-build): the bucket id is
 # Σ bit_j · 2^j carried as a signed BIGINT in both engines, so planes > 62

@@ -406,3 +406,18 @@ def test_scale_out_bounds_parallelism_by_row_groups(spark, tmp_path):
         assert "RoundRobinPartitioning" not in plan2, plan2
     finally:
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
+def test_lsh_tables_knob_keeps_oracle_parity(sf_dir):
+    """SPARK_GRAFT_LSH_TABLES (the sign-LSH OR-ed table count — the
+    RECALL dial, env-knobbed round 12) must keep the Spark plan and the
+    DuckDB oracle on the SAME table count. 4 tables genuinely widens the
+    candidate set vs the default 2 (more bucket collisions survive), so
+    a drifted constant would hash-mismatch immediately."""
+    res = _knob_parity(
+        sf_dir,
+        "bitext_margin_mining_lsh",
+        "embeddings",
+        SPARK_GRAFT_LSH_TABLES="4",
+    )
+    assert res["match"], res
