@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os as _os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
@@ -661,6 +661,177 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, "doc_id", "sig", _MH_BANDS, _MH_ROWS, max_bucket=_LSH_MAX_BUCKET
     )
     return _jaccard_verify(cand, hs)
+
+
+# Shared DuckDB CTE prefix for the MinHash family: text -> word hashes ->
+# gram sets (len > 0) -> signatures -> exploded band buckets. Factored in
+# round 12 for the occupancy-profile and best-match queries; the original
+# dedup_minhash_lsh / _capped / calibration oracles predate it and carry
+# the same chain inline (bit-identical by construction — same builders,
+# same constants).
+_MINHASH_BANDS_CTES = f"""
+    wh AS (
+        SELECT doc_id,
+               {dd.duck_word_polyhashes_expr("text", 31)} AS wh1,
+               {dd.duck_word_polyhashes_expr("text", 131)} AS wh2
+        FROM documents WHERE text IS NOT NULL
+    ),
+    hs AS (
+        SELECT * FROM (
+            SELECT doc_id,
+                   {dd.duck_gram_fold64_expr("wh1", "wh2", _JACC_N)} AS hs
+            FROM wh
+        ) WHERE len(hs) > 0
+    ),
+    sig AS (
+        SELECT doc_id, {dd.duck_minhash_sig_expr("hs", _MH_NUM)} AS sig FROM hs
+    ),
+    bands AS (
+        SELECT doc_id, unnest({dd.duck_band_select("sig", _MH_BANDS, _MH_ROWS)},
+                              recursive := true)
+        FROM sig
+    )"""
+
+
+@register(
+    "lsh_band_occupancy_profile",
+    oracle=f"""
+    WITH {_MINHASH_BANDS_CTES}
+    SELECT band, occupancy, CAST(count(*) AS BIGINT) AS n_buckets
+    FROM (
+        SELECT band, bkey, CAST(count(*) AS BIGINT) AS occupancy
+        FROM bands GROUP BY band, bkey
+    )
+    GROUP BY band, occupancy
+    """,
+)
+def lsh_band_occupancy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational pre-flight for the LSH dedup family: the bucket-
+    occupancy histogram per band — (band, occupancy, n_buckets). The
+    self-join's pair volume is Σ occupancy² per band, so this single
+    cheap aggregation tells you BEFORE running candidate generation
+    whether the corpus saturates buckets (the round-10 sf100 cliff:
+    vocabulary-saturated buckets drove the uncapped join superlinear)
+    and whether the occupancy cap (``dedup_minhash_lsh_capped``,
+    max_bucket=64) will fire. Run it on a new corpus; if max occupancy
+    ≪ cap, the uncapped exact tier is safe.
+
+    Same Arrow-kernel signatures and banding as the dedup queries, then
+    two map-side-combinable counts — (band, bkey) then (band,
+    occupancy); output is O(bands × distinct occupancies), a few dozen
+    rows at any corpus size.
+    """
+    docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    sig = dd.minhash_gram_sig_frame(docs, _JACC_N, _MH_NUM).select(
+        "doc_id", "sig"
+    )
+    bucketed = (
+        sig.select(
+            F.explode_outer(
+                dd.band_structs_expr("sig", _MH_BANDS, _MH_ROWS)
+            ).alias("bb")
+        )
+        .filter(F.col("bb").isNotNull())
+        # band is INT on the Spark side (sequence literal) but BIGINT in
+        # the oracle's unnest — cast where it becomes an OUTPUT column
+        .select(F.col("bb.band").cast("long").alias("band"), "bb.bkey")
+    )
+    return (
+        bucketed.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("occupancy"))
+        .groupBy("band", "occupancy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    )
+
+
+@register(
+    "neardup_best_match_per_doc",
+    oracle=f"""
+    WITH {_MINHASH_BANDS_CTES},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(x.hs, y.hs))
+                     / CAST(len(x.hs) + len(y.hs)
+                            - len(list_intersect(x.hs, y.hs)) AS DOUBLE),
+                     6) AS jaccard
+        FROM cand
+        JOIN hs x ON x.doc_id = doc_a
+        JOIN hs y ON y.doc_id = doc_b
+    ),
+    sym AS (
+        SELECT doc_a AS doc_id, doc_b AS partner, jaccard FROM scored
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS partner, jaccard FROM scored
+    )
+    SELECT doc_id, partner AS best_match, jaccard
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY jaccard DESC, partner)
+                      AS rn
+        FROM sym
+    )
+    WHERE rn = 1
+    """,
+)
+def neardup_best_match_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-duplicate report: for every document with at least one LSH
+    candidate, its single highest-Jaccard partner — (doc_id, best_match,
+    jaccard), tie broken to the smaller partner id. The triage view a
+    curation run reads after dedup flags fire: not just "is there a
+    near-dup" (the pair queries) but "what is THE closest document", with
+    no threshold so borderline pairs surface too.
+
+    Candidates, signatures, and exact-Jaccard arithmetic are the shared
+    MinHash machinery (Arrow kernel + band bucket join); the additions
+    are a symmetrize-union (each pair serves both endpoints) and one
+    per-doc argmax window keyed doc_id — corpus-wide parallelism, cost
+    bounded by the candidate volume like every LSH consumer.
+    """
+    docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    gs = dd.minhash_gram_sig_frame(docs, _JACC_N, _MH_NUM).cache()
+    hs = gs.select("doc_id", "hs")
+    sig = gs.select("doc_id", "sig")
+    cand = dd.lsh_candidate_pairs(sig, "doc_id", "sig", _MH_BANDS, _MH_ROWS)
+    n_inter = F.size(F.array_intersect(F.col("x.hs"), F.col("y.hs")))
+    jacc = n_inter / (
+        F.size(F.col("x.hs")) + F.size(F.col("y.hs")) - n_inter
+    ).cast("double")
+    scored = (
+        cand.withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .join(hs.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+        .join(hs.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+    sym = scored.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner"),
+        "jaccard",
+    ).unionByName(
+        scored.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("partner").asc()
+    )
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("partner").alias("best_match"), "jaccard")
+    )
 
 
 _SIMHASH_MAX_HAMMING = 8

@@ -1319,3 +1319,233 @@ def top_bigram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         # threshold (exact fraction in (0.200000, 0.200001)).
         .withColumn("flagged", F.col("frac_micro") > _TOP_BG_FLAG_MICRO)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher top-n-gram trio completion + quality flag battery (round 12)
+# ---------------------------------------------------------------------------
+
+# Gopher Table A1 thresholds for the top-n-gram character fraction:
+# n=2 -> 0.20 (top_bigram_char_fraction), n=3 -> 0.18, n=4 -> 0.16.
+_TOP_NG_FLAG_MICRO = {3: 180_000, 4: 160_000}
+
+
+@register(
+    "top_ngram_char_fractions",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
+               {_DUCK_WORDS} AS ws
+        FROM documents
+        WHERE text IS NOT NULL AND len({_DUCK_WORDS}) >= 3
+    ),
+    ng AS (
+        SELECT doc_id, n_chars_text, 3 AS n,
+               unnest([array_to_string(ws[tn_i:tn_i+2], ' ')
+                       FOR tn_i IN range(1, len(ws) - 1)]) AS ngram
+        FROM words
+        UNION ALL
+        SELECT doc_id, n_chars_text, 4 AS n,
+               unnest([array_to_string(ws[tn_i:tn_i+3], ' ')
+                       FOR tn_i IN range(1, len(ws) - 2)]) AS ngram
+        FROM words
+    ),
+    counted AS (
+        SELECT doc_id, n_chars_text, n, ngram,
+               CAST(count(*) AS BIGINT) AS ng_count
+        FROM ng GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, n, ngram AS top_ngram, ng_count,
+           CAST(ng_count * CAST(length(ngram) AS BIGINT) * 1000000
+                AS BIGINT) // n_chars_text AS frac_micro,
+           (ng_count * CAST(length(ngram) AS BIGINT) * 1000000)
+               // n_chars_text
+               > CASE n WHEN 3 THEN {_TOP_NG_FLAG_MICRO[3]}
+                        ELSE {_TOP_NG_FLAG_MICRO[4]} END AS flagged
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                     ORDER BY ng_count DESC, ngram)
+                      AS rn
+        FROM counted
+    )
+    WHERE rn = 1
+    """,
+)
+def top_ngram_char_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules #3-#4 (Rae et al. 2021, Table A1):
+    character coverage of the single most frequent word 3-gram and
+    4-gram per document — completing the top-n-gram trio with
+    ``top_bigram_char_fraction`` (n=2 at 20%); thresholds 18% (n=3) and
+    16% (n=4). One row per (doc, n) for docs with at least 3 words (a
+    doc with exactly 3 words has no 4-gram and emits only its n=3 row —
+    empty gram streams vanish identically on both engines).
+
+    Determinism: count ties break lexicographically on the gram string
+    (binary collation both engines); ``frac_micro`` is truncating BIGINT
+    arithmetic over codepoint lengths, and ``flagged`` derives from the
+    SAME integer (the round-11 float-parity lesson, locked by the
+    planted boundary docs in tests/test_degenerate_text.py).
+
+    Scale: the two adjacent-word explode streams append (same cost class
+    as the bigram stream, ~2x rows), one map-side-combinable count keyed
+    (doc_id, n, gram), one per-(doc, n) argmax window — partition key is
+    (doc_id, n), so parallelism is corpus-wide.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.expr(f"size({_SPARK_WORDS})") >= 3)
+    )
+    words = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.expr(_SPARK_WORDS).alias("ws"),
+    )
+
+    def gram_rows(n: int) -> DataFrame:
+        idx = safe_seq1(f"size(ws) - {n - 1}")
+        return words.select(
+            "doc_id",
+            "n_chars_text",
+            F.lit(n).alias("n"),
+            F.explode(
+                F.expr(
+                    f"transform({idx},"
+                    f" tn_i -> concat_ws(' ', slice(ws, tn_i, {n})))"
+                )
+            ).alias("ngram"),
+        )
+
+    ng = gram_rows(3).unionByName(gram_rows(4))
+    counted = ng.groupBy("doc_id", "n_chars_text", "n", "ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("ng_count")
+    )
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("ng_count").desc(), F.col("ngram").asc()
+    )
+    thr = F.when(F.col("n") == 3, F.lit(_TOP_NG_FLAG_MICRO[3])).otherwise(
+        F.lit(_TOP_NG_FLAG_MICRO[4])
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n",
+            F.col("ngram").alias("top_ngram"),
+            "ng_count",
+            F.expr(
+                "CAST(ng_count * CAST(length(ngram) AS BIGINT) * 1000000"
+                " AS BIGINT) DIV n_chars_text"
+            ).alias("frac_micro"),
+        )
+        .withColumn("flagged", F.col("frac_micro") > thr)
+    )
+
+
+# Stopword presence list for the Gopher "stop word" rule: the synthetic
+# corpus vocabulary includes natural function words; the rule binds on
+# organic fixtures AND on real corpora (Gopher's own list: the, be, to,
+# of, and, that, have, with).
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEANLEN_MICRO = 3_000_000
+_GOPHER_MAX_MEANLEN_MICRO = 10_000_000
+_GOPHER_MIN_STOPWORDS = 2
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_DUCK_WORDS} AS ws
+        FROM documents
+        WHERE text IS NOT NULL AND len({_DUCK_WORDS}) >= 1
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, gq_w -> length(gq_w)))
+                    AS BIGINT) AS n_word_chars,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique,
+               CAST(len(list_intersect(list_distinct(ws),
+                    {list(_GOPHER_STOPWORDS)})) AS BIGINT) AS n_stop
+        FROM w
+    )
+    SELECT doc_id, n_words,
+           (n_word_chars * 1000000) // n_words AS mean_word_len_micro,
+           (n_unique * 1000000) // n_words AS frac_unique_micro,
+           n_stop,
+           n_words < {_GOPHER_MIN_WORDS}
+               OR n_words > {_GOPHER_MAX_WORDS} AS flag_word_count,
+           (n_word_chars * 1000000) // n_words < {_GOPHER_MIN_MEANLEN_MICRO}
+               OR (n_word_chars * 1000000) // n_words
+                  > {_GOPHER_MAX_MEANLEN_MICRO} AS flag_mean_word_len,
+           n_stop < {_GOPHER_MIN_STOPWORDS} AS flag_stopwords,
+           NOT (n_words < {_GOPHER_MIN_WORDS}
+                OR n_words > {_GOPHER_MAX_WORDS}
+                OR (n_word_chars * 1000000) // n_words
+                   < {_GOPHER_MIN_MEANLEN_MICRO}
+                OR (n_word_chars * 1000000) // n_words
+                   > {_GOPHER_MAX_MEANLEN_MICRO}
+                OR n_stop < {_GOPHER_MIN_STOPWORDS}) AS pass_quality
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter battery (Rae et al. 2021, Table A1 "quality
+    filtering"): per-document word count bounds [50, 100k], mean word
+    length bounds [3, 10] characters, and stop-word presence (>= 2
+    distinct hits from Gopher's 8-word function-word list) — the
+    document-shape rules that complement the repetition rules
+    (``doc_repetition_score``, ``top_bigram_char_fraction``,
+    ``top_ngram_char_fractions``). Emits the measured statistics, the
+    individual flags, and the conjunctive ``pass_quality`` verdict.
+
+    Determinism: all statistics are exact BIGINT micro-unit arithmetic
+    (truncating division; docs with zero words are excluded on BOTH
+    engines — the mirrored ``len(ws) >= 1`` guard keeps the division
+    total). Scale: a narrow per-doc map over higher-order functions, no
+    explode, no shuffle — the same no-exchange class as
+    ``doc_repetition_score``.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.expr(f"size({_SPARK_WORDS})") >= 1)
+    )
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS) + ")"
+    m = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"CAST(aggregate(transform({_SPARK_WORDS},"
+            f" gq_w -> length(gq_w)), 0, (gq_a, gq_x) -> gq_a + gq_x)"
+            f" AS BIGINT)"
+        ).alias("n_word_chars"),
+        F.expr(
+            f"CAST(size(array_distinct({_SPARK_WORDS})) AS BIGINT)"
+        ).alias("n_unique"),
+        F.expr(
+            f"CAST(size(array_intersect(array_distinct({_SPARK_WORDS}),"
+            f" {stop_arr})) AS BIGINT)"
+        ).alias("n_stop"),
+    )
+    mean_len = F.expr("(n_word_chars * 1000000) DIV n_words")
+    flag_wc = (F.col("n_words") < _GOPHER_MIN_WORDS) | (
+        F.col("n_words") > _GOPHER_MAX_WORDS
+    )
+    flag_ml = (mean_len < _GOPHER_MIN_MEANLEN_MICRO) | (
+        mean_len > _GOPHER_MAX_MEANLEN_MICRO
+    )
+    flag_sw = F.col("n_stop") < _GOPHER_MIN_STOPWORDS
+    return m.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len_micro"),
+        F.expr("(n_unique * 1000000) DIV n_words").alias("frac_unique_micro"),
+        "n_stop",
+        flag_wc.alias("flag_word_count"),
+        flag_ml.alias("flag_mean_word_len"),
+        flag_sw.alias("flag_stopwords"),
+        (~(flag_wc | flag_ml | flag_sw)).alias("pass_quality"),
+    )
