@@ -557,16 +557,20 @@ def duck_simhash_chunks(sim_col: str) -> str:
 # state because numpy's loops are compiled C.
 
 
-def _make_minhash_doc_kernel():
+def _make_gram_doc_kernel():
     # Factory indirection ON PURPOSE (pairwise_cosine_matrix precedent):
     # the returned function pickles BY VALUE, so the Python workers of a
     # foreign-cwd driver that cannot import this package still run it.
-    def minhash_doc_batch(doc_ids, texts, n, params, base_a, base_b, mod):
+    def gram_doc_batch(
+        doc_ids, texts, n, params, base_a, base_b, mod,
+        want_sim=False, keep_empty=False, sim_bits=60,
+    ):
         """One Arrow batch: doc texts -> (ids, gram-hash arrays, MinHash
-        signatures), with the EXACT integer semantics of the SQL twins
-        ``word_polyhashes_expr`` + ``gram_fold64_expr`` +
-        ``minhash_sig_expr`` (verified bit-identical by
-        tests/test_dup_heavy_skew.py::test_minhash_kernel_matches_hof):
+        signatures[, SimHash]), with the EXACT integer semantics of the
+        SQL twins ``word_polyhashes_expr`` + ``gram_fold64_expr`` +
+        ``minhash_sig_expr`` + ``simhash_expr`` (verified bit-identical
+        by tests/test_dup_heavy_skew.py::test_minhash_kernel_matches_hof
+        and ::test_simhash_kernel_matches_hof):
 
         - words = text.split(' ') keeping empty tokens (Spark split with
           a literal-space pattern keeps them; an empty token hashes to
@@ -578,21 +582,47 @@ def _make_minhash_doc_kernel():
           combined g1 + g2 * 2^30 (int64-safe: each fold < 2^30);
         - sig[k] = min over grams of (a_k*(g % mod) + b_k) % mod —
           duplicates don't move a min, so the distinct step the SQL twin
-          applies before signing is skipped here;
+          applies before signing is skipped here (``params`` empty skips
+          the signature entirely);
+        - with ``want_sim``, a {sim_bits}-bit SimHash over the DISTINCT
+          gram set (bit j set iff Σ ±1 over grams' bit j is > 0) —
+          exactly ``simhash_expr`` over ``gram_fold64_expr``'s
+          (distinct) output;
         - docs with fewer than ``n`` words have no grams and are DROPPED
-          (the callers' mirrored ``len(hs) > 0`` filter).
+          (the callers' mirrored ``len(hs) > 0`` filter) — unless
+          ``keep_empty``, which emits them with hs = [], sig = [] and
+          sim = 0, matching the HOF/oracle semantics where an aggregate
+          over an empty gram array folds to an all-zero signature (the
+          SimHash consumers keep such docs: they block in bucket 0).
 
         Returns (ids list, hs list of int64 arrays (sorted distinct),
-        sigs list of int64 arrays). The hs arrays are SORTED distinct
-        grams, not the SQL twin's first-occurrence order — every
-        consumer treats hs as a set (array_intersect sizes), so only
-        membership is contractual.
+        sigs list of int64 arrays, sims list of ints). The hs arrays are
+        SORTED distinct grams, not the SQL twin's first-occurrence order
+        — every consumer treats hs as a set (array_intersect sizes), so
+        only membership is contractual. SimHash is order-independent
+        (a ± count per bit over a set).
         """
         import numpy as np
 
         ids_out: list = []
         hs_out: list = []
         sig_out: list = []
+        sim_out: list = []
+        ids_np = np.asarray(doc_ids)
+        empty_sig = [] if params is not None else None
+
+        def emit_empties(live):
+            # keep_empty: docs that produced no grams still surface,
+            # with the empty-fold values of the SQL twins
+            if not keep_empty:
+                return
+            for i in range(len(ids_np)):
+                if i not in live:
+                    ids_out.append(int(ids_np[i]))
+                    hs_out.append([])
+                    sig_out.append(empty_sig)
+                    sim_out.append(0)
+
         # words per doc, flattened; split(' ') keeps empties end-to-end
         words_per_doc = [t.split(" ") for t in texts]
         counts = np.fromiter(
@@ -601,7 +631,8 @@ def _make_minhash_doc_kernel():
         )
         flat_words = [w for ws in words_per_doc for w in ws]
         if not flat_words:
-            return ids_out, hs_out, sig_out
+            emit_empties(set())
+            return ids_out, hs_out, sig_out, sim_out
         arr = np.array(flat_words, dtype="U")
         width = arr.dtype.itemsize // 4
         if width == 0:  # every word empty -> every hash is the seed 0
@@ -626,7 +657,8 @@ def _make_minhash_doc_kernel():
         # inside one doc (flat layout is doc-contiguous)
         total = len(flat_words)
         if total < n:
-            return ids_out, hs_out, sig_out
+            emit_empties(set())
+            return ids_out, hs_out, sig_out, sim_out
         doc_of = np.repeat(np.arange(len(counts)), counts)
         f1 = np.zeros(total - n + 1, dtype=np.int64)
         f2 = np.zeros(total - n + 1, dtype=np.int64)
@@ -637,31 +669,61 @@ def _make_minhash_doc_kernel():
         grams = f1[valid] + f2[valid] * np.int64(1 << 30)
         gdoc = doc_of[: total - n + 1][valid]
         if grams.size == 0:
-            return ids_out, hs_out, sig_out
+            emit_empties(set())
+            return ids_out, hs_out, sig_out, sim_out
 
-        # per-doc sorted-distinct hs via one lexsort; per-doc signature
-        # mins via reduceat on the doc-contiguous gram layout
+        # per-doc signature mins via reduceat on the doc-contiguous gram
+        # layout; per-doc sorted-distinct hs via one lexsort
         starts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
         live_docs = gdoc[starts]
-        g_red = grams % mod
-        sig_mat = np.empty((len(params), len(starts)), dtype=np.int64)
-        for k, (a, b) in enumerate(params):
-            hk = (a * g_red + b) % mod
-            sig_mat[k] = np.minimum.reduceat(hk, starts)
+        if params:
+            g_red = grams % mod
+            sig_mat = np.empty((len(params), len(starts)), dtype=np.int64)
+            for k, (a, b) in enumerate(params):
+                hk = (a * g_red + b) % mod
+                sig_mat[k] = np.minimum.reduceat(hk, starts)
         order = np.lexsort((grams, gdoc))
         gs, ds = grams[order], gdoc[order]
         keep = np.r_[True, (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])]
         gs, ds = gs[keep], ds[keep]
         hstarts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
         bounds = np.r_[hstarts, gs.size]
-        ids_np = np.asarray(doc_ids)
-        # Python-list boundary: Arrow's pandas converter rejects
-        # ndarray-valued object columns (NumPyConverter list<int64>)
+        if want_sim:
+            # SimHash over the distinct gram set: per bit j, count the
+            # ±1 votes per doc (reduceat over the doc-contiguous distinct
+            # layout); bit set iff the count is positive. Integer-exact,
+            # order-independent — identical to simhash_expr's fold.
+            jj = np.arange(sim_bits, dtype=np.int64)
+            votes = 2 * ((gs[:, None] >> jj) & 1) - 1  # (G, bits)
+            sums = np.add.reduceat(votes, hstarts, axis=0)
+            sims = ((sums > 0).astype(np.int64) << jj).sum(axis=1)
         for i, d in enumerate(live_docs):
             ids_out.append(int(ids_np[d]))
+            # Python-list boundary: Arrow's pandas converter rejects
+            # ndarray-valued object columns (NumPyConverter list<int64>)
             hs_out.append(gs[bounds[i] : bounds[i + 1]].tolist())
-            sig_out.append(sig_mat[:, i].tolist())
-        return ids_out, hs_out, sig_out
+            sig_out.append(sig_mat[:, i].tolist() if params else empty_sig)
+            sim_out.append(int(sims[i]) if want_sim else 0)
+        emit_empties(set(int(d) for d in live_docs))
+        return ids_out, hs_out, sig_out, sim_out
+
+    return gram_doc_batch
+
+
+gram_doc_batch = _make_gram_doc_kernel()
+
+
+def _make_minhash_doc_kernel():
+    # Back-compat wrapper: the original 3-output minhash kernel shape,
+    # now delegating to the generalized gram kernel (same factory
+    # by-value-pickling rationale).
+    general = gram_doc_batch
+
+    def minhash_doc_batch(doc_ids, texts, n, params, base_a, base_b, mod):
+        ids, hs, sigs, _ = general(
+            doc_ids, texts, n, params, base_a, base_b, mod
+        )
+        return ids, hs, sigs
 
     return minhash_doc_batch
 
@@ -704,4 +766,273 @@ def minhash_gram_sig_frame(
 
     return docs.select("doc_id", "text").mapInPandas(
         run, schema="doc_id long, hs array<long>, sig array<long>"
+    )
+
+
+def _make_word_level_kernel():
+    # Factory indirection ON PURPOSE (same by-value pickling rationale as
+    # the gram kernel): a foreign-cwd driver's Python workers cannot
+    # import this package.
+    def word_level_batch(texts, base, mod, buckets, mode, w_mod, w_off):
+        """Word-level hashed features for one Arrow batch, over the
+        NON-EMPTY word list (``filter(split(text,' '), w -> w <> '')`` /
+        the post-explode ``term != ''`` filter — both SQL twins hash the
+        same multiset), with the exact per-word polynomial char fold of
+        ``spark_poly_hash``:
+
+        - mode 'tf': per-doc unigram term frequencies of
+          ``hash % buckets`` -> (doc_idx, bucket, tf) arrays;
+        - mode 'bigram_tf': per-doc ADJACENT-pair frequencies of the
+          bucketed hashes (pairs within the filtered word list, exactly
+          ``transform(words, hash % buckets)`` zipped with its tail) ->
+          (doc_idx, b1, b2, tf);
+        - mode 'score': per-doc (n_words, Σ (hash % w_mod) - w_off) ->
+          the fastText-style linear quality scorer; docs with zero
+          non-empty words fold to (0, 0) like the SQL empty aggregate.
+
+        All arithmetic is int64, bit-identical to the HOF twins (locked
+        by tests/test_selection.py::test_word_level_kernel_matches_hof).
+        """
+        import numpy as np
+
+        words_per_doc = [
+            [w for w in t.split(" ") if w] for t in texts
+        ]
+        counts = np.fromiter(
+            (len(w) for w in words_per_doc), dtype=np.int64,
+            count=len(words_per_doc),
+        )
+        flat_words = [w for ws in words_per_doc for w in ws]
+        n_docs = len(texts)
+        if mode == "score":
+            n_out = np.zeros(n_docs, dtype=np.int64)
+            s_out = np.zeros(n_docs, dtype=np.int64)
+        if not flat_words:
+            if mode == "score":
+                return n_out, s_out
+            return (np.empty(0, np.int64),) * (4 if mode == "bigram_tf" else 3)
+        arr = np.array(flat_words, dtype="U")
+        width = arr.dtype.itemsize // 4
+        cp = arr.view(np.uint32).reshape(len(flat_words), width).astype(np.int64)
+        lengths = np.char.str_len(arr).astype(np.int64)
+        wh = np.zeros(len(flat_words), dtype=np.int64)
+        for j in range(width):
+            live = j < lengths
+            wh = np.where(live, (wh * base + cp[:, j]) % mod, wh)
+        doc_of = np.repeat(np.arange(n_docs), counts)
+        if mode == "score":
+            w = (wh % w_mod) - w_off
+            np.add.at(s_out, doc_of, w)
+            n_out = counts
+            return n_out, s_out
+        hb = wh % buckets
+        if mode == "tf":
+            order = np.lexsort((hb, doc_of))
+            d, b = doc_of[order], hb[order]
+            new = np.r_[True, (d[1:] != d[:-1]) | (b[1:] != b[:-1])]
+            starts = np.flatnonzero(new)
+            tf = np.diff(np.r_[starts, len(d)])
+            return d[starts], b[starts], tf
+        # bigram_tf: adjacent pairs that stay inside one doc
+        total = len(flat_words)
+        if total < 2:
+            return (np.empty(0, np.int64),) * 4
+        same = doc_of[:-1] == doc_of[1:]
+        b1 = hb[:-1][same]
+        b2 = hb[1:][same]
+        d = doc_of[:-1][same]
+        if d.size == 0:
+            return (np.empty(0, np.int64),) * 4
+        order = np.lexsort((b2, b1, d))
+        d, b1, b2 = d[order], b1[order], b2[order]
+        new = np.r_[
+            True,
+            (d[1:] != d[:-1]) | (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1]),
+        ]
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.r_[starts, d.size])
+        return d[starts], b1[starts], b2[starts], tf
+
+    return word_level_batch
+
+
+word_level_batch = _make_word_level_kernel()
+
+
+def word_bucket_tf_frame(
+    docs: DataFrame, buckets: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *keep, bucket, tf) — hashed-unigram term frequencies over
+    non-empty words, the Arrow twin of
+    ``explode(split) -> filter('' ) -> poly_hash % buckets -> groupBy
+    count`` (same integers; parity-locked). The per-doc tf aggregation
+    happens IN the kernel (a doc's words sit in one batch row), so the
+    explode and the (doc, bucket) shuffle disappear outright — the
+    consumer's LM rollup is the first exchange. ``keep`` columns are
+    doc-level passthroughs (e.g. lang)."""
+    kernel = word_level_batch
+    ba, mod = BASE_A, MOD
+    cols = ("doc_id", *keep)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            d, b, tf = kernel(
+                pdf["text"].tolist(), ba, mod, buckets, "tf", 0, 0
+            )
+            out = {
+                c: pdf[c].to_numpy()[d] if len(d) else
+                pd.Series([], dtype=pdf[c].dtype)
+                for c in cols
+            }
+            out["bucket"] = pd.Series(b, dtype="int64")
+            out["tf"] = pd.Series(tf, dtype="int64")
+            yield pd.DataFrame(out)
+
+    keep_schema = "".join(f", {c} string" for c in keep)
+    return docs.select(*cols, "text").mapInPandas(
+        run, schema=f"doc_id long{keep_schema}, bucket long, tf long"
+    )
+
+
+def bigram_bucket_tf_frame(docs: DataFrame, buckets: int) -> DataFrame:
+    """(doc_id, b1, b2, tf) — adjacent-pair frequencies of bucketed word
+    hashes over non-empty words: the Arrow twin of the bigram LM's
+    ``transform(words, hash % buckets)`` + adjacent-pair explode +
+    (doc, b1, b2) groupBy, with the tf aggregation in-kernel (no explode,
+    no per-token shuffle). Parity-locked with the HOF form."""
+    kernel = word_level_batch
+    ba, mod = BASE_A, MOD
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            d, b1, b2, tf = kernel(
+                pdf["text"].tolist(), ba, mod, buckets, "bigram_tf", 0, 0
+            )
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(
+                        ids[d] if len(d) else np.empty(0, np.int64),
+                        dtype="int64",
+                    ),
+                    "b1": pd.Series(b1, dtype="int64"),
+                    "b2": pd.Series(b2, dtype="int64"),
+                    "tf": pd.Series(tf, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, b1 long, b2 long, tf long"
+    )
+
+
+def quality_score_frame(
+    docs: DataFrame, w_mod: int, w_off: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *keep, n_words, score_sum) — the fastText-style linear
+    scorer (Σ (poly_hash(word) % w_mod) - w_off over non-empty words),
+    Arrow twin of the ``aggregate(filter(split(...)))`` HOF; zero-word
+    docs keep the SQL empty-fold (0, 0). Parity-locked."""
+    kernel = word_level_batch
+    ba, mod = BASE_A, MOD
+    cols = ("doc_id", *keep)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_out, s_out = kernel(
+                pdf["text"].tolist(), ba, mod, 0, "score", w_mod, w_off
+            )
+            out = {c: pdf[c].reset_index(drop=True) for c in cols}
+            out["n_words"] = pd.Series(n_out, dtype="int64")
+            out["score_sum"] = pd.Series(s_out, dtype="int64")
+            yield pd.DataFrame(out)
+
+    keep_schema = "".join(f", {c} string" for c in keep)
+    return docs.select(*cols, "text").mapInPandas(
+        run, schema=f"doc_id long{keep_schema}, n_words long, score_sum long"
+    )
+
+
+def gram_sim_frame(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sim) — {SIMHASH_BITS}-bit SimHash over the distinct
+    word-``n``-gram hash set, the Arrow/numpy twin of
+    ``simhash_expr(gram_fold64_expr(...))`` (bit-identical: locked by
+    tests/test_dup_heavy_skew.py::test_simhash_kernel_matches_hof).
+    Docs with fewer than ``n`` words keep the HOF's empty-fold value
+    sim = 0 (they block in bucket 0, exactly like the SQL twin and the
+    DuckDB oracle). ``docs`` must carry non-NULL ``doc_id``/``text``.
+
+    Why a kernel and not the HOF: the SimHash fold is the heaviest
+    interpreted-lambda expression in the package — 60 zip_with adds per
+    GRAM per doc outside whole-stage codegen (the same JIT-profile-
+    pollution class as the round-12 minhash kernel move, and measured
+    ~4× slower than this kernel at sf0.1 for every simhash_pair_frame
+    consumer)."""
+    kernel = gram_doc_batch
+    ba, bb, mod = BASE_A, BASE_B, MOD
+    gram_n = n
+    bits = SIMHASH_BITS
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, _, _, sims = kernel(
+                pdf["doc_id"].values, pdf["text"].tolist(),
+                gram_n, None, ba, bb, mod,
+                want_sim=True, keep_empty=True, sim_bits=bits,
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sim": pd.Series(sims, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, sim long"
+    )
+
+
+def gram_set_frame(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, hs) — sorted-DISTINCT word-``n``-gram hash sets, the
+    Arrow/numpy twin of ``gram_fold64_expr(wh1, wh2, n)`` (set-equal;
+    bit-equality of members locked by the minhash kernel parity test —
+    same fold, same kernel). Docs with fewer than ``n`` words are
+    dropped (empty gram arrays vanish through every consumer's explode /
+    unnest anyway). ``docs`` must carry non-NULL ``doc_id``/``text``.
+
+    Consumers are the inverted-index familes (Jaccard, containment,
+    boilerplate spans, decontamination): all treat hs as a SET — they
+    explode it to postings or take array_intersect sizes — so the
+    sorted order is not contractual."""
+    kernel = gram_doc_batch
+    ba, bb, mod = BASE_A, BASE_B, MOD
+    gram_n = n
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hs, _, _ = kernel(
+                pdf["doc_id"].values, pdf["text"].tolist(),
+                gram_n, None, ba, bb, mod,
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "hs": pd.Series(hs, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, hs array<long>"
     )

@@ -418,3 +418,361 @@ def _make_pairwise_cosine_blocked():
 
 
 pairwise_cosine_blocked = _make_pairwise_cosine_blocked()
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH bucket kernel (Arrow / numpy, round 12)
+# ---------------------------------------------------------------------------
+
+
+def _plane_matrix(n_tables: int, n_planes: int, dim: int):
+    """(dim, n_tables*n_planes) float64 hyperplane components, the exact
+    doubles of ``_plane_component`` (int64 products < 2^53 are exact, the
+    mod and the division are the same ops both engines run)."""
+    import numpy as np
+
+    k = np.arange(n_tables * n_planes, dtype=np.int64)
+    d = np.arange(dim, dtype=np.int64)
+    idx = k[None, :] * dim + d[:, None]
+    return (idx * _KNUTH) % MOD / float(MOD) - 0.5
+
+
+def _make_lsh_bucket_kernel():
+    # same by-value-pickling factory rationale as _make_pairwise_cosine
+    def lsh_bucket_batch(vecs, planes_mat, n_tables, n_planes):
+        """Sign-LSH buckets for one Arrow batch of vectors — bit-identical
+        to ``explode(lsh_bucket_structs_expr(vec))``:
+
+        - each projection accumulates one product per DIMENSION in
+          ascending order (``acc += v_d * plane_d`` — the shared
+          fold-order contract), so the sign tests see the identical IEEE
+          doubles the JVM fold produces;
+        - a NULL vector projects to NULL in SQL, whose sign test folds to
+          bit 0 in both engines — here: bucket 0 in every table.
+
+        Returns an int64 (n_vecs, n_tables) bucket matrix.
+        """
+        import numpy as np
+
+        nv = len(vecs)
+        valid = np.array([v is not None for v in vecs], dtype=bool)
+        buckets = np.zeros((nv, n_tables), dtype=np.int64)
+        if valid.any():
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, ok in
+                 zip(vecs, valid) if ok]
+            )
+            proj = np.zeros((V.shape[0], n_tables * n_planes))
+            for d in range(V.shape[1]):
+                proj += np.multiply.outer(V[:, d], planes_mat[d])
+            bits = (proj > 0).astype(np.int64)
+            shifted = bits.reshape(V.shape[0], n_tables, n_planes) << (
+                np.arange(n_planes, dtype=np.int64)
+            )
+            buckets[valid] = shifted.sum(axis=2)
+        return buckets
+
+    return lsh_bucket_batch
+
+
+lsh_bucket_batch = _make_lsh_bucket_kernel()
+
+
+def lsh_buckets_frame(df, id_col: str, vec_col: str):
+    """(id, tbl, bucket) — one row per (vector, LSH table), the Arrow
+    twin of ``explode(lsh_bucket_structs_expr(vec))`` (bit-identical;
+    locked by tests/test_mlprep_ops.py::test_lsh_buckets_frame_matches_hof).
+    The HOF form pays tables × planes interpreted 64-dim folds per
+    vector; the kernel runs one compiled matrix accumulation."""
+    import numpy as np  # noqa: F401  (kernel imports its own)
+
+    kernel = lsh_bucket_batch
+    planes_mat = _plane_matrix(LSH_TABLES, LSH_PLANES, DIM)
+    n_tables, n_planes = LSH_TABLES, LSH_PLANES
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            buckets = kernel(
+                list(pdf[vec_col]), planes_mat, n_tables, n_planes
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(
+                        np.repeat(ids, n_tables), dtype="int64"
+                    ),
+                    "tbl": pd.Series(
+                        np.tile(
+                            np.arange(n_tables, dtype=np.int64), len(ids)
+                        ),
+                        dtype="int64",
+                    ),
+                    "bucket": pd.Series(buckets.reshape(-1), dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, tbl long, bucket long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-pair cosine kernels (Arrow / numpy, round 12)
+# ---------------------------------------------------------------------------
+
+
+def _make_pair_cosine_kernel():
+    # same by-value-pickling factory rationale as _make_pairwise_cosine
+    def pair_cosine_batch(va_rows, vb_rows, micro):
+        """Cosines for one Arrow batch of candidate PAIRS, replaying the
+        exact arithmetic of the HOF form they replace
+        (``dot(a,b) / sqrt(dot(a,a)*dot(b,b))``, self-dots per pair):
+
+        - every dot accumulates one product per DIMENSION in ascending
+          order (the shared fold-order contract) — bit-identical doubles;
+        - ``micro=True`` returns ``round(cos * 1e6)`` as int64 with EXACT
+          decimal HALF_UP (see ``cross_cosine_micro``); ``micro=False``
+          returns ``round(cos, 6)`` as float — HALF_UP at the 6th decimal
+          of the double-scaled value (y·1e6 carries ≤0.5 ulp ≈ 1e-10 of
+          scaling error vs BigDecimal's exact decimal fraction — the
+          same accepted boundary class as ``pairwise_cosine_matrix``'s
+          rounding note, locked by the parity tests on every fixture);
+        - NULL on either side -> missing (the SQL fold NULL-propagates);
+        - zero-norm raises (the ANSI SQL path throws DIVIDE_BY_ZERO).
+
+        Returns (values, missing) aligned with the input rows — int64
+        micros or float64 cosines.
+        """
+        import numpy as np
+
+        n = len(va_rows)
+        valid = np.array(
+            [a is not None and b is not None for a, b in
+             zip(va_rows, vb_rows)],
+            dtype=bool,
+        )
+        miss = ~valid
+        if micro:
+            out = np.zeros(n, dtype=np.int64)
+        else:
+            out = np.zeros(n, dtype=np.float64)
+        if valid.any():
+            A = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, ok in
+                 zip(va_rows, valid) if ok]
+            )
+            B = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, ok in
+                 zip(vb_rows, valid) if ok]
+            )
+            dots = np.zeros(A.shape[0])
+            sa = np.zeros(A.shape[0])
+            sb = np.zeros(A.shape[0])
+            for d in range(A.shape[1]):
+                ca, cb = A[:, d], B[:, d]
+                dots += ca * cb
+                sa += ca * ca
+                sb += cb * cb
+            if (sa == 0).any() or (sb == 0).any():
+                raise ValueError(
+                    "zero-norm embedding reached pair_cosine_batch — the "
+                    "SQL twin fails with ANSI DIVIDE_BY_ZERO on this input"
+                )
+            y = (dots / np.sqrt(sa * sb)) * 1000000.0
+            ay = np.abs(y)
+            fl = np.floor(ay)
+            r = (fl + (ay - fl >= 0.5)).astype(np.int64)
+            r = np.where(y < 0, -r, r)
+            out[valid] = r if micro else r / 1000000.0
+        return out, miss
+
+    return pair_cosine_batch
+
+
+pair_cosine_batch = _make_pair_cosine_kernel()
+
+
+def pair_cosine_frame(paired, id_a: str, id_b: str, va: str, vb: str,
+                      micro: bool):
+    """Score candidate pairs with the Arrow pair-cosine kernel: input
+    frame carries (id_a, id_b, va, vb); output (id_a, id_b, cos_micro
+    bigint) when ``micro`` else (id_a, id_b, cosine double). See
+    ``pair_cosine_batch`` for the exactness contract."""
+    kernel = pair_cosine_batch
+    out_col = "cos_micro" if micro else "cosine"
+    out_type = "long" if micro else "double"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals, miss = kernel(list(pdf[va]), list(pdf[vb]), micro)
+            if micro:
+                col = pd.arrays.IntegerArray(vals, miss)
+            else:
+                col = pd.Series(vals, dtype="float64").mask(miss)
+            yield pd.DataFrame(
+                {
+                    id_a: pdf[id_a].reset_index(drop=True),
+                    id_b: pdf[id_b].reset_index(drop=True),
+                    out_col: col,
+                }
+            )
+
+    return paired.select(id_a, id_b, va, vb).mapInPandas(
+        run, schema=f"{id_a} long, {id_b} long, {out_col} {out_type}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-set cosine micro-scores (Arrow / numpy kernel, round 12)
+# ---------------------------------------------------------------------------
+
+
+def _make_cross_cosine_micro():
+    # same by-value-pickling factory rationale as _make_pairwise_cosine
+    def cross_cosine_micro(S_rows, T, tsqn, t_valid):
+        """One s-side batch against the whole target matrix:
+        round(cos·1e6) as int64 with a missing-mask, replaying the EXACT
+        arithmetic of the SQL tier it replaces
+        (``round((dot(sv,tv) / sqrt(dot(sv,sv)*dot(tv,tv))) * 1e6)``):
+
+        - dots and self-dots accumulate one outer product per DIMENSION
+          in ascending order (the ``pairwise_cosine_matrix`` fold-order
+          contract) — bit-identical IEEE sums to the JVM/DuckDB left
+          folds;
+        - the rounding is EXACT decimal HALF_UP on the double
+          ``cos * 1e6`` (away from zero on .5), matching Spark's
+          BigDecimal ``round()`` — not ``np.round``'s half-even and not
+          the ``floor(x+0.5)`` approximation: the fractional part
+          ``y - floor(y)`` of a double below 2^52 is exact (Sterbenz),
+          so comparing it to 0.5 reproduces BigDecimal's exact-fraction
+          comparison;
+        - a NULL embedding on either side yields a missing score (the
+          SQL fold NULL-propagates);
+        - a ZERO-NORM vector raises (the ANSI SQL path throws
+          DIVIDE_BY_ZERO — the error stays loud, never silent garbage).
+
+        Returns (dots_micro int64 (m, n), missing bool (m, n)).
+        """
+        import numpy as np
+
+        m = len(S_rows)
+        n = T.shape[0] if T is not None else 0
+        s_valid = np.array([v is not None for v in S_rows], dtype=bool)
+        miss = np.ones((m, max(n, 0)), dtype=bool)
+        out = np.zeros((m, max(n, 0)), dtype=np.int64)
+        if n and s_valid.any() and t_valid.any():
+            S = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, ok in
+                 zip(S_rows, s_valid) if ok]
+            )
+            dim = S.shape[1]
+            ssqn = np.zeros(S.shape[0])
+            dots = np.zeros((S.shape[0], int(t_valid.sum())))
+            Tv = T[t_valid]
+            for d in range(dim):
+                sc = S[:, d]
+                ssqn += sc * sc
+                dots += np.multiply.outer(sc, Tv[:, d])
+            if (ssqn == 0).any() or (tsqn[t_valid] == 0).any():
+                raise ValueError(
+                    "zero-norm embedding reached cross_cosine_micro — the "
+                    "SQL twin fails with ANSI DIVIDE_BY_ZERO on this input"
+                )
+            y = dots / np.sqrt(np.multiply.outer(ssqn, tsqn[t_valid]))
+            y = y * 1000000.0
+            ay = np.abs(y)
+            fl = np.floor(ay)
+            r = (fl + (ay - fl >= 0.5)).astype(np.int64)
+            r = np.where(y < 0, -r, r)
+            block = np.zeros((int(s_valid.sum()), n), dtype=np.int64)
+            block[:, t_valid] = r
+            out[s_valid] = block
+            bm = np.ones((int(s_valid.sum()), n), dtype=bool)
+            bm[:, t_valid] = False
+            miss[s_valid] = bm
+        return out, miss
+
+    return cross_cosine_micro
+
+
+cross_cosine_micro = _make_cross_cosine_micro()
+
+
+def bitext_pair_scores(s, t):
+    """(src_id, tgt_id, cos_micro) for the FULL s×t product — the Arrow
+    twin of the exact bitext tier's ``crossJoin(broadcast(t))`` + HOF
+    cosine (bit-identical: the kernel replays the same per-dimension
+    fold order and exact HALF_UP rounding; locked by
+    tests/test_mlprep_ops.py::test_bitext_pair_scores_matches_hof).
+
+    Scale contract UNCHANGED from the tier it accelerates: the target
+    side is collected once (this is the documented exact-N×N baseline
+    tier — the broadcast of ``t`` was already its contract; the
+    corpus-scale twin is ``bitext_margin_mining_lsh``). The s side
+    streams through ``mapInPandas`` at full scan parallelism; per-pair
+    compute drops from three interpreted 64-dim HOF folds to compiled-C
+    outer products.
+
+    ``s`` must carry (src_id, sv), ``t`` (tgt_id, tv); NULL vectors on
+    either side surface as NULL cos_micro, exactly like the SQL fold.
+    """
+    import numpy as np
+
+    t_pdf = t.toPandas()
+    tgt_ids = t_pdf["tgt_id"].to_numpy()
+    t_rows = list(t_pdf["tv"])
+    t_valid = np.array([v is not None for v in t_rows], dtype=bool)
+    if t_valid.any():
+        T = np.stack(
+            [np.asarray(v, dtype=np.float64) for v, ok in
+             zip(t_rows, t_valid) if ok]
+        )
+        tsqn_v = np.zeros(T.shape[0])
+        for d in range(T.shape[1]):
+            col = T[:, d]
+            tsqn_v += col * col
+        Tfull = np.zeros((len(t_rows), T.shape[1]))
+        Tfull[t_valid] = T
+        tsqn = np.zeros(len(t_rows))
+        tsqn[t_valid] = tsqn_v
+    else:
+        Tfull = np.zeros((len(t_rows), 0))
+        tsqn = np.zeros(len(t_rows))
+    kernel = cross_cosine_micro
+    n = len(t_rows)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            src_ids = pdf["src_id"].to_numpy()
+            m = len(src_ids)
+            if m == 0 or n == 0:
+                yield pd.DataFrame(
+                    {
+                        "src_id": pd.Series([], dtype="int64"),
+                        "tgt_id": pd.Series([], dtype="int64"),
+                        "cos_micro": pd.array([], dtype="Int64"),
+                    }
+                )
+                continue
+            out, miss = kernel(list(pdf["sv"]), Tfull, tsqn, t_valid)
+            yield pd.DataFrame(
+                {
+                    "src_id": pd.Series(np.repeat(src_ids, n), dtype="int64"),
+                    "tgt_id": pd.Series(np.tile(tgt_ids, m), dtype="int64"),
+                    "cos_micro": pd.arrays.IntegerArray(
+                        out.reshape(-1), miss.reshape(-1)
+                    ),
+                }
+            )
+
+    return s.select("src_id", "sv").mapInPandas(
+        run, schema="src_id long, tgt_id long, cos_micro long"
+    )

@@ -402,13 +402,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    wh = docs.select(
-        "doc_id",
-        dd.word_polyhashes_expr("text", 31).alias("wh1"),
-        dd.word_polyhashes_expr("text", 131).alias("wh2"),
-    )
-    sh = wh.select(
-        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("shingles")
+    # Arrow gram kernel (round 12): per-doc DISTINCT shingle-hash sets in
+    # one mapInPandas pass — same integers as the HOF two-level fold the
+    # oracle mirrors (parity lock in tests/test_dup_heavy_skew.py); the
+    # cache still feeds both self-join sides and the size lookup
+    sh = dd.gram_set_frame(docs, _JACC_N).select(
+        "doc_id", F.col("hs").alias("shingles")
     ).cache()
     ex = dd.stop_shingle_filter(
         sh.select("doc_id", F.explode("shingles").alias("s")), _STOP_DF
@@ -876,25 +875,30 @@ SIMHASH_CAND_CTES = f"""
 def simhash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b, hamming) by SimHash chunk blocking —
     the Spark twin of the ``simhash_pairs`` CTE above. Shared by
-    ``dedup_simhash`` and the cluster resolution in plans/clustering.py."""
+    ``dedup_simhash`` and the cluster resolution in plans/clustering.py.
+
+    Since round 12 the per-doc sketch (word polyhashes → gram fold →
+    60-bit SimHash) runs in the Arrow/numpy gram kernel
+    (``operators/dedup.gram_sim_frame``) — bit-identical to the SQL twins
+    the DuckDB oracle still mirrors (locked by
+    tests/test_dup_heavy_skew.py::test_simhash_kernel_matches_hof). The
+    HOF SimHash fold was the heaviest interpreted-lambda expression in
+    the package (60 zip_with adds per gram per doc, outside whole-stage
+    codegen — the same JIT-profile-pollution class the minhash kernel
+    move fixed); the kernel computes the same integers in compiled C.
+    Docs with fewer than {gram-width} words keep the empty-fold sketch
+    sim = 0 (they block together in bucket 0), exactly like the HOF and
+    the oracle."""
     # NULL text carries no shingles; the engines' NULL-list semantics
     # diverge (Spark drops such docs through NULL joins, DuckDB folds
     # them to a zero signature pairing with everything) — filter mirrored
     docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    wh = docs.select(
-        "doc_id",
-        dd.word_polyhashes_expr("text", 31).alias("wh1"),
-        dd.word_polyhashes_expr("text", 131).alias("wh2"),
-    )
-    gs = wh.select(
-        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("gs")
-    )
     # Cache the one-int64-per-doc sketch: both sides of the blocking
     # self-join read it, and caching stops Catalyst from recomputing the
-    # hash fold per side. (At scale: sketch table is 8 bytes/doc.)
-    sim = gs.select("doc_id", dd.simhash_expr("gs").alias("sim")).cache()
+    # kernel pass per side. (At scale: sketch table is 8 bytes/doc.)
+    sim = dd.gram_sim_frame(docs, _JACC_N).cache()
     chunks = sim.select(
         "doc_id", "sim", F.explode(dd.simhash_chunks_expr("sim")).alias("cc")
     ).select("doc_id", "sim", "cc.chunk", "cc.cval")
@@ -1241,29 +1245,23 @@ def _neardup_oracle(tau: float) -> str:
 def _neardup_scored(spark: SparkSession, sf_dir: str):
     """Scored sign-LSH candidate pairs (vec_a, vec_b, cosine column expr)
     — the shared stage of the near-dup family; see
-    ``dedup_embedding_neardup`` for the scale notes."""
+    ``dedup_embedding_neardup`` for the scale notes.
+
+    Since round 12 both per-vector stages run in Arrow/numpy kernels
+    (``operators/similarity``): ``lsh_buckets_frame`` for the
+    2-table × 8-plane sign buckets (bit-identical doubles via the shared
+    per-dimension fold order; NULL vectors keep their bucket-0 rows) and
+    ``pair_cosine_frame`` for the candidate cosines (same fold, HALF_UP
+    rounding at 6 dp; NULL sides stay NULL) — the HOF forms paid
+    tables × planes + 1 interpreted 64-dim folds per vector/pair. Parity
+    locks: tests/test_mlprep_ops.py::test_lsh_buckets_frame_matches_hof,
+    ::test_pair_cosine_frame_matches_hof."""
     emb = (
         scale_out(load_table(spark, sf_dir, "embeddings"))
-        .select(
-            "vec_id",
-            "embedding",
-            F.expr(sim.dot_expr("embedding", "embedding")).alias("sqn"),
-        )
+        .select("vec_id", "embedding")
         .cache()
     )
-    # explode_outer + null-filter, not explode: InferFiltersFromGenerate
-    # would synthesize size(buckets)>0 and re-evaluate the 16-hyperplane
-    # bucket expression once more per row in an interpreted Filter. The
-    # struct array is a constant 2·tables entries, never empty/null, so
-    # the forms are semantically identical.
-    b = (
-        emb.select(
-            "vec_id",
-            F.explode_outer(sim.lsh_bucket_structs_expr("embedding")).alias("bb"),
-        )
-        .filter(F.col("bb").isNotNull())
-        .select("vec_id", "bb.tbl", "bb.bucket")
-    )
+    b = sim.lsh_buckets_frame(emb, "vec_id", "embedding")
     cand = (
         b.alias("a")
         .join(
@@ -1277,15 +1275,19 @@ def _neardup_scored(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
-    cos = F.round(
-        F.expr(sim.dot_expr("x.embedding", "y.embedding"))
-        / F.sqrt(F.col("x.sqn") * F.col("y.sqn")),
-        6,
+    paired = (
+        cand.join(emb.alias("x"), F.col("x.vec_id") == F.col("vec_a"))
+        .join(emb.alias("y"), F.col("y.vec_id") == F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("x.embedding").alias("va"),
+            F.col("y.embedding").alias("vb"),
+        )
     )
-    scored = cand.join(emb.alias("x"), F.col("x.vec_id") == F.col("vec_a")).join(
-        emb.alias("y"), F.col("y.vec_id") == F.col("vec_b")
-    )
-    return scored, cos
+    scored = sim.pair_cosine_frame(paired, "vec_a", "vec_b", "va", "vb",
+                                   micro=False)
+    return scored, F.col("cosine")
 
 
 @register("dedup_embedding_neardup", oracle=_neardup_oracle(_NEARDUP_COS))
@@ -1545,18 +1547,16 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quality"),
     )
-    # cache: the shingle arrays feed both self-join sides and the size
-    # lookup — without it the (HOF-interpreted) shingling reruns 4x.
-    # Shingles are 64-bit two-level word-gram hashes (oracle mirrors) →
-    # O(words) per-doc hashing and 8-byte shuffle keys.
-    wh = docs.select(
-        "doc_id",
-        dd.word_polyhashes_expr("text", 31).alias("wh1"),
-        dd.word_polyhashes_expr("text", 131).alias("wh2"),
-    )
-    sh = wh.select(
-        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("shingles")
-    ).cache()
+    # Arrow gram kernel (round 12): per-doc DISTINCT shingle-hash sets in
+    # one mapInPandas pass — same integers as the HOF two-level fold the
+    # oracle mirrors (parity lock in tests/test_dup_heavy_skew.py); the
+    # cache still feeds both self-join sides and the size lookup.
+    # NULL-text docs are filtered before the kernel (their empty shingle
+    # arrays vanished through the explode anyway; the scored branch above
+    # keeps every doc, mirroring the oracle).
+    sh = dd.gram_set_frame(
+        docs.filter(F.col("text").isNotNull()), _JACC_N
+    ).select("doc_id", F.col("hs").alias("shingles")).cache()
     ex = dd.stop_shingle_filter(
         sh.select("doc_id", F.explode("shingles").alias("s")), _STOP_DF
     )
@@ -1657,13 +1657,12 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scale_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    wh = docs.select(
-        "doc_id",
-        dd.word_polyhashes_expr("text", 31).alias("wh1"),
-        dd.word_polyhashes_expr("text", 131).alias("wh2"),
-    )
-    sh = wh.select(
-        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("shingles")
+    # Arrow gram kernel (round 12): per-doc DISTINCT shingle-hash sets in
+    # one mapInPandas pass — same integers as the HOF two-level fold the
+    # oracle mirrors (parity lock in tests/test_dup_heavy_skew.py); the
+    # cache still feeds both self-join sides and the size lookup
+    sh = dd.gram_set_frame(docs, _JACC_N).select(
+        "doc_id", F.col("hs").alias("shingles")
     ).cache()
     ex = dd.stop_shingle_filter(
         sh.select("doc_id", F.explode("shingles").alias("s")), _STOP_DF

@@ -2871,20 +2871,13 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = emb.filter(F.col("label") >= _BT_SIDE_SPLIT).select(
         F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tv")
     )
-    pairs = (
-        s.crossJoin(F.broadcast(t))
-        .select(
-            "src_id",
-            "tgt_id",
-            F.expr(
-                f"CAST(round((({sim.dot_expr('sv', 'tv')})"
-                f" / sqrt(({sim.dot_expr('sv', 'sv')})"
-                f" * ({sim.dot_expr('tv', 'tv')})))"
-                f" * 1000000) AS BIGINT)"
-            ).alias("cos_micro"),
-        )
-        .cache()
-    )
+    # Arrow kernel (round 12): the full s×t micro-cosine product in one
+    # mapInPandas pass — same broadcast-the-target contract as the
+    # crossJoin it replaces, same doubles (per-dimension fold order) and
+    # same exact HALF_UP rounding (operators/similarity.bitext_pair_scores,
+    # parity-locked in tests/test_mlprep_ops.py). The HOF form paid three
+    # interpreted 64-dim folds per pair — the dominant cost of this tier.
+    pairs = sim.bitext_pair_scores(s, t).cache()
     w_f = Window.partitionBy("src_id").orderBy(
         F.col("cos_micro").desc(), F.col("tgt_id").asc()
     )
@@ -3070,28 +3063,26 @@ def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = emb.filter(F.col("label") >= _BT_SIDE_SPLIT).select(
         F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tv")
     )
-    sb = s.select(
-        "src_id", F.explode(sim.lsh_bucket_structs_expr("sv")).alias("bb")
-    ).select("src_id", "bb.tbl", "bb.bucket")
-    tb = t.select(
-        "tgt_id", F.explode(sim.lsh_bucket_structs_expr("tv")).alias("bb")
-    ).select("tgt_id", "bb.tbl", "bb.bucket")
+    # Arrow kernels (round 12): sign buckets and candidate micro-cosines
+    # both run in compiled numpy (operators/similarity.lsh_buckets_frame /
+    # pair_cosine_frame, micro mode) — same doubles via the shared
+    # per-dimension fold order, same exact HALF_UP rounding, NULL
+    # propagation and bucket-0 NULL rows preserved; parity locks in
+    # tests/test_mlprep_ops.py. The join shape (and the no-hint contract
+    # on the enrichment joins) is unchanged.
+    sb = sim.lsh_buckets_frame(s.withColumnRenamed("sv", "embedding"),
+                               "src_id", "embedding")
+    tb = sim.lsh_buckets_frame(t.withColumnRenamed("tv", "embedding"),
+                               "tgt_id", "embedding")
     cand = sb.join(tb, ["tbl", "bucket"]).select("src_id", "tgt_id").distinct()
-    pairs = (
+    paired = (
         cand.join(s, "src_id")
         .join(t, "tgt_id")
-        .select(
-            "src_id",
-            "tgt_id",
-            F.expr(
-                f"CAST(round((({sim.dot_expr('sv', 'tv')})"
-                f" / sqrt(({sim.dot_expr('sv', 'sv')})"
-                f" * ({sim.dot_expr('tv', 'tv')})))"
-                f" * 1000000) AS BIGINT)"
-            ).alias("cos_micro"),
-        )
-        .cache()
+        .select("src_id", "tgt_id", "sv", "tv")
     )
+    pairs = sim.pair_cosine_frame(
+        paired, "src_id", "tgt_id", "sv", "tv", micro=True
+    ).cache()
     w_f = Window.partitionBy("src_id").orderBy(
         F.col("cos_micro").desc(), F.col("tgt_id").asc()
     )

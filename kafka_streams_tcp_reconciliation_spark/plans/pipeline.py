@@ -35,6 +35,8 @@ from kafka_streams_tcp_reconciliation_spark.operators.dedup import (
     duck_gram_fold64_expr,
     duck_word_polyhashes_expr,
     gram_fold64_expr,
+    gram_set_frame,
+    word_bucket_tf_frame,
     word_polyhashes_expr,
 )
 from kafka_streams_tcp_reconciliation_spark.plans import register
@@ -346,6 +348,37 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_N = 8
 
 
+def _decon_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b, ghs) for the two decontamination queries: corpus-split
+    bucket + DISTINCT 8-gram hash sets, via the round-12 Arrow gram
+    kernel (``operators/dedup.gram_set_frame`` — same integers as the
+    HOF two-level fold the DuckDB oracles still mirror; bit-equality
+    locked by tests/test_dup_heavy_skew.py::test_gram_set_frame_matches_hof).
+
+    Two cheap semantic-preserving prunings vs the HOF form (guide §2.3,
+    "don't compute things you throw away"):
+
+    - NULL-text docs are filtered before the kernel — their empty gram
+      arrays vanished through every downstream explode/unnest anyway;
+    - the 80 <= b < 90 split (10% of the corpus) is dropped BEFORE gram
+      hashing — neither the train (b < 80) nor the eval (b >= 90) branch
+      ever reads it, but the HOF form hashed it.
+
+    The bucket b is recomputed on the kernel's narrow output (a ~6-char
+    poly hash per doc — noise next to the text hashing); docs shorter
+    than the gram width are dropped inside the kernel, mirroring the
+    oracle's empty-``gs`` unnest."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    bucket = F.expr(_SPARK_DOC_HASH) % 100
+    pre = docs.filter((bucket < 80) | (bucket >= 90))
+    return gram_set_frame(pre, _DECON_N).select(
+        "doc_id", (F.expr(_SPARK_DOC_HASH) % 100).alias("b"),
+        F.col("hs").alias("ghs"),
+    )
+
+
 @register(
     "decontaminate_train_eval",
     oracle=f"""
@@ -393,17 +426,9 @@ def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. Each side is distinct per doc, so count(*) after the join
     IS the per-doc count of shared distinct grams.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = F.expr(_SPARK_DOC_HASH) % 100
-    wh = docs.select(
-        "doc_id",
-        bucket.alias("b"),
-        word_polyhashes_expr("text", 31).alias("wh1"),
-        word_polyhashes_expr("text", 131).alias("wh2"),
-    ).cache()  # barrier: keep the word-hash arrays out of the gram lambda
-    hashed = wh.select(
-        "doc_id", "b", gram_fold64_expr("wh1", "wh2", _DECON_N).alias("ghs")
-    ).cache()
+    # one Arrow-kernel pass for the gram sets (see _decon_hashed); the
+    # single cache feeds both the train and eval branches
+    hashed = _decon_hashed(spark, sf_dir).cache()
     train = hashed.filter(F.col("b") < 80).select(
         "doc_id", F.explode("ghs").alias("g")
     )
@@ -621,16 +646,18 @@ def boilerplate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard guarantees ≥ 1 gram), so the two forms are semantically
     identical here.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    wh = docs.filter(F.size(F.split("text", " ")) >= _BP_N).select(
-        "doc_id",
-        word_polyhashes_expr("text", 31).alias("wh1"),
-        word_polyhashes_expr("text", 131).alias("wh2"),
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
     )
-    grams = (
-        wh.select("doc_id", gram_fold64_expr("wh1", "wh2", _BP_N).alias("ghs"))
-        .select("doc_id", F.explode_outer("ghs").alias("g"))
-        .filter(F.col("g").isNotNull())
+    # Arrow gram kernel (round 12): per-doc DISTINCT span-hash sets in one
+    # mapInPandas pass — same integers as the HOF two-level fold the
+    # oracle mirrors (kernel parity lock in tests/test_dup_heavy_skew.py).
+    # Short docs (< n words) are dropped inside the kernel (= the old
+    # word-count guard), and the explode_outer/InferFiltersFromGenerate
+    # dance above becomes moot: the generate's child is the opaque kernel
+    # frame, so no filter with an inlined fold can be pushed below it.
+    grams = gram_set_frame(docs, _BP_N).select(
+        "doc_id", F.explode("hs").alias("g")
     )
     return (
         grams.groupBy(F.col("g").alias("gram_hash"))
@@ -923,20 +950,10 @@ def bloom_decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFram
     in-memory bit probes per gram, and shuffle volume is O(true
     overlap), not O(train grams).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = F.expr(_SPARK_DOC_HASH) % 100
-    # single projection scan→grams; only `hashed` (narrow: id, bucket,
-    # gram array) is cached — caching the intermediate word-hash arrays
-    # too would materialize a second, WIDER copy consumed exactly once
-    wh = docs.select(
-        "doc_id",
-        bucket.alias("b"),
-        word_polyhashes_expr("text", 31).alias("wh1"),
-        word_polyhashes_expr("text", 131).alias("wh2"),
-    )
-    hashed = wh.select(
-        "doc_id", "b", gram_fold64_expr("wh1", "wh2", _DECON_N).alias("ghs")
-    ).cache()
+    # one Arrow-kernel pass for the gram sets (see _decon_hashed); the
+    # single cache feeds the train branch, the eval branch, and (via ev)
+    # the Bloom word table and the verify join
+    hashed = _decon_hashed(spark, sf_dir).cache()
     p1, p2 = _bloom_positions("g")
     train = hashed.filter(F.col("b") < 80).select(
         "doc_id", F.explode("ghs").alias("g")
@@ -1548,7 +1565,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    tf = dsir_tf(docs)
+    # Arrow word-tf kernel (round 12): same (doc_id, lang, bucket, tf)
+    # integers as dsir_tf's explode->hash->groupBy, but the per-doc tf
+    # aggregation happens in the kernel, so the token explode AND the
+    # (doc, bucket) shuffle disappear (parity lock:
+    # tests/test_selection.py::test_word_level_kernel_matches_hof).
+    # dsir_tf itself is kept as the streaming twin's builder — the
+    # convergence test still asserts bit-exact batch==streamed weights.
+    tf = word_bucket_tf_frame(docs, _DSIR_BUCKETS, keep=("lang",))
     # ONE aggregate pass produces both LMs (target = conditional sum), so
     # the corpus is scanned twice total: once into this 4096-row stats
     # frame, once for the per-doc tf join below. tots derives from the

@@ -71,6 +71,10 @@ from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
     safe_seq1,
     spark_poly_hash,
 )
+from kafka_streams_tcp_reconciliation_spark.operators.dedup import (
+    bigram_bucket_tf_frame,
+    quality_score_frame,
+)
 from kafka_streams_tcp_reconciliation_spark.operators.graph import (
     connected_components_propagate,
 )
@@ -417,11 +421,11 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    scored = docs.select(
-        "doc_id",
-        F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
-        F.expr(f"CAST({_spark_score_sum()} AS BIGINT)").alias("score_sum"),
-    ).select(
+    # Arrow quality-score kernel (round 12): same (n_words, score_sum)
+    # integers as the HOF aggregate-over-filtered-words (parity lock:
+    # tests/test_selection.py::test_word_level_kernel_matches_hof),
+    # compiled-C per-word hashing; still zero shuffles.
+    scored = quality_score_frame(docs, _W_MOD, _W_OFF).select(
         "*",
         F.expr(
             "(score_sum * CAST(1000000 AS BIGINT))"
@@ -489,12 +493,10 @@ def quality_tercile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
-        F.expr(f"CAST({_spark_score_sum()} AS BIGINT)").alias("score_sum"),
-    ).filter(F.col("n_words") > 0).select(
+    # Arrow quality-score kernel (round 12) — see quality_classifier_linear
+    scored = quality_score_frame(docs, _W_MOD, _W_OFF, keep=("lang",)).filter(
+        F.col("n_words") > 0
+    ).select(
         "doc_id",
         "lang",
         F.expr("(score_sum * CAST(1000000 AS BIGINT)) DIV n_words").alias(
@@ -571,11 +573,10 @@ def quality_tercile_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFram
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    scored = docs.select(
-        "lang",
-        F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
-        F.expr(f"CAST({_spark_score_sum()} AS BIGINT)").alias("score_sum"),
-    ).filter(F.col("n_words") > 0).select(
+    # Arrow quality-score kernel (round 12) — see quality_classifier_linear
+    scored = quality_score_frame(docs, _W_MOD, _W_OFF, keep=("lang",)).filter(
+        F.col("n_words") > 0
+    ).select(
         "lang",
         F.expr("(score_sum * CAST(1000000 AS BIGINT)) DIV n_words").alias(
             "score_micro"
@@ -1161,36 +1162,21 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    # hash every word ONCE into its bucket, THEN pair adjacent buckets —
-    # hashing inside the pair struct would evaluate the char fold twice
-    # per word per side (~4x the hash work; measured 9.7 s -> ~2 s at
-    # sf0.1 with this layout + the tf cache below)
-    bucketed = (
-        f"transform({_SPARK_WORDS},"
-        f" bg_w -> ({spark_poly_hash('bg_w')}) % {_BIGRAM_BUCKETS})"
-    )
-    pair_struct = (
-        f"transform({safe_seq1('size(hs) - 1')},"
-        f" bg_i -> struct(element_at(hs, bg_i) AS b1,"
-        f" element_at(hs, bg_i + 1) AS b2))"
-    )
-    pairs = (
-        docs.select("doc_id", F.expr(bucketed).alias("hs"))
-        .select("doc_id", F.explode(F.expr(pair_struct)).alias("p"))
-        .select("doc_id", F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2"))
-    )
+    # Arrow bigram-tf kernel (round 12): per-doc (b1, b2, tf) computed in
+    # one compiled pass — the same integers as the bucketed-hash +
+    # adjacent-pair explode + (doc, b1, b2) groupBy it replaces (parity
+    # lock: tests/test_selection.py::test_word_level_kernel_matches_hof),
+    # with the per-token explode AND its aggregation shuffle eliminated
+    # (a doc's words sit in one batch row, so tf is exact in-kernel).
     # cache: tf feeds BOTH the LM rollup and the scoring join — without
-    # it the interpreted word-hash pass reruns per consumer (the same
-    # barrier rationale as curate_corpus's shingle cache). LIFETIME: the
-    # cache is deliberately not unpersisted here (the result DataFrame is
-    # lazy — tf must stay cached until the CALLER materializes it); the
-    # bench and differential harnesses drop it via
-    # spark.catalog.clearCache() after each query, and a library caller
-    # embedding this in a long-lived session should do the same (or
-    # unpersist) once the result is materialized.
-    tf = pairs.groupBy("doc_id", "b1", "b2").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    ).cache()
+    # it the kernel pass reruns per consumer. LIFETIME: the cache is
+    # deliberately not unpersisted here (the result DataFrame is lazy —
+    # tf must stay cached until the CALLER materializes it); the bench
+    # and differential harnesses drop it via spark.catalog.clearCache()
+    # after each query, and a library caller embedding this in a
+    # long-lived session should do the same (or unpersist) once the
+    # result is materialized.
+    tf = bigram_bucket_tf_frame(docs, _BIGRAM_BUCKETS).cache()
     lm = tf.groupBy("b1", "b2").agg(F.sum("tf").cast("long").alias("c12"))
     ctx = lm.groupBy("b1").agg(F.sum("c12").cast("long").alias("c1"))
     ratio = lm.join(ctx, "b1").select(

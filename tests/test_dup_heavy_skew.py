@@ -305,3 +305,114 @@ def test_minhash_kernel_matches_hof(spark):
     for d, (hs, sig) in hof.items():
         assert ker[d][0] == hs, f"gram set diverged for doc {d}"
         assert ker[d][1] == sig, f"signature diverged for doc {d}"
+
+
+def test_simhash_kernel_matches_hof(spark):
+    """Round-12 bit-equality lock for the Arrow/numpy SimHash kernel.
+
+    ``operators/dedup.gram_sim_frame`` replaced the interpreted HOF
+    pipeline (word_polyhashes -> gram_fold64 -> simhash_expr) inside
+    ``simhash_pair_frame`` — the heaviest interpreted-lambda expression
+    in the package (60 zip_with adds per gram per doc). The DuckDB
+    oracles still mirror the SQL twins, so the kernel must produce the
+    SAME 60-bit signatures for EVERY doc — including docs shorter than
+    the gram width, whose empty-fold signature is 0 (they block together
+    in chunk-bucket 0; dropping them would change the candidate set) —
+    across organic docs, degenerate shapes, and non-BMP codepoints."""
+    from pyspark.sql import functions as F
+
+    import kafka_streams_tcp_reconciliation_spark.operators.dedup as dd
+    from kafka_streams_tcp_reconciliation_spark.plans.llm import _JACC_N
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import (
+        load_table,
+    )
+    from tests.test_degenerate_text import DEGENERATE_TEXTS
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    extra = spark.createDataFrame(
+        [(10_000_000 + i, t) for i, t in enumerate(DEGENERATE_TEXTS)]
+        + [(10_000_900, "\U0001f600 emoji codepoints fold identically ok")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+
+    wh = docs.select(
+        "doc_id",
+        dd.word_polyhashes_expr("text", 31).alias("wh1"),
+        dd.word_polyhashes_expr("text", 131).alias("wh2"),
+    )
+    gs = wh.select(
+        "doc_id", dd.gram_fold64_expr("wh1", "wh2", _JACC_N).alias("gs")
+    )
+    hof = {
+        r.doc_id: r.sim
+        for r in gs.select(
+            "doc_id", dd.simhash_expr("gs").alias("sim")
+        ).collect()
+    }
+    ker = {
+        r.doc_id: r.sim
+        for r in dd.gram_sim_frame(docs, _JACC_N).collect()
+    }
+
+    assert set(hof) == set(ker)  # keep_empty: EVERY doc surfaces
+    assert len(hof) > 400  # the organic corpus actually participated
+    # short docs exist in the degenerate set and must carry sim = 0
+    assert any(v == 0 for v in ker.values())
+    for d, sim in hof.items():
+        assert ker[d] == sim, f"simhash diverged for doc {d}"
+
+
+def test_gram_set_frame_matches_hof(spark):
+    """Round-12 set-equality lock for the bare gram-set kernel frame
+    (``operators/dedup.gram_set_frame``), which replaced the HOF
+    two-level fold inside the inverted-index consumers (ngram Jaccard,
+    containment, curate_corpus, boilerplate spans, decontamination).
+    Consumers treat the arrays as SETS (explode to postings /
+    array_intersect), so the lock is: same surviving docs (>= n words),
+    same sorted-distinct members — at both consumer gram widths (3 for
+    the shingle family, 8 for decontamination)."""
+    from pyspark.sql import functions as F
+
+    import kafka_streams_tcp_reconciliation_spark.operators.dedup as dd
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import (
+        load_table,
+    )
+    from tests.test_degenerate_text import DEGENERATE_TEXTS
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    extra = spark.createDataFrame(
+        [(10_000_000 + i, t) for i, t in enumerate(DEGENERATE_TEXTS)]
+        + [(10_000_900, "\U0001f600 emoji codepoints fold identically ok")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+
+    for n in (3, 8):
+        wh = docs.select(
+            "doc_id",
+            dd.word_polyhashes_expr("text", 31).alias("wh1"),
+            dd.word_polyhashes_expr("text", 131).alias("wh2"),
+        )
+        hs_hof = wh.select(
+            "doc_id", dd.gram_fold64_expr("wh1", "wh2", n).alias("hs")
+        ).filter(F.size("hs") > 0)
+        hof = {r.doc_id: sorted(r.hs) for r in hs_hof.collect()}
+        ker = {
+            r.doc_id: list(r.hs)
+            for r in dd.gram_set_frame(docs, n).collect()
+        }
+        assert set(hof) == set(ker), f"surviving docs diverged at n={n}"
+        assert len(hof) > 400
+        for d, hs in hof.items():
+            assert ker[d] == hs, f"gram set diverged for doc {d} at n={n}"

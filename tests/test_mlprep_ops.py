@@ -398,3 +398,190 @@ def test_bitext_planted_pair_recall(spark, tmp_path_factory, monkeypatch):
     assert r8 > r2, (r2, r8)
     assert r8 >= 0.7, (r2, r8)
     assert 0.15 <= r2 <= 0.85, (r2, r8)
+
+
+def test_bitext_pair_scores_matches_hof(spark):
+    """Round-12 bit-equality lock for the Arrow cross-cosine kernel
+    (``operators/similarity.bitext_pair_scores``), which replaced the
+    exact bitext tier's crossJoin + three interpreted HOF folds per
+    pair. Same pairs, same int64 micro-cosines — including NULL
+    embeddings on either side (NULL cos_micro, like the SQL fold) —
+    verified against the HOF expression it replaced, on the organic
+    fixture plus injected NULL rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_tcp_reconciliation_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf, "embeddings")
+    nulls = spark.createDataFrame(
+        [(9_000_001, None, 1), (9_000_002, None, 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb = emb.unionByName(nulls)
+    s = emb.filter(F.col("label") < 5).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("sv")
+    )
+    t = emb.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tv")
+    )
+    hof = {
+        (r.src_id, r.tgt_id): r.cos_micro
+        for r in s.crossJoin(F.broadcast(t))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.expr(
+                f"CAST(round((({sim.dot_expr('sv', 'tv')})"
+                f" / sqrt(({sim.dot_expr('sv', 'sv')})"
+                f" * ({sim.dot_expr('tv', 'tv')})))"
+                f" * 1000000) AS BIGINT)"
+            ).alias("cos_micro"),
+        )
+        .collect()
+    }
+    ker = {
+        (r.src_id, r.tgt_id): r.cos_micro
+        for r in sim.bitext_pair_scores(s, t).collect()
+    }
+    assert set(hof) == set(ker)
+    assert len(hof) > 10_000  # the full cross product actually formed
+    n_null = sum(1 for v in ker.values() if v is None)
+    assert n_null > 0  # the injected NULL rows flowed through
+    for k, v in hof.items():
+        assert ker[k] == v, f"cos_micro diverged for pair {k}"
+
+
+def test_lsh_buckets_frame_matches_hof(spark):
+    """Round-12 bit-equality lock for the Arrow sign-LSH bucket kernel
+    (``operators/similarity.lsh_buckets_frame``) vs the HOF
+    ``explode(lsh_bucket_structs_expr(...))`` it replaced — every
+    (vec, tbl) bucket id identical, including NULL vectors' bucket-0
+    rows (the SQL NULL projection folds to bit 0)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_tcp_reconciliation_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf, "embeddings").unionByName(
+        spark.createDataFrame(
+            [(9_000_001, None, 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    hof = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in emb.select(
+            "vec_id",
+            F.explode_outer(
+                sim.lsh_bucket_structs_expr("embedding")
+            ).alias("bb"),
+        )
+        .filter(F.col("bb").isNotNull())
+        .select("vec_id", "bb.tbl", "bb.bucket")
+        .collect()
+    }
+    ker = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in sim.lsh_buckets_frame(emb, "vec_id", "embedding").collect()
+    }
+    assert set(hof) == set(ker)
+    assert len(hof) > 2 * 200  # organic corpus x tables actually present
+    assert ker[(9_000_001, 0)] == 0  # NULL vector -> bucket 0
+    for k, v in hof.items():
+        assert ker[k] == v, f"bucket diverged for {k}"
+
+
+def test_pair_cosine_frame_matches_hof(spark):
+    """Round-12 equality lock for the Arrow pair-cosine kernel
+    (``operators/similarity.pair_cosine_frame``) vs the HOF per-pair
+    fold it replaced, in BOTH output modes (round-6 double and int64
+    micro), on an all-pairs probe of the organic fixture plus injected
+    NULL rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_tcp_reconciliation_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 60)
+        .unionByName(
+            spark.createDataFrame(
+                [(9_000_001, None, 1)],
+                "vec_id long, embedding array<float>, label int",
+            )
+        )
+        .select("vec_id", "embedding")
+    )
+    paired = (
+        emb.alias("x")
+        .crossJoin(emb.alias("y"))
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("x.embedding").alias("va"),
+            F.col("y.embedding").alias("vb"),
+        )
+    )
+    hof6 = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in paired.select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                F.expr(sim.dot_expr("va", "vb"))
+                / F.sqrt(
+                    F.expr(sim.dot_expr("va", "va"))
+                    * F.expr(sim.dot_expr("vb", "vb"))
+                ),
+                6,
+            ).alias("cosine"),
+        ).collect()
+    }
+    ker6 = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in sim.pair_cosine_frame(
+            paired, "vec_a", "vec_b", "va", "vb", micro=False
+        ).collect()
+    }
+    assert set(hof6) == set(ker6)
+    assert sum(1 for v in ker6.values() if v is None) > 0
+    for k, v in hof6.items():
+        assert ker6[k] == v, f"cosine diverged for {k}: {ker6[k]} != {v}"
+
+    hofm = {
+        (r.vec_a, r.vec_b): r.cos_micro
+        for r in paired.select(
+            "vec_a",
+            "vec_b",
+            F.expr(
+                f"CAST(round((({sim.dot_expr('va', 'vb')})"
+                f" / sqrt(({sim.dot_expr('va', 'va')})"
+                f" * ({sim.dot_expr('vb', 'vb')})))"
+                f" * 1000000) AS BIGINT)"
+            ).alias("cos_micro"),
+        ).collect()
+    }
+    kerm = {
+        (r.vec_a, r.vec_b): r.cos_micro
+        for r in sim.pair_cosine_frame(
+            paired, "vec_a", "vec_b", "va", "vb", micro=True
+        ).collect()
+    }
+    assert set(hofm) == set(kerm)
+    for k, v in hofm.items():
+        assert kerm[k] == v, f"cos_micro diverged for {k}"

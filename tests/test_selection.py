@@ -489,3 +489,109 @@ def test_sample_plan_broadcasts_budgets(spark):
     df = QUERIES["unimax_sample_plan"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_word_level_kernel_matches_hof(spark):
+    """Round-12 bit-equality lock for the Arrow word-level kernel
+    (``operators/dedup.word_level_batch``) in all three modes vs the HOF
+    twins it replaced: DSIR's unigram bucket tf, the bigram LM's
+    adjacent-pair tf, and the linear quality scorer — organic corpus plus
+    degenerate texts (empty, whitespace-only, single-word, non-BMP)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
+        safe_seq1,
+        spark_poly_hash,
+    )
+    from kafka_streams_tcp_reconciliation_spark.operators.dedup import (
+        bigram_bucket_tf_frame,
+        quality_score_frame,
+        word_bucket_tf_frame,
+    )
+    from kafka_streams_tcp_reconciliation_spark.plans.pipeline import (
+        _DSIR_BUCKETS,
+        dsir_tf,
+    )
+    from kafka_streams_tcp_reconciliation_spark.plans.selection import (
+        _BIGRAM_BUCKETS,
+        _SPARK_WORDS,
+        _W_MOD,
+        _W_OFF,
+        _spark_score_sum,
+    )
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import (
+        load_table,
+    )
+    from tests.test_degenerate_text import DEGENERATE_TEXTS
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", "text")
+    )
+    extra = spark.createDataFrame(
+        [(10_000_000 + i, "xx", t) for i, t in enumerate(DEGENERATE_TEXTS)]
+        + [(10_000_900, None, "\U0001f600 emoji words fold identically ok")],
+        "doc_id long, lang string, text string",
+    )
+    docs = docs.unionByName(extra)
+
+    # unigram bucket tf vs dsir_tf (the HOF explode->hash->groupBy)
+    hof_tf = {
+        (r.doc_id, r.lang, r.bucket): r.tf for r in dsir_tf(docs).collect()
+    }
+    ker_tf = {
+        (r.doc_id, r.lang, r.bucket): r.tf
+        for r in word_bucket_tf_frame(
+            docs, _DSIR_BUCKETS, keep=("lang",)
+        ).collect()
+    }
+    assert hof_tf == ker_tf
+    assert len(hof_tf) > 5_000  # the organic corpus actually participated
+
+    # bigram pair tf vs the HOF bucketed-hash + adjacent-pair explode
+    bucketed = (
+        f"transform({_SPARK_WORDS},"
+        f" bg_w -> ({spark_poly_hash('bg_w')}) % {_BIGRAM_BUCKETS})"
+    )
+    pair_struct = (
+        f"transform({safe_seq1('size(hs) - 1')},"
+        f" bg_i -> struct(element_at(hs, bg_i) AS b1,"
+        f" element_at(hs, bg_i + 1) AS b2))"
+    )
+    hof_bg = {
+        (r.doc_id, r.b1, r.b2): r.tf
+        for r in docs.select("doc_id", F.expr(bucketed).alias("hs"))
+        .select("doc_id", F.explode(F.expr(pair_struct)).alias("p"))
+        .select("doc_id", F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2"))
+        .groupBy("doc_id", "b1", "b2")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .collect()
+    }
+    ker_bg = {
+        (r.doc_id, r.b1, r.b2): r.tf
+        for r in bigram_bucket_tf_frame(docs, _BIGRAM_BUCKETS).collect()
+    }
+    assert hof_bg == ker_bg
+    assert len(hof_bg) > 5_000
+
+    # linear quality score vs the HOF aggregate (zero-word docs -> (0, 0))
+    hof_q = {
+        r.doc_id: (r.n_words, r.score_sum)
+        for r in docs.select(
+            "doc_id",
+            F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
+            F.expr(f"CAST({_spark_score_sum()} AS BIGINT)").alias(
+                "score_sum"
+            ),
+        ).collect()
+    }
+    ker_q = {
+        r.doc_id: (r.n_words, r.score_sum)
+        for r in quality_score_frame(docs, _W_MOD, _W_OFF).collect()
+    }
+    assert hof_q == ker_q
+    assert any(v == (0, 0) for v in ker_q.values())  # degenerate empties
