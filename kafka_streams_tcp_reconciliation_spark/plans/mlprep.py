@@ -2098,13 +2098,21 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _RRF_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    # Arrow pair-cosine kernel (round 12): same fold order and HALF_UP
+    # rounding as the HOF cosine_expr it replaces (which re-folded BOTH
+    # self-dots per pair — 3 interpreted 64-dim folds per candidate);
+    # parity lock: tests/test_mlprep_ops.py::test_pair_cosine_frame_matches_hof
     cosl = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(sim.cosine_expr("qv", "embedding"), 6).alias("cosine"),
+        sim.pair_cosine_frame(
+            emb.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("qv").alias("va"),
+                F.col("embedding").alias("vb"),
+            ),
+            "query_id", "neighbor_id", "va", "vb", micro=False,
         )
         .withColumn(
             "rnk",

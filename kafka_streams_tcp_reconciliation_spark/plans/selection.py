@@ -73,7 +73,6 @@ from kafka_streams_tcp_reconciliation_spark.functions.hashing import (
 )
 from kafka_streams_tcp_reconciliation_spark.operators.dedup import (
     bigram_bucket_tf_frame,
-    quality_score_frame,
 )
 from kafka_streams_tcp_reconciliation_spark.operators.graph import (
     connected_components_propagate,
@@ -421,11 +420,18 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    # Arrow quality-score kernel (round 12): same (n_words, score_sum)
-    # integers as the HOF aggregate-over-filtered-words (parity lock:
-    # tests/test_selection.py::test_word_level_kernel_matches_hof),
-    # compiled-C per-word hashing; still zero shuffles.
-    scored = quality_score_frame(docs, _W_MOD, _W_OFF).select(
+    # Round-12 keep/revert audit: the Arrow quality_score_frame kernel
+    # was tried here and REVERTED — this query is a sub-0.3 s zero-
+    # shuffle per-row map whose HOF scorer beats the kernel's Python-
+    # stage floor at bench scale (isolated medians 0.293 s HOF vs
+    # 0.838 s kernel; OPTIMIZATION_r12.md). The kernel (bit-equal,
+    # parity-locked) remains available for corpora where per-doc word
+    # volume amortizes the boundary.
+    scored = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
+        F.expr(f"CAST({_spark_score_sum()} AS BIGINT)").alias("score_sum"),
+    ).select(
         "*",
         F.expr(
             "(score_sum * CAST(1000000 AS BIGINT))"
@@ -493,10 +499,15 @@ def quality_tercile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    # Arrow quality-score kernel (round 12) — see quality_classifier_linear
-    scored = quality_score_frame(docs, _W_MOD, _W_OFF, keep=("lang",)).filter(
-        F.col("n_words") > 0
-    ).select(
+    # Round-12 keep/revert audit: kernel scorer tried and REVERTED here
+    # (isolated medians 0.941 s HOF vs 1.545 s kernel at sf0.1) — see
+    # quality_classifier_linear / OPTIMIZATION_r12.md.
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
+        F.expr(f"CAST({_spark_score_sum()} AS BIGINT)").alias("score_sum"),
+    ).filter(F.col("n_words") > 0).select(
         "doc_id",
         "lang",
         F.expr("(score_sum * CAST(1000000 AS BIGINT)) DIV n_words").alias(
@@ -573,10 +584,14 @@ def quality_tercile_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFram
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    # Arrow quality-score kernel (round 12) — see quality_classifier_linear
-    scored = quality_score_frame(docs, _W_MOD, _W_OFF, keep=("lang",)).filter(
-        F.col("n_words") > 0
-    ).select(
+    # Round-12 keep/revert audit: kernel scorer tried and REVERTED here
+    # (shares the scorer with quality_tercile_buckets; same floor) — see
+    # OPTIMIZATION_r12.md.
+    scored = docs.select(
+        "lang",
+        F.expr(f"CAST(size({_SPARK_WORDS}) AS BIGINT)").alias("n_words"),
+        F.expr(f"CAST({_spark_score_sum()} AS BIGINT)").alias("score_sum"),
+    ).filter(F.col("n_words") > 0).select(
         "lang",
         F.expr("(score_sum * CAST(1000000 AS BIGINT)) DIV n_words").alias(
             "score_micro"
