@@ -693,10 +693,17 @@ def _make_gram_doc_kernel():
             # ±1 votes per doc (reduceat over the doc-contiguous distinct
             # layout); bit set iff the count is positive. Integer-exact,
             # order-independent — identical to simhash_expr's fold.
-            jj = np.arange(sim_bits, dtype=np.int64)
-            votes = 2 * ((gs[:, None] >> jj) & 1) - 1  # (G, bits)
-            sums = np.add.reduceat(votes, hstarts, axis=0)
-            sims = ((sums > 0).astype(np.int64) << jj).sum(axis=1)
+            # Per-BIT loop on purpose: Σ(2b−1) = 2Σb − n_grams, so each
+            # bit needs one G-length shift/mask + one reduceat — G int64s
+            # of working memory instead of a (G × bits) votes matrix
+            # (which at 10× scale was ~400 MB per Arrow batch per worker
+            # and dominated the kernel's runtime with allocation).
+            cnt = np.diff(np.r_[hstarts, ds.size])
+            sims = np.zeros(len(hstarts), dtype=np.int64)
+            for j in range(sim_bits):
+                b = (gs >> j) & 1
+                pos = 2 * np.add.reduceat(b, hstarts) - cnt > 0
+                sims += pos.astype(np.int64) << j
         for i, d in enumerate(live_docs):
             ids_out.append(int(ids_np[d]))
             # Python-list boundary: Arrow's pandas converter rejects

@@ -750,6 +750,11 @@ def bitext_pair_scores(s, t):
         import numpy as np
         import pandas as pd
 
+        # row-chunk each Arrow batch so the kernel's (chunk × n_targets)
+        # score block stays bounded (~256·n doubles) however large the
+        # batch — at 10× scale an unchunked 10k-row batch against a
+        # 10k-target side was a ~800 MB allocation per worker
+        chunk = max(1, 2_000_000 // max(n, 1))
         for pdf in batches:
             src_ids = pdf["src_id"].to_numpy()
             m = len(src_ids)
@@ -762,16 +767,23 @@ def bitext_pair_scores(s, t):
                     }
                 )
                 continue
-            out, miss = kernel(list(pdf["sv"]), Tfull, tsqn, t_valid)
-            yield pd.DataFrame(
-                {
-                    "src_id": pd.Series(np.repeat(src_ids, n), dtype="int64"),
-                    "tgt_id": pd.Series(np.tile(tgt_ids, m), dtype="int64"),
-                    "cos_micro": pd.arrays.IntegerArray(
-                        out.reshape(-1), miss.reshape(-1)
-                    ),
-                }
-            )
+            sv = list(pdf["sv"])
+            for s0 in range(0, m, chunk):
+                s1 = min(s0 + chunk, m)
+                out, miss = kernel(sv[s0:s1], Tfull, tsqn, t_valid)
+                yield pd.DataFrame(
+                    {
+                        "src_id": pd.Series(
+                            np.repeat(src_ids[s0:s1], n), dtype="int64"
+                        ),
+                        "tgt_id": pd.Series(
+                            np.tile(tgt_ids, s1 - s0), dtype="int64"
+                        ),
+                        "cos_micro": pd.arrays.IntegerArray(
+                            out.reshape(-1), miss.reshape(-1)
+                        ),
+                    }
+                )
 
     return s.select("src_id", "sv").mapInPandas(
         run, schema="src_id long, tgt_id long, cos_micro long"
