@@ -222,6 +222,165 @@ def duck_stop_shingle_ctes(cap: int) -> str:
 DUCK_SIZES_CTE = "sz AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),"
 
 
+# ---------------------------------------------------------------------------
+# PPJoin candidate pruning (round 13): prefix + length + positional filters
+# ---------------------------------------------------------------------------
+#
+# LOSSLESS candidate pruning for the inverted-index similarity joins
+# (Xiao et al. WWW'08, the same filter family setsim_prefix_jaccard_join
+# carries since round 7). The shingle arrays from gram_set_frame are
+# sorted-DISTINCT int64 hashes, so ascending hash value IS a global total
+# order — the prefix of a set is simply its first k array slots, no
+# document-frequency ranking pass needed. All three filters only ever
+# ADMIT extra candidates at float boundaries (the 1e-9 slack matches
+# setsim's), never drop a qualifying pair; the exact verify downstream
+# (array_intersect on the full sorted sets) makes results bit-identical
+# to the full inverted-index join + filter they replace. The DuckDB
+# oracles stay on the unpruned form — an INDEPENDENT path to the same
+# rows, which the differential checks end-to-end.
+
+
+def ppjoin_jaccard_pairs(sh: DataFrame, tau: float) -> DataFrame:
+    """Exact-verified candidate pairs for a Jaccard >= ``tau`` self-join.
+
+    Input ``sh``: (doc_id, shingles) with sorted-distinct int64 arrays
+    (:func:`gram_set_frame` output; caller should ``.cache()`` it — both
+    the prefix index and the verify stage read it).
+
+    Output: (doc_a, doc_b, n_inter, na, nb) with doc_a < doc_b — a
+    SUPERSET of the pairs with Jaccard >= tau (callers re-apply the exact
+    threshold), with exact intersection counts and set sizes. Pairs the
+    prefix filter proves sub-threshold are never generated, which is the
+    point: the candidate join enumerates only prefix-postings² per key
+    instead of postings² (guide §2.3/§3 — shuffle and join fewer rows).
+
+    Filter soundness (α = the overlap any Jaccard >= tau pair must have):
+    - prefix: |A∩B| >= α forces a common element among the first
+      |X| − α + 1 of each side (take the α-th largest common element);
+      with the weakest eligible partner α >= ceil(tau·|X|), so indexing
+      the first |X| − ceil(tau·|X|) + 1 slots per doc is enough.
+    - length: |A∩B| <= min forces tau·|a| <= |b| <= |a|/tau.
+    - positional: a common prefix element at ranks (ra, rb) bounds the
+      overlap by 1 + min(|a|−ra, |b|−rb), which must reach
+      tau/(1+tau)·(|a|+|b|).
+    """
+    n_sh = F.size("shingles")
+    # ceil over the float product with an ADMIT-ONLY slack: if tau*n lands
+    # an ulp above an exact integer boundary, the unguarded ceil would
+    # SHORTEN the prefix (a lossy direction); subtracting 1e-9 can only
+    # lengthen it by one slot at exact boundaries (verified no-op for
+    # the registered taus up to n=1e5, kept for any-tau safety)
+    plen = (
+        n_sh - F.ceil(F.lit(tau) * n_sh - 1e-9).cast("long") + 1
+    ).cast("int")
+    pref = sh.select(
+        "doc_id",
+        n_sh.alias("n_sh"),
+        F.posexplode(F.slice("shingles", F.lit(1), plen)).alias("pos0", "s"),
+    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("rn"), "s")
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh") >= tau * F.col("a.n_sh") - 1e-9)
+            & (F.col("b.n_sh") <= F.col("a.n_sh") / tau + 1e-9)
+            & (
+                1
+                + F.least(
+                    F.col("a.n_sh") - F.col("a.rn"),
+                    F.col("b.n_sh") - F.col("b.rn"),
+                )
+                >= tau / (1 + tau) * (F.col("a.n_sh") + F.col("b.n_sh")) - 1e-9
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _exact_pair_verify(cand, sh)
+
+
+def ppjoin_containment_pairs(sh: DataFrame, tau: float) -> DataFrame:
+    """Exact-verified candidate pairs for a CONTAINMENT >= ``tau``
+    self-join (|A∩B| / min(|A|,|B|) >= tau). Same contract as
+    :func:`ppjoin_jaccard_pairs` (superset of qualifying pairs, exact
+    n_inter/na/nb), different pruning: containment has NO length filter
+    (a tiny doc fully inside a huge one qualifies), so the join is
+    ASYMMETRIC — the full posting index probes only the prefix index of
+    the pair's (weakly) smaller side.
+
+    Soundness: for a qualifying pair the required overlap is
+    α = ceil(tau·n_small); the α-th largest common element sits within
+    the first n_small − α + 1 slots of the smaller side (the static
+    prefix below) and within the first n_large − α + 1 slots of the
+    larger (checked positionally in the join — it depends on the
+    partner's size, so it cannot prune the index statically).
+    """
+    n_sh = F.size("shingles")
+    # ceil over the float product with an ADMIT-ONLY slack: if tau*n lands
+    # an ulp above an exact integer boundary, the unguarded ceil would
+    # SHORTEN the prefix (a lossy direction); subtracting 1e-9 can only
+    # lengthen it by one slot at exact boundaries (verified no-op for
+    # the registered taus up to n=1e5, kept for any-tau safety)
+    plen = (
+        n_sh - F.ceil(F.lit(tau) * n_sh - 1e-9).cast("long") + 1
+    ).cast("int")
+    pref = sh.select(
+        F.col("doc_id").alias("doc_s"),
+        n_sh.alias("n_s"),
+        F.posexplode(F.slice("shingles", F.lit(1), plen)).alias("pos0", "s"),
+    ).select("doc_s", "n_s", (F.col("pos0") + 1).alias("rn_s"), "s")
+    full = sh.select(
+        F.col("doc_id").alias("doc_l"),
+        n_sh.alias("n_l"),
+        F.posexplode("shingles").alias("pos0", "s"),
+    ).select("doc_l", "n_l", (F.col("pos0") + 1).alias("rn_l"), "s")
+    cand = (
+        full.alias("l")
+        .join(
+            pref.alias("p"),
+            (F.col("l.s") == F.col("p.s"))
+            & (F.col("l.doc_l") != F.col("p.doc_s"))
+            & (F.col("l.n_l") >= F.col("p.n_s"))
+            & (
+                1
+                + F.least(
+                    F.col("p.n_s") - F.col("p.rn_s"),
+                    F.col("l.n_l") - F.col("l.rn_l"),
+                )
+                >= tau * F.col("p.n_s") - 1e-9
+            ),
+        )
+        .select(
+            F.least("doc_l", "doc_s").alias("doc_a"),
+            F.greatest("doc_l", "doc_s").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _exact_pair_verify(cand, sh)
+
+
+def _exact_pair_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Attach exact |A∩B| and set sizes to candidate pairs by rejoining
+    the full sorted-distinct shingle arrays (the verify stage of every
+    PPJoin-family plan). array_intersect over distinct arrays counts
+    exactly what the unpruned index join's count(*) counted."""
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").cast("long").alias("na"),
+            F.size("sh_b").cast("long").alias("nb"),
+        )
+    )
+
+
 def shingle_hashes_expr(shingles_col: str) -> Column:
     """Distinct polynomial hashes of a shingle-array column (Spark)."""
     return F.expr(

@@ -405,14 +405,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow gram kernel (round 12): per-doc DISTINCT shingle-hash sets in
     # one mapInPandas pass — same integers as the HOF two-level fold the
     # oracle mirrors (parity lock in tests/test_dup_heavy_skew.py); the
-    # cache still feeds both self-join sides and the size lookup
+    # cache feeds both the candidate index and the exact-verify rejoin
     sh = dd.gram_set_frame(docs, _JACC_N).select(
         "doc_id", F.col("hs").alias("shingles")
     ).cache()
+    if not _STOP_DF:
+        # PPJoin prune (round 13, guide §2.3/§3): candidates from the
+        # prefix index only, with the lossless length + positional
+        # filters in the join condition, then exact array_intersect
+        # verification — bit-identical rows to the unpruned index join
+        # (the DuckDB oracle keeps that form as the independent path;
+        # lose-no-pair property locked in tests/test_dup_heavy_skew.py).
+        # The round-12 sf1.0 sweep measured the unpruned candidate join
+        # saturating on this small-vocabulary corpus (44 s, flat at 10×
+        # data); the prefix index bounds enumerated pairs by
+        # prefix-postings² per key.
+        pairs = dd.ppjoin_jaccard_pairs(sh, _JACC_THRESHOLD)
+        jacc = F.col("n_inter") / (
+            F.col("na") + F.col("nb") - F.col("n_inter")
+        ).cast("double")
+        return pairs.filter(jacc >= _JACC_THRESHOLD).select(
+            "doc_a", "doc_b", F.round(jacc, 6).alias("jaccard")
+        )
+    # Stop-shingle cap ON: post-cap sets are not the stored arrays, so the
+    # exact exploded-index machinery (with the cap's bounded fanout as the
+    # scale insurance) stays the one true path.
     ex = dd.stop_shingle_filter(
         sh.select("doc_id", F.explode("shingles").alias("s")), _STOP_DF
-    )
-    ex = ex.cache() if _STOP_DF else ex
+    ).cache()
     sizes = dd.capped_sizes(sh, ex)
     inter = (
         ex.alias("a")
@@ -1557,30 +1577,49 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dd.gram_set_frame(
         docs.filter(F.col("text").isNotNull()), _JACC_N
     ).select("doc_id", F.col("hs").alias("shingles")).cache()
-    ex = dd.stop_shingle_filter(
-        sh.select("doc_id", F.explode("shingles").alias("s")), _STOP_DF
-    )
-    ex = ex.cache() if _STOP_DF else ex
-    inter = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if not _STOP_DF:
+        # PPJoin prune (round 13): same lossless prefix/length/positional
+        # candidate pruning + exact verify as dedup_ngram_jaccard — the
+        # dup_losers set is identical because the final exact threshold
+        # is re-applied on exact intersection counts (guide §2.3/§3).
+        pairs = dd.ppjoin_jaccard_pairs(sh, _JACC_THRESHOLD)
+        jacc_p = F.col("n_inter") / (
+            F.col("na") + F.col("nb") - F.col("n_inter")
+        ).cast("double")
+        dup_losers = (
+            pairs.filter(jacc_p >= _JACC_THRESHOLD)
+            .select(F.col("doc_b").alias("loser_id"))
+            .distinct()
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = dd.capped_sizes(sh, ex)
-    jacc = F.col("n_inter") / (
-        F.col("x.n_sh") + F.col("y.n_sh") - F.col("n_inter")
-    ).cast("double")
-    dup_losers = (
-        inter.join(sizes.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
-        .join(sizes.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
-        .filter(jacc >= _JACC_THRESHOLD)
-        .select(F.col("doc_b").alias("loser_id"))
-        .distinct()
-    )
+    else:
+        # Stop-shingle cap ON: exact exploded-index machinery (see
+        # dedup_ngram_jaccard's cap branch for the rationale).
+        ex = dd.stop_shingle_filter(
+            sh.select("doc_id", F.explode("shingles").alias("s")), _STOP_DF
+        ).cache()
+        inter = (
+            ex.alias("a")
+            .join(
+                ex.alias("b"),
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sizes = dd.capped_sizes(sh, ex)
+        jacc = F.col("n_inter") / (
+            F.col("x.n_sh") + F.col("y.n_sh") - F.col("n_inter")
+        ).cast("double")
+        dup_losers = (
+            inter.join(sizes.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+            .join(sizes.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
+            .filter(jacc >= _JACC_THRESHOLD)
+            .select(F.col("doc_b").alias("loser_id"))
+            .distinct()
+        )
     return (
         scored.filter(F.col("quality") >= _CURATE_MIN_QUALITY)
         .join(
@@ -1660,14 +1699,37 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow gram kernel (round 12): per-doc DISTINCT shingle-hash sets in
     # one mapInPandas pass — same integers as the HOF two-level fold the
     # oracle mirrors (parity lock in tests/test_dup_heavy_skew.py); the
-    # cache still feeds both self-join sides and the size lookup
+    # cache feeds both the candidate index and the exact-verify rejoin
     sh = dd.gram_set_frame(docs, _JACC_N).select(
         "doc_id", F.col("hs").alias("shingles")
     ).cache()
+    if not _STOP_DF:
+        # PPJoin prune, containment flavor (round 13, guide §2.3/§3):
+        # containment admits no length filter, so the candidate join is
+        # ASYMMETRIC — full postings probe only the smaller side's prefix
+        # index, with the positional filter in the join condition; exact
+        # array_intersect verification downstream keeps rows bit-identical
+        # to the unpruned index join the oracle still runs (lose-no-pair
+        # property locked in tests/test_dup_heavy_skew.py).
+        pairs = dd.ppjoin_containment_pairs(sh, _CONT_TAU)
+        n_smaller = F.least(F.col("na"), F.col("nb")).cast("long")
+        cont = F.col("n_inter").cast("double") / n_smaller.cast("double")
+        return (
+            pairs.filter(cont >= _CONT_TAU)
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_inter",
+                n_smaller.alias("n_smaller"),
+                F.round(cont, 6).alias("containment"),
+            )
+        )
+    # Stop-shingle cap ON: post-cap sets are not the stored arrays, so the
+    # exact exploded-index machinery (with the cap's bounded fanout as the
+    # scale insurance) stays the one true path.
     ex = dd.stop_shingle_filter(
         sh.select("doc_id", F.explode("shingles").alias("s")), _STOP_DF
-    )
-    ex = ex.cache() if _STOP_DF else ex
+    ).cache()
     inter = (
         ex.alias("a")
         .join(

@@ -416,3 +416,131 @@ def test_gram_set_frame_matches_hof(spark):
         assert len(hof) > 400
         for d, hs in hof.items():
             assert ker[d] == hs, f"gram set diverged for doc {d} at n={n}"
+
+
+def test_ppjoin_jaccard_loses_no_pair(spark):
+    """Round-13 lossless-prune lock: ``dedup_ngram_jaccard`` (PPJoin
+    prefix/length/positional candidate pruning + exact array_intersect
+    verify) must equal BRUTE-FORCE Jaccard over every doc pair's gram
+    sets. The DuckDB oracle keeps the unpruned inverted-index form, so
+    the differential already cross-checks this end-to-end; this test
+    pins the blame to the prune if it ever over-filters, and also
+    exercises degenerate/non-BMP texts the fixtures lack."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    import kafka_streams_tcp_reconciliation_spark.operators.dedup as dd
+    from kafka_streams_tcp_reconciliation_spark.plans import all_queries
+    from kafka_streams_tcp_reconciliation_spark.plans.llm import (
+        _JACC_N,
+        _JACC_THRESHOLD,
+    )
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+    from tests.test_degenerate_text import DEGENERATE_TEXTS
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    sets = {
+        r.doc_id: frozenset(r.hs)
+        for r in dd.gram_set_frame(docs, _JACC_N).collect()
+    }
+    want = set()
+    for (ida, sa), (idb, sb) in itertools.combinations(sorted(sets.items()), 2):
+        ov = len(sa & sb)
+        if ov and ov / (len(sa) + len(sb) - ov) >= _JACC_THRESHOLD:
+            want.add((ida, idb))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["dedup_ngram_jaccard"](spark, sf).collect()
+    }
+    assert got == want
+    assert want, "fixture must contain at least one true near-dup pair"
+
+    # degenerate/non-BMP battery through the raw helper (tiny sets where
+    # prefix lengths hit their clamps)
+    extra = spark.createDataFrame(
+        [(10_000_000 + i, t) for i, t in enumerate(DEGENERATE_TEXTS)]
+        + [(10_000_900, "\U0001f600 emoji codepoints fold identically ok")]
+        + [(10_000_901, "\U0001f600 emoji codepoints fold identically ok")],
+        "doc_id long, text string",
+    ).filter(F.col("text").isNotNull())
+    sh = dd.gram_set_frame(extra, _JACC_N).select(
+        "doc_id", F.col("hs").alias("shingles")
+    )
+    esets = {r.doc_id: frozenset(r.shingles) for r in sh.collect()}
+    ewant = set()
+    for (ida, sa), (idb, sb) in itertools.combinations(sorted(esets.items()), 2):
+        ov = len(sa & sb)
+        if ov and ov / (len(sa) + len(sb) - ov) >= _JACC_THRESHOLD:
+            ewant.add((ida, idb))
+    pairs = dd.ppjoin_jaccard_pairs(sh, _JACC_THRESHOLD)
+    jacc = F.col("n_inter") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    egot = {
+        (r.doc_a, r.doc_b)
+        for r in pairs.filter(jacc >= _JACC_THRESHOLD).collect()
+    }
+    assert egot == ewant
+    assert ewant, "the duplicated emoji doc must pair with its twin"
+
+
+def test_ppjoin_containment_loses_no_pair(spark):
+    """Round-13 lossless-prune lock for the ASYMMETRIC containment prune:
+    ``dedup_shingle_containment`` must equal brute-force containment
+    (|A∩B| / min >= tau) over every doc pair — including subset pairs
+    with wildly different sizes, the case the Jaccard-style length
+    filter would wrongly drop (containment has none)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    import kafka_streams_tcp_reconciliation_spark.operators.dedup as dd
+    from kafka_streams_tcp_reconciliation_spark.plans import all_queries
+    from kafka_streams_tcp_reconciliation_spark.plans.llm import (
+        _CONT_TAU,
+        _JACC_N,
+    )
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    sets = {
+        r.doc_id: frozenset(r.hs)
+        for r in dd.gram_set_frame(docs, _JACC_N).collect()
+    }
+    want = {}
+    for (ida, sa), (idb, sb) in itertools.combinations(sorted(sets.items()), 2):
+        ov = len(sa & sb)
+        if ov and ov / min(len(sa), len(sb)) >= _CONT_TAU:
+            want[(ida, idb)] = ov
+    got = {
+        (r.doc_a, r.doc_b): r.n_inter
+        for r in all_queries()["dedup_shingle_containment"](spark, sf).collect()
+    }
+    assert got == want
+    assert want, "fixture must contain at least one containment pair"
+
+    # explicit subset pair: a short doc quoted whole inside a long one
+    # (tiny Jaccard, containment 1.0 — the pair a length filter would lose)
+    short = "alpha beta gamma delta epsilon"
+    longd = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    extra = spark.createDataFrame(
+        [(1, short), (2, longd)], "doc_id long, text string"
+    )
+    sh = dd.gram_set_frame(extra, _JACC_N).select(
+        "doc_id", F.col("hs").alias("shingles")
+    )
+    pairs = dd.ppjoin_containment_pairs(sh, _CONT_TAU).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+    r = pairs[0]
+    assert r.n_inter == r.na == min(r.na, r.nb)  # full containment

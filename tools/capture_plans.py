@@ -18,7 +18,9 @@ from kafka_streams_tcp_reconciliation_spark.plans import all_queries  # noqa: E4
 from kafka_streams_tcp_reconciliation_spark.session import get_spark  # noqa: E402
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
 )
 
 
