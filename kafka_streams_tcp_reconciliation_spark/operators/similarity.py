@@ -703,20 +703,120 @@ def _make_cross_cosine_micro():
 cross_cosine_micro = _make_cross_cosine_micro()
 
 
-def bitext_pair_scores(s, t):
-    """(src_id, tgt_id, cos_micro) for the FULL s×t product — the Arrow
-    twin of the exact bitext tier's ``crossJoin(broadcast(t))`` + HOF
-    cosine (bit-identical: the kernel replays the same per-dimension
-    fold order and exact HALF_UP rounding; locked by
+def _make_pq_encode_kernel():
+    # same by-value-pickling factory rationale as _make_pairwise_cosine
+    def pq_encode_batch(vec_rows, CB, js, M, subdim):
+        """PQ codes for one Arrow batch of (non-NULL) vectors — the
+        bit-identical twin of ``_pq_codes_expr``'s interpreted argmin:
+
+        - each subspace distance accumulates one (x−c)² term per
+          DIMENSION in ascending order (the shared fold-order contract)
+          — the same IEEE doubles as the HOF left fold;
+        - rounding to integer micro-units is EXACT decimal HALF_UP on
+          the non-negative double (y − floor(y) is exact below 2^52);
+        - the argmin over the PRESENT codewords (``js`` ascending)
+          resolves ties to the LOWEST codeword id, exactly like
+          ``array_min(named_struct('d', d, 'j', j))``.
+
+        ``CB``: (M, len(js), subdim) float64 codeword tensor; returns an
+        int32 (n, M) code matrix.
+        """
+        import numpy as np
+
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vec_rows])
+        n = V.shape[0]
+        codes = np.empty((n, M), dtype=np.int32)
+        for m in range(M):
+            acc = np.zeros((n, CB.shape[1]))
+            for d in range(subdim):
+                diff = V[:, m * subdim + d][:, None] - CB[m, :, d][None, :]
+                acc += diff * diff
+            y = acc * 1000000.0
+            fl = np.floor(y)
+            r = (fl + (y - fl >= 0.5)).astype(np.int64)
+            codes[:, m] = js[np.argmin(r, axis=1)]
+        return codes
+
+    return pq_encode_batch
+
+
+pq_encode_batch = _make_pq_encode_kernel()
+
+
+def pq_codes_frame(df, vec_col: str, codebook: dict, m_sub: int,
+                   subdim: int, id_schema: str):
+    """(passthrough ids..., codes array<int>) — the Arrow twin of
+    ``crossJoin(broadcast(cb))`` + ``_pq_codes_expr`` corpus encoding
+    (bit-identical; locked by
+    tests/test_clustering.py::test_pq_codes_frame_matches_hof). The HOF
+    form paid M×K interpreted ``subdim``-dim folds per vector — the
+    dominant cost of the PQ queries' encode stage; the kernel runs M
+    compiled (n × K × subdim) accumulations per batch. The codebook
+    (M·K·subdim doubles, a few KB) ships in the task closure exactly
+    like the HOF's one-row broadcast frame shipped it as data.
+
+    ``df`` must carry the ``id_schema`` columns plus non-NULL
+    ``vec_col``; ``id_schema`` is the passthrough part of the output
+    schema (e.g. ``"vec_id long, label int"``).
+    """
+    import numpy as np
+
+    kernel = pq_encode_batch
+    js = np.array(sorted({j for (_, j) in codebook}), dtype=np.int32)
+    CB = np.zeros((m_sub, len(js), subdim))
+    for mi in range(m_sub):
+        for ji, j in enumerate(js):
+            CB[mi, ji] = codebook[(mi, int(j))]
+    id_cols = [f.split()[0] for f in id_schema.split(",")]
+    mm, sd = m_sub, subdim
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = {c: pdf[c] for c in id_cols}
+                out["codes"] = pd.Series([], dtype="object")
+                yield pd.DataFrame(out)
+                continue
+            codes = kernel(list(pdf[vec_col]), CB, js, mm, sd)
+            out = {c: pdf[c].reset_index(drop=True) for c in id_cols}
+            out["codes"] = pd.Series(list(codes), dtype="object")
+            yield pd.DataFrame(out)
+
+    return df.select(*id_cols, vec_col).mapInPandas(
+        run, schema=f"{id_schema}, codes array<int>"
+    )
+
+
+def bitext_pair_scores(s, t, fwd_k: int | None = None):
+    """(src_id, tgt_id, cos_micro[, sumk_fwd]) for the FULL s×t product —
+    the Arrow twin of the exact bitext tier's ``crossJoin(broadcast(t))``
+    + HOF cosine (bit-identical: the kernel replays the same
+    per-dimension fold order and exact HALF_UP rounding; locked by
     tests/test_mlprep_ops.py::test_bitext_pair_scores_matches_hof).
 
     Scale contract UNCHANGED from the tier it accelerates: the target
     side is collected once (this is the documented exact-N×N baseline
     tier — the broadcast of ``t`` was already its contract; the
-    corpus-scale twin is ``bitext_margin_mining_lsh``). The s side
+    corpus-scale twin is ``bitext_margin_mining_lsh``) and shipped as a
+    REAL Spark broadcast (round 13): a TorrentBroadcast moves the matrix
+    to each executor once, instead of re-serializing it inside every
+    task's pickled closure — at a real target-side size the closure form
+    multiplies driver egress by the task count (guide §5). The s side
     streams through ``mapInPandas`` at full scan parallelism; per-pair
     compute drops from three interpreted 64-dim HOF folds to compiled-C
     outer products.
+
+    ``fwd_k`` (round 13): when set, each output row additionally carries
+    ``sumk_fwd`` — the sum of the source row's ``fwd_k`` highest
+    cos_micro values (ties immaterial to a sum; NULL scores sort last
+    and are skipped; all-NULL rows get NULL) — exactly the value of the
+    window twin ``sum(cos_micro) over (partition by src_id order by
+    cos_micro desc, tgt_id) rows rn <= k``, because each source row sees
+    ALL targets inside one kernel block. Folding it here removes the
+    full-pair-list exchange + sort the window pass paid (guide §2.4);
+    parity locked by tests/test_mlprep_ops.py::test_bitext_fwd_sum_matches_window.
 
     ``s`` must carry (src_id, sv), ``t`` (tgt_id, tv); NULL vectors on
     either side surface as NULL cos_micro, exactly like the SQL fold.
@@ -745,46 +845,68 @@ def bitext_pair_scores(s, t):
         tsqn = np.zeros(len(t_rows))
     kernel = cross_cosine_micro
     n = len(t_rows)
+    k = fwd_k
+    # one executor-side copy via TorrentBroadcast; the task closure holds
+    # only the broadcast handle
+    tb = s.sparkSession.sparkContext.broadcast((tgt_ids, Tfull, tsqn, t_valid))
 
     def run(batches):
         import numpy as np
         import pandas as pd
 
+        b_tgt_ids, b_T, b_tsqn, b_tvalid = tb.value
         # row-chunk each Arrow batch so the kernel's (chunk × n_targets)
         # score block stays bounded (~256·n doubles) however large the
         # batch — at 10× scale an unchunked 10k-row batch against a
         # 10k-target side was a ~800 MB allocation per worker
         chunk = max(1, 2_000_000 // max(n, 1))
+        empty = {
+            "src_id": pd.Series([], dtype="int64"),
+            "tgt_id": pd.Series([], dtype="int64"),
+            "cos_micro": pd.array([], dtype="Int64"),
+        }
+        if k is not None:
+            empty["sumk_fwd"] = pd.array([], dtype="Int64")
         for pdf in batches:
             src_ids = pdf["src_id"].to_numpy()
             m = len(src_ids)
             if m == 0 or n == 0:
-                yield pd.DataFrame(
-                    {
-                        "src_id": pd.Series([], dtype="int64"),
-                        "tgt_id": pd.Series([], dtype="int64"),
-                        "cos_micro": pd.array([], dtype="Int64"),
-                    }
-                )
+                yield pd.DataFrame(empty)
                 continue
             sv = list(pdf["sv"])
             for s0 in range(0, m, chunk):
                 s1 = min(s0 + chunk, m)
-                out, miss = kernel(sv[s0:s1], Tfull, tsqn, t_valid)
-                yield pd.DataFrame(
-                    {
-                        "src_id": pd.Series(
-                            np.repeat(src_ids[s0:s1], n), dtype="int64"
-                        ),
-                        "tgt_id": pd.Series(
-                            np.tile(tgt_ids, s1 - s0), dtype="int64"
-                        ),
-                        "cos_micro": pd.arrays.IntegerArray(
-                            out.reshape(-1), miss.reshape(-1)
-                        ),
-                    }
-                )
+                out, miss = kernel(sv[s0:s1], b_T, b_tsqn, b_tvalid)
+                cols = {
+                    "src_id": pd.Series(
+                        np.repeat(src_ids[s0:s1], n), dtype="int64"
+                    ),
+                    "tgt_id": pd.Series(
+                        np.tile(b_tgt_ids, s1 - s0), dtype="int64"
+                    ),
+                    "cos_micro": pd.arrays.IntegerArray(
+                        out.reshape(-1), miss.reshape(-1)
+                    ),
+                }
+                if k is not None:
+                    # top-k sum per source row: invalid scores pinned to
+                    # INT64_MIN so they sort last (the window twin's
+                    # NULLS-LAST desc order), then masked out of the sum
+                    # (sort ascending then reverse — negate-and-sort would
+                    # wrap INT64_MIN and float the sentinels to the top)
+                    masked = np.where(miss, np.iinfo(np.int64).min, out)
+                    topk = np.sort(masked, axis=1)[:, ::-1][:, : k]
+                    n_valid = (~miss).sum(axis=1)
+                    take = np.minimum(n_valid, k)
+                    keep = np.arange(topk.shape[1])[None, :] < take[:, None]
+                    sums = np.where(keep, topk, 0).sum(axis=1)
+                    cols["sumk_fwd"] = pd.arrays.IntegerArray(
+                        np.repeat(sums, n),
+                        np.repeat(n_valid == 0, n),
+                    )
+                yield pd.DataFrame(cols)
 
-    return s.select("src_id", "sv").mapInPandas(
-        run, schema="src_id long, tgt_id long, cos_micro long"
-    )
+    schema = "src_id long, tgt_id long, cos_micro long"
+    if k is not None:
+        schema += ", sumk_fwd long"
+    return s.select("src_id", "sv").mapInPandas(run, schema=schema)

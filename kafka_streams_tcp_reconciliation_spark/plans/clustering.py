@@ -491,8 +491,9 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("rank"),
         ).where(F.lit(False))
     cb = F.broadcast(_pq_cb_frame(spark, codebook))
-    enc = emb.crossJoin(cb).select(
-        "vec_id", F.expr(_pq_codes_expr("embedding")).alias("codes")
+    # Arrow encode kernel (round 13) — see similarity_ivf_pq's enc note
+    enc = sim.pq_codes_frame(
+        emb, "embedding", codebook, _PQ_M, _PQ_SUBDIM, "vec_id long"
     )
     # queries ride with their flattened M x K integer LUTs
     q = (
@@ -638,10 +639,14 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("rank"),
         ).where(F.lit(False))
     cb = F.broadcast(_pq_cb_frame(spark, codebook))
-    enc = emb.crossJoin(cb).select(
-        "vec_id",
-        "label",
-        F.expr(_pq_codes_expr("embedding")).alias("codes"),
+    # Arrow encode kernel (round 13): corpus codes in one mapInPandas
+    # pass — same doubles (per-dim fold order), same HALF_UP micro
+    # rounding, same lowest-j tie-break as the HOF argmin it replaces
+    # (parity lock: tests/test_clustering.py::test_pq_codes_frame_matches_hof).
+    # The HOF paid M×K interpreted 8-dim folds per corpus vector.
+    enc = sim.pq_codes_frame(
+        emb, "embedding", codebook, _PQ_M, _PQ_SUBDIM,
+        "vec_id long, label int",
     )
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))

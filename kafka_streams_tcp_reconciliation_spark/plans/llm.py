@@ -1281,7 +1281,12 @@ def _neardup_scored(spark: SparkSession, sf_dir: str):
         .select("vec_id", "embedding")
         .cache()
     )
-    b = sim.lsh_buckets_frame(emb, "vec_id", "embedding")
+    # .cache() the bucket frame (round 13): the self-join's two sides are
+    # the SAME mapInPandas subtree, which Spark plans as two separate
+    # kernel executions (no exchange to reuse under the broadcast join) —
+    # caching the (vec_id, tbl, bucket) rows (3 longs/row) halves the LSH
+    # kernel work and the Python-worker traffic of every family member
+    b = sim.lsh_buckets_frame(emb, "vec_id", "embedding").cache()
     cand = (
         b.alias("a")
         .join(

@@ -2885,16 +2885,12 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same exact HALF_UP rounding (operators/similarity.bitext_pair_scores,
     # parity-locked in tests/test_mlprep_ops.py). The HOF form paid three
     # interpreted 64-dim folds per pair — the dominant cost of this tier.
-    pairs = sim.bitext_pair_scores(s, t).cache()
-    w_f = Window.partitionBy("src_id").orderBy(
-        F.col("cos_micro").desc(), F.col("tgt_id").asc()
-    )
-    fwd = (
-        pairs.withColumn("rn", F.row_number().over(w_f))
-        .filter(F.col("rn") <= _BT_K)
-        .groupBy("src_id")
-        .agg(F.sum("cos_micro").cast("long").alias("sumk_fwd"))
-    )
+    # Round 13: the FORWARD top-K sum rides out of the kernel per row
+    # (each source row scores ALL targets inside one kernel block, so the
+    # per-src window is task-local) — the fwd window's full-pair-list
+    # exchange + sort disappears; only the bwd direction still shuffles
+    # (its top-K spans all s-batches). Parity: ::test_bitext_fwd_sum_matches_window.
+    pairs = sim.bitext_pair_scores(s, t, fwd_k=_BT_K).cache()
     w_b = Window.partitionBy("tgt_id").orderBy(
         F.col("cos_micro").desc(), F.col("src_id").asc()
     )
@@ -2905,8 +2901,7 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cos_micro").cast("long").alias("sumk_bwd"))
     )
     margined = (
-        pairs.join(F.broadcast(fwd), "src_id")
-        .join(F.broadcast(bwd), "tgt_id")
+        pairs.join(F.broadcast(bwd), "tgt_id")
         .select(
             "src_id",
             "tgt_id",

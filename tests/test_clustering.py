@@ -89,3 +89,60 @@ def test_multiprobe_never_worse_than_single_probe(spark, sf_dir):
     assert single and set(single) <= set(multi)
     for key, cos in single.items():
         assert multi[key] >= cos - 1e-9, f"recall regressed at {key}"
+
+
+def test_pq_codes_frame_matches_hof(spark):
+    """Round-13 bit-equality lock for the Arrow PQ-encode kernel
+    (``operators/similarity.pq_codes_frame``), which replaced the
+    crossJoin(cb) + ``_pq_codes_expr`` interpreted argmin in
+    similarity_pq_adc / similarity_ivf_pq: same codes for every corpus
+    vector (same per-dim fold order, same HALF_UP micro rounding, same
+    lowest-j tie-break), on the organic fixture at both SFs plus a
+    truncated codebook (fewer present codewords than _PQ_K)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_tcp_reconciliation_spark.operators import (
+        similarity as sim,
+    )
+    from kafka_streams_tcp_reconciliation_spark.plans.clustering import (
+        _PQ_M,
+        _PQ_SUBDIM,
+        _pq_cb_frame,
+        _pq_codes_expr,
+        _pq_collect_codebook,
+    )
+    from kafka_streams_tcp_reconciliation_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    for cap in (None, 5):  # full codebook, then a truncated one
+        e = emb if cap is None else emb.filter(F.col("vec_id") < 500)
+        codebook = _pq_collect_codebook(
+            e if cap is None else e.filter(F.col("vec_id") < cap)
+        )
+        if cap is not None:
+            # emulate a corpus with < _PQ_K vectors: only ids < cap exist
+            codebook = {k: v for k, v in codebook.items() if k[1] < cap}
+        cb = F.broadcast(_pq_cb_frame(spark, codebook))
+        hof = {
+            r.vec_id: list(r.codes)
+            for r in e.crossJoin(cb)
+            .select("vec_id", F.expr(_pq_codes_expr("embedding")).alias("codes"))
+            .collect()
+        }
+        ker = {
+            r.vec_id: list(r.codes)
+            for r in sim.pq_codes_frame(
+                e, "embedding", codebook, _PQ_M, _PQ_SUBDIM, "vec_id long"
+            ).collect()
+        }
+        assert set(hof) == set(ker)
+        assert len(hof) > 100
+        for vid, codes in hof.items():
+            assert ker[vid] == codes, f"codes diverged for vec {vid} cap={cap}"

@@ -585,3 +585,65 @@ def test_pair_cosine_frame_matches_hof(spark):
     assert set(hofm) == set(kerm)
     for k, v in hofm.items():
         assert kerm[k] == v, f"cos_micro diverged for {k}"
+
+
+def test_bitext_fwd_sum_matches_window(spark):
+    """Round-13 parity lock for the IN-KERNEL forward top-K sum
+    (``bitext_pair_scores(..., fwd_k=K)``), which replaced
+    bitext_margin_mining's per-src window pass (sum of the K highest
+    cos_micro, NULLS-LAST desc, ties immaterial to a sum): the kernel
+    value must equal the window twin on every source row — including
+    all-NULL sources (NULL sum) and sources with fewer than K valid
+    scores — and the cos_micro column must be unchanged."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_tcp_reconciliation_spark.operators import (
+        similarity as sim,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf, "embeddings")
+    nulls = spark.createDataFrame(
+        [(9_000_001, None, 1), (9_000_002, None, 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb = emb.unionByName(nulls)
+    s = emb.filter(F.col("label") < 5).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("sv")
+    )
+    t = emb.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tv")
+    )
+    for k in (4, 100_000):  # the registered K and a K > n_targets clamp
+        pairs = sim.bitext_pair_scores(s, t, fwd_k=k).cache()
+        w_f = Window.partitionBy("src_id").orderBy(
+            F.col("cos_micro").desc(), F.col("tgt_id").asc()
+        )
+        want = {
+            r.src_id: r.sumk_fwd
+            for r in pairs.withColumn("rn", F.row_number().over(w_f))
+            .filter(F.col("rn") <= k)
+            .groupBy("src_id")
+            .agg(F.sum("cos_micro").cast("long").alias("sumk_fwd"))
+            .collect()
+        }
+        got = {
+            r.src_id: r.sumk_fwd
+            for r in pairs.select("src_id", "sumk_fwd").distinct().collect()
+        }
+        assert got == want, f"fwd sum diverged at k={k}"
+        assert None in set(got.values())  # all-NULL sources carry NULL
+        pairs.unpersist()
+    # cos_micro itself is unchanged by the fwd_k flag
+    base = {
+        (r.src_id, r.tgt_id): r.cos_micro
+        for r in sim.bitext_pair_scores(s, t).collect()
+    }
+    flagged = {
+        (r.src_id, r.tgt_id): r.cos_micro
+        for r in sim.bitext_pair_scores(s, t, fwd_k=4).collect()
+    }
+    assert base == flagged
