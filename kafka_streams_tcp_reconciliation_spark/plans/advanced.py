@@ -632,15 +632,22 @@ _COPURCHASE_EDGES_SQL = """
     )"""
 
 
-def _copurchase_edges(li: DataFrame) -> DataFrame:
-    """(u, v) co-purchase edges, u < v. Pair generation is NARROW: parts
-    collected per order (array bounded by basket size; collect_set dedups
-    within the same aggregate, saving a separate distinct shuffle), u<v
-    pairs emitted by a HOF — one shuffle total, measured ~2× faster than
-    the equivalent self-join on l_orderkey at sf0.1."""
-    per_order = li.groupBy("l_orderkey").agg(
+def _copurchase_per_order(li: DataFrame) -> DataFrame:
+    """(l_orderkey, ps) — the sorted DISTINCT part set of each order, the
+    shared narrow base of every co-purchase consumer (collect_set dedups
+    within the one aggregate, saving a separate distinct shuffle)."""
+    return li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+
+
+def _copurchase_pair_counts(per_order: DataFrame) -> DataFrame:
+    """(u, v, n_co) co-order counts for every part pair, u < v. Pair
+    generation is NARROW: u<v pairs emitted by a HOF over the per-order
+    part arrays (bounded by basket size) — one shuffle total, measured
+    ~2× faster than the equivalent self-join on l_orderkey at sf0.1
+    (round 13 extends the shape to part_pair_cooccurrence and
+    graph_degree_distribution, which still paid the self-join)."""
     pair_expr = (
         "flatten(transform(ps, (x, i) ->"
         " transform(slice(ps, i + 2, size(ps) - i - 1),"
@@ -651,6 +658,13 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
         .select("e.u", "e.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """(u, v) co-purchase edges (co-ordered >= 2 times), u < v."""
+    return (
+        _copurchase_pair_counts(_copurchase_per_order(li))
         .filter(F.col("n_co") >= 2)
         .select("u", "v")
     )

@@ -520,18 +520,34 @@ def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 1-row broadcast. Lift is a continuous ratio — round(…, 6) is
     boundary-safe.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("a_partkey"))
-    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("b_partkey"))
-    pair_counts = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a_partkey") < F.col("b_partkey"))
-        .groupBy("a_partkey", "b_partkey")
-        .agg(F.count(F.lit(1)).alias("n_both"))
+    # Round 13 (guide §2.4): pair generation through the shared NARROW
+    # per-order shape (collect_set + HOF pair emission — see
+    # plans/advanced._copurchase_pair_counts) instead of the l_orderkey
+    # self-join; the per-order part arrays also feed the per-part counts
+    # and the order total, so ONE lineitem shuffle replaces the previous
+    # three (distinct + two join sides). Same pairs, same counts: the
+    # arrays are the distinct per-order part sets.
+    from kafka_streams_tcp_reconciliation_spark.plans.advanced import (
+        _copurchase_pair_counts,
+        _copurchase_per_order,
     )
-    part_counts = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    total = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # no .cache(): the three consumers share the groupBy's exchange (AQE
+    # reuse); a cache barrier measured SLOWER than recomputing the narrow
+    # explode from the shared shuffle output (probe: 1.7 vs 2.2 s median)
+    per_order = _copurchase_per_order(li)
+    pair_counts = _copurchase_pair_counts(per_order).select(
+        F.col("u").alias("a_partkey"),
+        F.col("v").alias("b_partkey"),
+        F.col("n_co").alias("n_both"),
+    )
+    part_counts = (
+        per_order.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = per_order.agg(F.count(F.lit(1)).alias("n_orders"))
     ca = part_counts.select(
         F.col("l_partkey").alias("a_partkey"), F.col("n").alias("n_a")
     )
@@ -647,19 +663,21 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final histogram collapses to O(max degree) groups map-side. No
     adjacency materialization.
     """
+    # Round 13 (guide §2.4): the same (u, v) edge set through the shared
+    # NARROW per-order pair generation triangle_count/two_hop already use
+    # (plans/advanced._copurchase_edges — collect_set + HOF emission, one
+    # lineitem shuffle) instead of the l_orderkey self-join; the degree
+    # count explodes each edge's two endpoints in one scan (no unionAll
+    # re-reading the edge lineage twice).
+    from kafka_streams_tcp_reconciliation_spark.plans.advanced import (
+        _copurchase_edges,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("a_partkey"))
-    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("b_partkey"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a_partkey") < F.col("b_partkey"))
-        .groupBy("a_partkey", "b_partkey")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .filter(F.col("n_both") >= 2)
+    edges = _copurchase_edges(li)
+    degrees = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
     )
-    nodes = edges.select(F.col("a_partkey").alias("node")).unionAll(
-        edges.select(F.col("b_partkey").alias("node"))
-    )
-    degrees = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return degrees.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
